@@ -1,0 +1,161 @@
+"""DB (Differentiable Binarization) detection post-processing.
+
+From-scratch NumPy re-creation of the reference semantics:
+
+- ``DBPostProcess.boxes_from_bitmap`` — ``toddleocr/postprocess/db.py:86-132``
+- ``get_mini_boxes`` corner ordering    — ``db.py:142-161``
+- ``box_score_fast``                    — ``db.py:163-178``
+- ``unclip``                            — ``db.py:134-140``
+- ``filter_tag_det_res`` / ``clip_det_res`` / ``order_points_clockwise``
+                                        — ``toddleocr/utils/utility.py:216-249``
+
+Pipeline per prob map: threshold-binarize -> connected components ->
+min-area rect (drop sside < min_size) -> bbox-mask mean score (drop
+score < box_thresh) -> unclip by area*ratio/perimeter -> min-area rect
+again (drop sside < min_size + 2) -> rescale to source image coords,
+round + clip -> int32 quads -> clockwise-order, clip to image, drop
+quads with a side <= 3 px.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .geometry import (
+    connected_components,
+    min_area_rect,
+    polygon_mask_mean,
+    unclip_rect,
+)
+
+__all__ = ["DBParams", "boxes_from_bitmap", "db_postprocess", "filter_tag_det_res"]
+
+
+class DBParams:
+    """Defaults mirror the reference (``db.py:13-36``)."""
+
+    def __init__(
+        self,
+        thresh: float = 0.3,
+        box_thresh: float = 0.7,
+        max_candidates: int = 1000,
+        unclip_ratio: float = 2.0,
+        min_size: int = 3,
+    ):
+        self.thresh = thresh
+        self.box_thresh = box_thresh
+        self.max_candidates = max_candidates
+        self.unclip_ratio = unclip_ratio
+        self.min_size = min_size
+
+
+def get_mini_boxes(points: np.ndarray):
+    """Min-area rect of ``points`` with the reference's canonical corner
+    order (sort by x, then resolve top/bottom per side; ``db.py:142-161``).
+
+    Returns (box (4,2) float64 ordered [tl, tr, br, bl]-ish, sside).
+    """
+    corners, (w, h) = min_area_rect(points)
+    pts = sorted(corners.tolist(), key=lambda p: p[0])
+    if pts[1][1] > pts[0][1]:
+        i1, i4 = 0, 1
+    else:
+        i1, i4 = 1, 0
+    if pts[3][1] > pts[2][1]:
+        i2, i3 = 2, 3
+    else:
+        i2, i3 = 3, 2
+    box = np.array([pts[i1], pts[i2], pts[i3], pts[i4]])
+    return box, min(w, h)
+
+
+def boxes_from_bitmap(
+    pred: np.ndarray,
+    bitmap: np.ndarray,
+    dest_width: float,
+    dest_height: float,
+    params: DBParams | None = None,
+):
+    """Binary map -> scored int32 quads in destination coords.
+
+    ``pred``: float prob map (H, W); ``bitmap``: bool map (H, W).
+    Returns (boxes (K,4,2) int32, scores list[float]).
+    """
+    p = params or DBParams()
+    height, width = bitmap.shape
+    comps = connected_components(bitmap, connectivity=8)[: p.max_candidates]
+    boxes = []
+    scores = []
+    for pts in comps:
+        box, sside = get_mini_boxes(pts)
+        if sside < p.min_size:
+            continue
+        score = polygon_mask_mean(pred, box)
+        if p.box_thresh > score:
+            continue
+        expanded = unclip_rect(box, p.unclip_ratio)
+        box, sside = get_mini_boxes(expanded)
+        if sside < p.min_size + 2:
+            continue
+        box = np.array(box)
+        box[:, 0] = np.clip(np.round(box[:, 0] / width * dest_width), 0, dest_width)
+        box[:, 1] = np.clip(np.round(box[:, 1] / height * dest_height), 0, dest_height)
+        boxes.append(box.astype("int32"))
+        scores.append(score)
+    if boxes:
+        return np.array(boxes, dtype="int32"), scores
+    return np.zeros((0, 4, 2), dtype="int32"), scores
+
+
+def order_points_clockwise(pts: np.ndarray) -> np.ndarray:
+    """Canonical tl/tr/br/bl order by coord-sum / coord-diff
+    (``utility.py:216-225``)."""
+    rect = np.zeros((4, 2), dtype="float32")
+    s = pts.sum(axis=1)
+    rect[0] = pts[np.argmin(s)]
+    rect[2] = pts[np.argmax(s)]
+    tmp = np.delete(pts, (np.argmin(s), np.argmax(s)), axis=0)
+    diff = np.diff(np.array(tmp), axis=1)
+    rect[1] = tmp[np.argmin(diff)]
+    rect[3] = tmp[np.argmax(diff)]
+    return rect
+
+
+def clip_det_res(points: np.ndarray, img_height: int, img_width: int) -> np.ndarray:
+    points = points.copy()
+    points[:, 0] = np.clip(points[:, 0], 0, img_width - 1).astype(int)
+    points[:, 1] = np.clip(points[:, 1], 0, img_height - 1).astype(int)
+    return points
+
+
+def filter_tag_det_res(dt_boxes: np.ndarray, img_height: int, img_width: int):
+    """Clockwise-order, clip to image, drop boxes with any side <= 3 px
+    (``utility.py:235-249``). Returns (K, 4, 2) float32."""
+    out = []
+    for box in dt_boxes:
+        box = order_points_clockwise(np.asarray(box, dtype=np.float64))
+        box = clip_det_res(box, img_height, img_width)
+        rect_width = int(np.linalg.norm(box[0] - box[1]))
+        rect_height = int(np.linalg.norm(box[0] - box[3]))
+        if rect_width <= 3 or rect_height <= 3:
+            continue
+        out.append(box)
+    if out:
+        return np.array(out, dtype=np.float32)
+    return np.zeros((0, 4, 2), dtype=np.float32)
+
+
+def db_postprocess(
+    prob_map: np.ndarray,
+    shape_list,
+    params: DBParams | None = None,
+):
+    """Full det stage for one media item: prob map (H, W) + shape_list
+    [src_h, src_w, ratio_h, ratio_w] -> filtered quads (K,4,2) float32
+    in source-image coordinates. Mirrors ``DBPostProcess.__call__``
+    (``db.py:201-230``) followed by ``filter_tag_det_res``."""
+    p = params or DBParams()
+    src_h, src_w = float(shape_list[0]), float(shape_list[1])
+    segmentation = prob_map > p.thresh
+    boxes, _scores = boxes_from_bitmap(prob_map, segmentation, src_w, src_h, p)
+    return filter_tag_det_res(boxes, int(src_h), int(src_w))

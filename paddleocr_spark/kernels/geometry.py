@@ -1,0 +1,274 @@
+"""Pure-NumPy geometry kernels.
+
+Re-implements (from public algorithm descriptions, not by copying) the
+geometric primitives the reference gets from cv2 / shapely / pyclipper:
+
+- connected components of a binary map  (cv2.findContours analogue;
+  reference use: ``toddleocr/postprocess/db.py:96-101``)
+- min-area rotated rectangle             (cv2.minAreaRect;
+  ``db.py:143``) via convex hull + rotating calipers
+- polygon raster mask mean               (cv2.fillPoly + cv2.mean;
+  ``db.py:163-178`` box_score_fast)
+- polygon outward offset ("unclip")      (pyclipper offset;
+  ``db.py:134-140``) — closed-form for rectangles, which is the only
+  shape the quad pipeline feeds it (input is always a minAreaRect box)
+- shoelace area / perimeter              (shapely Polygon.area/.length)
+
+These run inside Arrow-batched pandas UDFs on executors; no Spark or
+third-party imports beyond NumPy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "connected_components",
+    "convex_hull",
+    "min_area_rect",
+    "polygon_area",
+    "polygon_perimeter",
+    "polygon_mask_mean",
+    "unclip_rect",
+]
+
+
+def _row_runs(bitmap: np.ndarray):
+    """Horizontal runs of a boolean (H, W) map.
+
+    Returns (rows, x0, x1) int arrays, one entry per maximal run of
+    consecutive True pixels; x1 is inclusive. Fully vectorized.
+    """
+    h, w = bitmap.shape
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1 : w + 1] = bitmap.astype(np.int8)
+    d = np.diff(padded, axis=1)
+    rows_s, starts = np.nonzero(d == 1)
+    rows_e, ends = np.nonzero(d == -1)
+    # starts/ends are emitted in the same row-major order, so they pair up
+    return rows_s, starts, ends - 1
+
+
+def connected_components(bitmap: np.ndarray, connectivity: int = 8):
+    """Label connected foreground regions of a boolean (H, W) map.
+
+    Uses run-based labeling: horizontal runs are extracted vectorized,
+    then united across adjacent rows with a small union-find (the number
+    of runs is tiny relative to pixels, so the Python loop is cheap).
+
+    Returns a list of components; each component is an (M, 2) int32
+    array of candidate boundary points in (x, y) order — the left and
+    right endpoint of every run, which is a superset of the convex hull
+    of the region and therefore sufficient for ``min_area_rect``.
+    Components are ordered by their topmost-then-leftmost run so output
+    order is deterministic.
+    """
+    rows, x0, x1 = _row_runs(bitmap)
+    n = len(rows)
+    if n == 0:
+        return []
+    parent = np.arange(n)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    # runs arrive sorted row-major; two-pointer sweep row r vs row r+1
+    tol = 1 if connectivity == 8 else 0
+    row_starts = np.searchsorted(rows, np.arange(bitmap.shape[0] + 1))
+    for r in range(bitmap.shape[0] - 1):
+        a, a_end = row_starts[r], row_starts[r + 1]
+        b, b_end = row_starts[r + 1], row_starts[r + 2]
+        while a < a_end and b < b_end:
+            # overlap test with tolerance for 8-connectivity
+            if x0[a] - tol <= x1[b] and x0[b] - tol <= x1[a]:
+                union(a, b)
+            if x1[a] < x1[b]:
+                a += 1
+            else:
+                b += 1
+
+    roots = np.array([find(i) for i in range(n)])
+    comps: dict[int, list[int]] = {}
+    order: list[int] = []
+    for i in range(n):
+        r = roots[i]
+        if r not in comps:
+            comps[r] = []
+            order.append(r)
+        comps[r].append(i)
+    out = []
+    for r in order:
+        idx = np.array(comps[r])
+        pts = np.empty((2 * len(idx), 2), dtype=np.int32)
+        pts[0::2, 0] = x0[idx]
+        pts[0::2, 1] = rows[idx]
+        pts[1::2, 0] = x1[idx]
+        pts[1::2, 1] = rows[idx]
+        out.append(pts)
+    return out
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew's monotone-chain convex hull; points (N, 2) -> (H, 2) CCW
+    in image coords (y down), collinear points dropped."""
+    pts = np.unique(points.astype(np.float64), axis=0)  # sorts lexicographically
+    if len(pts) <= 2:
+        return pts
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def half(iterable):
+        h: list[np.ndarray] = []
+        for p in iterable:
+            while len(h) >= 2 and cross(h[-2], h[-1], p) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def min_area_rect(points: np.ndarray):
+    """Minimum-area enclosing rotated rectangle via rotating calipers.
+
+    Returns (corners (4,2) float64, (w, h)) where (w, h) are the side
+    lengths of the optimal rectangle. Equivalent to cv2.minAreaRect +
+    cv2.boxPoints up to corner order (callers re-order anyway, see
+    ``db.get_mini_boxes``).
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    hull = convex_hull(pts)
+    if len(hull) == 1:
+        c = hull[0]
+        return np.tile(c, (4, 1)), (0.0, 0.0)
+    if len(hull) == 2:
+        a, b = hull
+        return np.array([a, b, b, a]), (float(np.linalg.norm(b - a)), 0.0)
+
+    edges = np.roll(hull, -1, axis=0) - hull
+    lens = np.linalg.norm(edges, axis=1)
+    dirs = edges[lens > 0] / lens[lens > 0, None]
+    best = None
+    for ux, uy in dirs:
+        u = np.array([ux, uy])
+        v = np.array([-uy, ux])
+        pu = hull @ u
+        pv = hull @ v
+        w = pu.max() - pu.min()
+        h = pv.max() - pv.min()
+        area = w * h
+        if best is None or area < best[0] - 1e-12:
+            best = (area, u, v, pu.min(), pu.max(), pv.min(), pv.max(), w, h)
+    _, u, v, u0, u1, v0, v1, w, h = best
+    corners = np.array(
+        [
+            u0 * u + v0 * v,
+            u1 * u + v0 * v,
+            u1 * u + v1 * v,
+            u0 * u + v1 * v,
+        ]
+    )
+    return corners, (float(w), float(h))
+
+
+def polygon_area(poly: np.ndarray) -> float:
+    """Shoelace area (absolute value), poly (N, 2)."""
+    x = poly[:, 0]
+    y = poly[:, 1]
+    return float(abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)) / 2.0)
+
+
+def polygon_perimeter(poly: np.ndarray) -> float:
+    return float(np.sum(np.linalg.norm(np.roll(poly, -1, axis=0) - poly, axis=1)))
+
+
+def _point_in_convex_poly_mask(poly: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Inclusive point-in-polygon raster over an (h, w) grid for a convex
+    polygon given in either winding order. Matches cv2.fillPoly exactly on
+    axis-aligned rectangles (boundary pixels included)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    mask = np.ones((h, w), dtype=bool)
+    n = len(poly)
+    # determine winding via signed area
+    x = poly[:, 0]
+    y = poly[:, 1]
+    signed = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) / 2.0
+    sign = 1.0 if signed >= 0 else -1.0
+    for i in range(n):
+        x0, y0 = poly[i]
+        x1, y1 = poly[(i + 1) % n]
+        cross = (x1 - x0) * (yy - y0) - (y1 - y0) * (xx - x0)
+        mask &= sign * cross >= 0
+    return mask
+
+
+def polygon_mask_mean(bitmap: np.ndarray, box: np.ndarray) -> float:
+    """Mean of ``bitmap`` over the polygon mask of ``box`` clipped to its
+    bounding rectangle — the reference's box_score_fast
+    (``toddleocr/postprocess/db.py:163-178``)."""
+    h, w = bitmap.shape[:2]
+    box = np.asarray(box, dtype=np.float64).copy()
+    xmin = int(np.clip(np.floor(box[:, 0].min()), 0, w - 1))
+    xmax = int(np.clip(np.ceil(box[:, 0].max()), 0, w - 1))
+    ymin = int(np.clip(np.floor(box[:, 1].min()), 0, h - 1))
+    ymax = int(np.clip(np.ceil(box[:, 1].max()), 0, h - 1))
+    box[:, 0] -= xmin
+    box[:, 1] -= ymin
+    # reference casts the shifted polygon to int32 before rasterizing
+    mask = _point_in_convex_poly_mask(
+        box.astype(np.int32).astype(np.float64), ymax - ymin + 1, xmax - xmin + 1
+    )
+    sub = bitmap[ymin : ymax + 1, xmin : xmax + 1]
+    cnt = mask.sum()
+    if cnt == 0:
+        return 0.0
+    return float(sub[mask].sum() / cnt)
+
+
+def unclip_rect(box: np.ndarray, unclip_ratio: float) -> np.ndarray:
+    """Outward offset of a rectangle by d = area * ratio / perimeter.
+
+    The reference offsets with pyclipper (round joins) and immediately
+    takes the minAreaRect of the result (``db.py:120-121``); for a
+    rectangle input — which is the only input in quad mode, since the
+    points always come from get_mini_boxes — that composition equals the
+    same rectangle grown by d on every side. Computed closed-form here.
+
+    box: (4, 2) rectangle corners (any order produced by min_area_rect).
+    Returns (4, 2) float64 expanded corners, same corner order.
+    """
+    box = np.asarray(box, dtype=np.float64)
+    area = polygon_area(box)
+    length = polygon_perimeter(box)
+    if length == 0:
+        return box.copy()
+    d = area * unclip_ratio / length
+    center = box.mean(axis=0)
+    out = box.copy()
+    for i in range(4):
+        prev_edge = box[i] - box[i - 1]
+        next_edge = box[(i + 1) % 4] - box[i]
+        # offset corner along both adjacent edge normals (pointing outward)
+        total = np.zeros(2)
+        for e in (prev_edge, next_edge):
+            n = np.linalg.norm(e)
+            if n == 0:
+                continue
+            normal = np.array([e[1], -e[0]]) / n
+            # orient away from center
+            if np.dot(normal, box[i] - center) < 0:
+                normal = -normal
+            total += normal
+        out[i] = box[i] + d * total
+    return out
