@@ -1,0 +1,122 @@
+"""Shared per-media decode logic — the semantic core of the extract
+pipeline, written once and used by BOTH:
+
+- the pure-Python golden path (``paddleocr_spark.reference_path``), the
+  pytest oracle that mirrors the reference's sequential per-image flow
+  (``toddleocr/config.py:419-439`` det → sorted_boxes → crop → cls →
+  rec; ``config.py:830-855`` table pipeline), and
+- the distributed Spark UDF (``paddleocr_spark.functions.udfs``).
+
+Keeping one implementation guarantees the Spark job is tested for what
+can actually break at scale: explode/join/shuffle/window plumbing and
+ordering — not a second copy of the math.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .corpus import BOILERPLATE_RE, LAYOUT_CLASSES
+from .kernels.cls import cls_decode
+from .kernels.ctc import build_charset, ctc_decode
+from .kernels.db import db_postprocess
+from .kernels.matcher import filter_ocr_result, get_pred_html, match_result
+from .kernels.reading_order import sorted_boxes
+from .kernels.table import TableVocab, table_decode, wrap_html
+
+__all__ = ["clean_text", "decode_media_row", "DROP_SCORE"]
+
+# rec results below this confidence are dropped, as the engine's
+# drop_score (toddleocr/engine.py:355, config default 0.5).
+DROP_SCORE = 0.5
+
+_WS = re.compile(r"\s+")
+_BP = re.compile(BOILERPLATE_RE)
+
+_CHARSET = build_charset()
+_VOCAB = TableVocab()
+
+
+def clean_text(text: str) -> str:
+    """Boilerplate strip + whitespace collapse. MUST stay equivalent to
+    the Spark expression in operators/extract.py and the DuckDB oracle
+    SQL (same regexes)."""
+    return _WS.sub(" ", _BP.sub("", text)).strip()
+
+
+def _expand_xyxy(box: np.ndarray, h: float, w: float, margin: int = 2):
+    """Quad -> padded [x1,y1,x2,y2], clipped to the image
+    (toddleocr/utils/visual.py:161 ``expand``, used at config.py:823)."""
+    x1, y1 = box[:, 0].min(), box[:, 1].min()
+    x2, y2 = box[:, 0].max(), box[:, 1].max()
+    return [
+        max(0.0, float(x1) - margin),
+        max(0.0, float(y1) - margin),
+        min(w, float(x2) + margin),
+        min(h, float(y2) + margin),
+    ]
+
+
+def decode_media_row(row: dict) -> list[dict]:
+    """Decode one media fixture row into output span fragments.
+
+    Input keys match the ``media`` store schema (corpus.media_schema).
+    Returns ordered fragments: dicts with box_idx, out_kind, out_text,
+    conf, cls_label, cls_score.
+    """
+    layout_idx = int(np.argmax(np.asarray(row["layout_scores"])))
+    kind = LAYOUT_CLASSES[layout_idx]
+    layout_conf = float(row["layout_scores"][layout_idx])
+
+    if kind == "figure":
+        return [{
+            "box_idx": 0, "out_kind": "figure", "out_text": "",
+            "conf": layout_conf, "cls_label": "", "cls_score": 0.0,
+        }]
+
+    pm = np.frombuffer(row["det_map"], dtype=np.float32).reshape(
+        int(row["det_h"]), int(row["det_w"]))
+    shape_list = [float(x) for x in row["shape_list"]]
+    boxes = sorted_boxes(db_postprocess(pm, shape_list))
+    t, c = int(row["rec_t"]), int(row["rec_c"])
+    rec = []
+    for lg in row["rec_logits"]:
+        arr = np.frombuffer(lg, dtype=np.float32).reshape(t, c)
+        rec.append(ctc_decode(arr, _CHARSET))
+    assert len(rec) == len(boxes), (len(rec), len(boxes))
+    cls = cls_decode(np.stack(
+        [np.asarray(p, dtype=np.float32) for p in row["cls_probs"]])) \
+        if len(boxes) else []
+
+    if kind == "text_block":
+        out = []
+        for i, (text, conf) in enumerate(rec):
+            if not text or conf < DROP_SCORE:
+                continue
+            out.append({
+                "box_idx": i, "out_kind": "text_block", "out_text": text,
+                "conf": float(conf), "cls_label": cls[i][0],
+                "cls_score": float(cls[i][1]),
+            })
+        return out
+
+    # table: structure decode + OCR match + HTML merge
+    sp = np.frombuffer(row["structure_probs"], dtype=np.float32).reshape(
+        int(row["struct_t"]), int(row["struct_v"]))
+    lp = np.frombuffer(row["loc_preds"], dtype=np.float32).reshape(
+        int(row["struct_t"]), 8)
+    tokens, cell_bboxes, struct_score = table_decode(sp, lp, shape_list, _VOCAB)
+    h, w = shape_list[0], shape_list[1]
+    dt_xyxy = [_expand_xyxy(np.asarray(b), h, w) for b in boxes]
+    kept = [(b, r) for b, r in zip(dt_xyxy, rec) if r[0] and r[1] >= DROP_SCORE]
+    dt_xyxy = [b for b, _ in kept]
+    rec_kept = [r for _, r in kept]
+    dt_xyxy, rec_kept = filter_ocr_result(cell_bboxes, dt_xyxy, rec_kept)
+    matched = match_result(dt_xyxy, cell_bboxes)
+    body, _ = get_pred_html(tokens, matched, rec_kept)
+    return [{
+        "box_idx": 0, "out_kind": "table", "out_text": wrap_html(body),
+        "conf": float(struct_score), "cls_label": "", "cls_score": 0.0,
+    }]

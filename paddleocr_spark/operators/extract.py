@@ -1,0 +1,99 @@
+"""The flagship pipeline: interleaved docs → ordered span sequence.
+
+Spark-first re-creation of the reference's end-to-end OCR flow
+(``toddleocr/engine.py:326-391`` + ``toddleocr/config.py:419-439``),
+inverted from per-image loops into set-at-a-time DataFrame stages:
+
+    docs(doc_id, spans[])
+      → explode(spans)
+      → text branch:  boilerplate strip via JVM-side regexp (no Python)
+      → media branch: decode ONCE PER DISTINCT media_ref (the media
+        store is already distinct) via one mapInPandas stage, then
+        equi-join the small string fragments back to the spans
+      → union → per-doc (offset, box_idx) window → order
+      → (doc_id, order, kind, text, media_ref, conf)
+
+Scale design notes (the parts that matter at 10^12 docs):
+
+- Compute is keyed by media_ref, not by span: a media item referenced
+  by many docs (or 400× inside one media-heavy doc) is decoded once and
+  fanned out by a join — the expensive tensor columns never shuffle.
+- The spans↔fragments join shuffles only small strings; AQE skew-join
+  splits hot media_refs. For media-heavy docs the explode itself
+  distributes spans evenly — there is no per-doc hotspot until the
+  final per-doc window, which touches only output-sized rows.
+- The final ordering uses a window (all rows of a doc meet in one
+  partition). Rows there are tiny (strings), so a 10^5-span doc is
+  ~10 MB — safe. ``salt_buckets`` pre-shuffles by (doc_id, salt) ahead
+  of the window to spread the *sort* spill of pathological docs; the
+  window still re-partitions by doc_id (correctness is unaffected).
+- Text cleaning is pure Catalyst (regexp_replace), codegen'd JVM-side.
+"""
+
+from __future__ import annotations
+
+from paddleocr_spark.corpus import BOILERPLATE_RE
+from paddleocr_spark.functions.udfs import decode_media
+
+__all__ = ["explode_spans", "clean_text_col", "extract_spans"]
+
+
+def clean_text_col(col):
+    """JVM-side equivalent of extract_core.clean_text — MUST stay in
+    sync with it and with the DuckDB oracle SQL."""
+    from pyspark.sql import functions as F
+
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(col, BOILERPLATE_RE, ""), r"\s+", " ")
+    )
+
+
+def explode_spans(docs_df):
+    from pyspark.sql import functions as F
+
+    return (docs_df
+            .select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"))
+
+
+def extract_spans(docs_df, media_df, decode_partitions: int | None = None,
+                  salt_buckets: int = 0):
+    """docs + media store → ordered span rows
+    (doc_id, order, kind, text, media_ref, conf)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spans = explode_spans(docs_df)
+
+    text_rows = (spans
+                 .where(F.col("kind") == "text")
+                 .withColumn("out_text", clean_text_col(F.col("text")))
+                 .where(F.length("out_text") > 0)
+                 .select("doc_id", "offset",
+                         F.lit(0).alias("box_idx"),
+                         F.lit("text").alias("kind"),
+                         F.col("out_text").alias("text"),
+                         F.lit("").alias("media_ref"),
+                         F.lit(1.0).alias("conf")))
+
+    fragments = decode_media(media_df, repartition=decode_partitions)
+
+    media_rows = (spans
+                  .where(F.col("kind") == "media")
+                  .select("doc_id", "offset", "media_ref")
+                  .join(fragments, "media_ref")
+                  .select("doc_id", "offset", "box_idx",
+                          F.col("out_kind").alias("kind"),
+                          F.col("out_text").alias("text"),
+                          "media_ref", "conf"))
+
+    unioned = text_rows.unionByName(media_rows)
+    if salt_buckets:
+        # pre-spread pathological docs before the per-doc sort
+        unioned = unioned.repartition(
+            F.col("doc_id"), F.pmod(F.hash("offset"), F.lit(salt_buckets)))
+
+    w = Window.partitionBy("doc_id").orderBy("offset", "box_idx")
+    return (unioned
+            .withColumn("order", (F.row_number().over(w) - 1).cast("int"))
+            .select("doc_id", "order", "kind", "text", "media_ref", "conf"))

@@ -1,0 +1,63 @@
+"""End-to-end span-sequence equality: the distributed Spark pipeline
+must produce EXACTLY the per-document ordered (kind, text, media_ref,
+order) sequence of the sequential pure-Python reference path — the
+BASELINE.json per-row invariant, verified per FIXTURES.md §3."""
+
+import pytest
+
+from paddleocr_spark.corpus import synthesize_docs, synthesize_media
+from paddleocr_spark.operators.extract import extract_spans
+from paddleocr_spark.reference_path import golden_corpus
+
+N_DOCS = 40
+SEED = 42
+HEAVY = 0.05  # force at least one media-heavy doc into the small corpus
+
+
+def _golden_key_rows(golden):
+    return sorted((r["doc_id"], r["order"], r["kind"], r["text"],
+                   r["media_ref"]) for r in golden)
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark):
+    docs = synthesize_docs(spark, N_DOCS, seed=SEED, heavy_frac=HEAVY)
+    media = synthesize_media(spark, docs, seed=SEED)
+    out = extract_spans(docs, media).collect()
+    _, _, golden = golden_corpus(N_DOCS, seed=SEED, heavy_frac=HEAVY)
+    return out, golden
+
+
+def test_span_sequence_equality(pipeline_result):
+    out, golden = pipeline_result
+    got = sorted((r.doc_id, r.order, r.kind, r.text, r.media_ref) for r in out)
+    assert got == _golden_key_rows(golden)
+
+
+def test_confidences_match(pipeline_result):
+    out, golden = pipeline_result
+    got = {(r.doc_id, r.order): round(r.conf, 6) for r in out}
+    want = {(r["doc_id"], r["order"]): round(r["conf"], 6) for r in golden}
+    assert got == want
+
+
+def test_partition_count_independence(spark):
+    """Same results at different parallelism (FIXTURES.md §3 invariant:
+    local[2]-vs-local[8] analogue via shuffle partition counts)."""
+    docs = synthesize_docs(spark, 15, seed=7, heavy_frac=0.0)
+    media = synthesize_media(spark, docs, seed=7)
+    a = extract_spans(docs.repartition(1), media.repartition(1)).collect()
+    b = extract_spans(docs.repartition(7), media.repartition(5),
+                      decode_partitions=3, salt_buckets=4).collect()
+    key = lambda rows: sorted((r.doc_id, r.order, r.kind, r.text, r.media_ref)
+                              for r in rows)
+    assert key(a) == key(b)
+
+
+def test_order_is_dense_per_doc(pipeline_result):
+    out, _ = pipeline_result
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.order)
+    for orders in by_doc.values():
+        assert sorted(orders) == list(range(len(orders)))
