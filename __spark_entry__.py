@@ -1,38 +1,409 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus
+the training-data-pipeline additions: dedup, similarity search, text
+analysis). Each SQL-expressible query has a DuckDB oracle in
+``oracle_sql()`` computing identical values (same hash constructions,
+same rounding); extraction-pipeline queries are non-SQL-expressible
+(NumPy kernels inside Arrow UDFs) and get rows-only checks — their
+exact-value verification is `python -m pytest -x -q` span-sequence
+equality against the sequential reference path.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from paddleocr_spark.corpus import synthesize_docs, synthesize_media
+from paddleocr_spark.functions.udfs import decode_media
+from paddleocr_spark.operators import dedup, metrics, relational, similarity, text
+from paddleocr_spark.operators.extract import extract_spans
+
+CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".cache", "corpus")
+SEED = 42
+HEAVY_FRAC = 0.01
+
+
+# ---------------------------------------------------------------------------
+# Synthetic interleaved corpus (BASELINE.json input_hint shape), cached
+# per scale so repeated queries()/bench calls don't re-synthesize.
+
+def _corpus_size(spark: SparkSession, sf_dir: str) -> int:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
+def load_corpus(spark: SparkSession, sf_dir: str, n_docs: int | None = None):
+    """Returns (docs_df, media_df) for the interleaved corpus sized to
+    the sf directory (n_docs = |documents| rows at that sf)."""
+    if n_docs is None:
+        n_docs = _corpus_size(spark, sf_dir)
+    path = os.path.join(CACHE_ROOT, f"seed{SEED}_n{n_docs}")
+    docs_path = os.path.join(path, "docs")
+    media_path = os.path.join(path, "media")
+    if not os.path.exists(os.path.join(media_path, "_SUCCESS")):
+        docs = synthesize_docs(spark, n_docs, seed=SEED, heavy_frac=HEAVY_FRAC)
+        docs.write.mode("overwrite").parquet(docs_path)
+        docs = spark.read.parquet(docs_path)
+        media = synthesize_media(spark, docs, seed=SEED)
+        media.write.mode("overwrite").parquet(media_path)
+    return (spark.read.parquet(docs_path), spark.read.parquet(media_path))
+
+
+# ---------------------------------------------------------------------------
+# Extraction queries (rows-only checks; pytest owns exact values)
+
+def _q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, media = load_corpus(spark, sf_dir)
+    return extract_spans(docs, media)
+
+
+def _q_media_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media = load_corpus(spark, sf_dir)
+    return decode_media(media)
+
+
+def _q_corpus_rec_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media = load_corpus(spark, sf_dir)
+    return metrics.corpus_rec_metric(media, decode_media(media))
+
+
+def _q_corpus_det_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media = load_corpus(spark, sf_dir)
+    return metrics.corpus_det_metric(media, decode_media(media))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full interleaved-corpus extraction at sf0.001 scale."""
+    return _q_extract_full(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- extraction pipeline (non-SQL; pytest-verified) ---
+        "extract_full": _q_extract_full,
+        "extract_media_fragments": _q_media_fragments,
+        "corpus_rec_metric": _q_corpus_rec_metric,
+        "corpus_det_metric": _q_corpus_det_metric,
+        # --- text analysis (oracle-checked) ---
+        "clean_boilerplate": text.clean_documents,
+        "token_stats": text.token_stats,
+        "quality_scores": text.quality_scores,
+        "fingerprints": text.fingerprints,
+        # --- dedup (oracle-checked) ---
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_signatures": dedup.minhash_signatures,
+        "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
+        "near_dup_pairs": dedup.near_dup_pairs,
+        "simhash32": dedup.simhash32,
+        # --- similarity search (oracle-checked) ---
+        "cosine_topk_bruteforce": similarity.cosine_topk_bruteforce,
+        "cosine_topk_lsh": similarity.cosine_topk_lsh,
+        "embedding_near_dups": similarity.embedding_near_dups,
+        # --- metric aggregations (oracle-checked) ---
+        "rec_metric_pairs": metrics.rec_metric_pairs,
+        # --- relational coverage (oracle-checked) ---
+        "pricing_summary": relational.pricing_summary,
+        "revenue_by_region": relational.revenue_by_region,
+        "top_customers_per_nation": relational.top_customers_per_nation,
+        "event_hourly": relational.event_hourly,
+        "event_sessions": relational.event_sessions,
+        "threshold_sweep": relational.threshold_sweep,
+        "event_type_majority": relational.event_type_majority,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles. Shared fragments keep the hash/normalization
+# constructions textually in sync with the Spark expressions.
+
+_BP_RE = "cookie consent banner|all rights reserved|subscribe to our newsletter|privacy policy terms of use|click here to accept"
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+def _wh(salt: int, expr: str = "w") -> str:
+    """60-bit md5 word hash — DuckDB twin of dedup._word_hash."""
+    return (f"cast(concat('0x', substr(md5(concat('{salt}:', {expr})), 1, 15))"
+            " as bigint)")
+
+
+_MINHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split({_NORM}, ' '))) AS w
+  FROM documents
+)
+SELECT doc_id,
+       {", ".join(f"min({_wh(i)}) AS mh{i}" for i in range(dedup.N_HASHES))}
+FROM toks GROUP BY doc_id
+"""
+
+_BANDS_SQL = f"""
+sig AS ({_MINHASH_SQL}),
+bands AS (
+  SELECT doc_id, 0 AS band,
+         md5(concat_ws('_', mh0::varchar, mh1::varchar, mh2::varchar,
+                       mh3::varchar)) AS band_hash FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band,
+         md5(concat_ws('_', mh4::varchar, mh5::varchar, mh6::varchar,
+                       mh7::varchar)) AS band_hash FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id
+)
+"""
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB twin of similarity._cosine (double math, same formula)."""
+    return (f"round(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b}))), 6)")
+
+
+_LSH_BUCKET = ("(" + " + ".join(
+    f"(CASE WHEN emb[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(similarity.SIGN_BITS)) + ")")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+    nq, k = similarity.N_QUERIES, similarity.TOP_K
+    return {
+        "clean_boilerplate": f"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(text, '{_BP_RE}', '', 'g'),
+                                       '\\s+', ' ', 'g')) AS clean_text,
+                   length(trim(regexp_replace(regexp_replace(text, '{_BP_RE}', '', 'g'),
+                                              '\\s+', ' ', 'g')))::bigint AS clean_len
+            FROM documents
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   len({_TOKS})::bigint AS n_tokens,
+                   len(list_distinct({_TOKS}))::bigint AS n_distinct_tokens,
+                   round(list_aggregate(list_transform({_TOKS}, x -> length(x)),
+                                        'sum')::double / len({_TOKS}), 6)
+                       AS avg_token_len
+            FROM documents
+        """,
+        "quality_scores": f"""
+            WITH q AS (
+              SELECT doc_id,
+                     len({_TOKS})::bigint AS n_tokens,
+                     len(list_filter({_TOKS}, x -> x IN ({stop_list})))::double
+                         / len({_TOKS}) AS stop_ratio,
+                     length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double
+                         / length(text) AS alpha_ratio
+              FROM documents)
+            SELECT doc_id, n_tokens,
+                   round(stop_ratio, 6) AS stop_ratio,
+                   round(alpha_ratio, 6) AS alpha_ratio,
+                   round(0.4 * stop_ratio
+                         + 0.3 * least(n_tokens / 100.0, 1.0)
+                         + 0.3 * alpha_ratio, 6) AS quality,
+                   CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'unk' END
+                       AS lang_guess
+            FROM q
+        """,
+        "fingerprints": f"""
+            SELECT doc_id,
+                   md5({_NORM}) AS content_md5,
+                   list_aggregate(list_transform(string_split({_NORM}, ' '),
+                                                 w -> {_wh(0, 'w')}), 'min')
+                       AS min_word_hash
+            FROM documents
+        """,
+        "exact_dedup": f"""
+            SELECT md5({_NORM}) AS content_md5,
+                   count(*)::bigint AS n_docs,
+                   min(doc_id) AS keeper_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "minhash_signatures": _MINHASH_SQL,
+        "lsh_candidate_pairs": f"WITH {_BANDS_SQL} SELECT doc_a, doc_b FROM cand",
+        "near_dup_pairs": f"""
+            WITH {_BANDS_SQL},
+            d AS (SELECT doc_id,
+                         list_distinct(string_split({_NORM}, ' ')) AS toks
+                  FROM documents)
+            SELECT doc_a, doc_b,
+                   round(len(list_intersect(a.toks, b.toks))::double
+                         / len(list_distinct(list_concat(a.toks, b.toks))), 6)
+                       AS jaccard
+            FROM cand JOIN d a ON cand.doc_a = a.doc_id
+                      JOIN d b ON cand.doc_b = b.doc_id
+            WHERE len(list_intersect(a.toks, b.toks))::double
+                  / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.7
+        """,
+        "simhash32": f"""
+            WITH words AS (
+              SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w
+              FROM documents),
+            h AS (SELECT doc_id, {_wh(99)} AS h FROM words),
+            weighted AS (
+              SELECT doc_id, bit, ((h >> bit) & 1) * 2 - 1 AS wt
+              FROM h CROSS JOIN (SELECT unnest(range(32)) AS bit) bits),
+            s AS (SELECT doc_id, bit, sum(wt) AS s
+                  FROM weighted GROUP BY doc_id, bit)
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (1::bigint << bit)
+                            ELSE 0 END)::bigint AS simhash
+            FROM s GROUP BY doc_id
+        """,
+        "cosine_topk_bruteforce": f"""
+            WITH e AS (SELECT vec_id, list_transform(embedding,
+                              x -> x::double) AS emb FROM embeddings),
+            q AS (SELECT vec_id AS query_id, emb AS qemb FROM e
+                  WHERE vec_id < {nq}),
+            scored AS (
+              SELECT query_id, vec_id, {_cos_sql('qemb', 'emb')} AS cosine
+              FROM e CROSS JOIN q WHERE vec_id <> query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id ASC)::int
+                         AS rank
+              FROM scored)
+            SELECT query_id, rank, vec_id, cosine FROM ranked
+            WHERE rank <= {k}
+        """,
+        "cosine_topk_lsh": f"""
+            WITH e AS (SELECT vec_id, list_transform(embedding,
+                              x -> x::double) AS emb,
+                              {_LSH_BUCKET}::int AS bucket
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, emb AS qemb, bucket FROM e
+                  WHERE vec_id < {nq}),
+            scored AS (
+              SELECT query_id, e.vec_id, {_cos_sql('qemb', 'emb')} AS cosine
+              FROM e JOIN q USING (bucket) WHERE e.vec_id <> query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id ASC)::int
+                         AS rank
+              FROM scored)
+            SELECT query_id, rank, vec_id, cosine FROM ranked
+            WHERE rank <= {k}
+        """,
+        "embedding_near_dups": f"""
+            WITH e AS (SELECT vec_id, list_transform(embedding,
+                              x -> x::double) AS emb,
+                              {_LSH_BUCKET}::int AS bucket
+                       FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {_cos_sql('a.emb', 'b.emb')} AS cosine
+            FROM e a JOIN e b USING (bucket)
+            WHERE a.vec_id < b.vec_id
+              AND {_cos_sql('a.emb', 'b.emb')} >= 0.9
+        """,
+        "rec_metric_pairs": """
+            WITH n AS (SELECT doc_id,
+                              regexp_replace(lower(text), '[^0-9a-z]', '', 'g')
+                                  AS t
+                       FROM documents),
+            pairs AS (
+              SELECT a.t AS pred, b.t AS target
+              FROM n a JOIN n b ON b.doc_id = a.doc_id + 1)
+            SELECT sum((pred = target)::bigint) AS correct_num,
+                   count(*)::bigint AS all_num,
+                   round(avg((pred = target)::int), 6) AS acc,
+                   round(1 - avg(levenshtein(pred, target)::double
+                                 / greatest(length(pred), length(target))), 6)
+                       AS norm_edit_dis
+            FROM pairs
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*)::bigint AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_region": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*)::bigint AS n_lines
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "top_customers_per_nation": """
+            WITH spend AS (
+              SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+              FROM orders GROUP BY o_custkey),
+            ranked AS (
+              SELECT c_nationkey::int AS c_nationkey,
+                     row_number() OVER (PARTITION BY c_nationkey
+                                        ORDER BY total_spend DESC,
+                                                 c_custkey ASC)::int AS rank,
+                     c_custkey::bigint AS c_custkey, total_spend
+              FROM customer JOIN spend ON c_custkey = o_custkey)
+            SELECT * FROM ranked WHERE rank <= 3
+        """,
+        "event_hourly": """
+            SELECT cast(floor(epoch(ts) / 3600) AS bigint) AS epoch_hour,
+                   event_type,
+                   count(*)::bigint AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "event_sessions": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING)
+                         AS session_id
+              FROM g)
+            SELECT user_id,
+                   max(session_id)::bigint AS n_sessions,
+                   count(*)::bigint AS n_events
+            FROM s GROUP BY user_id ORDER BY user_id
+        """,
+        "threshold_sweep": """
+            WITH t AS (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                           AS thresh),
+            x AS (SELECT value, thresh FROM events CROSS JOIN t)
+            SELECT thresh,
+                   sum(CASE WHEN value >= thresh THEN 1 ELSE 0 END)::bigint
+                       AS n_above,
+                   count(*)::bigint AS n_total,
+                   round(sum(CASE WHEN value >= thresh THEN 1 ELSE 0 END)::double
+                         / count(*), 6) AS frac_above
+            FROM x GROUP BY thresh ORDER BY thresh
+        """,
+        "event_type_majority": """
+            WITH counts AS (
+              SELECT user_id, event_type, count(*)::bigint AS n
+              FROM events GROUP BY user_id, event_type),
+            ranked AS (
+              SELECT user_id, event_type, n,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY n DESC, event_type ASC) AS rk
+              FROM counts)
+            SELECT user_id, event_type AS majority_type, n AS votes
+            FROM ranked WHERE rk = 1 ORDER BY user_id
+        """,
+    }

@@ -1,0 +1,126 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": <sf>, "docs_per_sec": ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  SPARK_GRAFT_SCALING  if set, additionally run the flagship extract at
+                       local[8] and local[32] on the SAME cached corpus
+                       and report throughput at both + scaling
+                       efficiency (the sandbox substitute for the
+                       N-vs-4N-executor criterion; see BASELINE.md)
+
+Corpus synthesis is cached under .cache/ and excluded from timings —
+the benchmark measures the extraction/query jobs, not data generation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "extract_full",
+    "extract_media_fragments",
+    "corpus_det_metric",
+    "clean_boilerplate",
+    "quality_scores",
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash32",
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+    "rec_metric_pairs",
+    "pricing_summary",
+    "revenue_by_region",
+    "top_customers_per_nation",
+    "event_sessions",
+]
+
+
+def _sf_of(path: str) -> float:
+    name = os.path.basename(path.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _run_extract_throughput(master_cores: int, n_docs: int) -> float:
+    """Fresh session at local[N]; returns docs/sec for the flagship
+    extract job over the cached corpus."""
+    import __spark_entry__ as entry_mod
+    from paddleocr_spark.session import get_spark
+
+    spark = get_spark(f"bench_scaling_{master_cores}",
+                      master=f"local[{master_cores}]",
+                      shuffle_partitions=master_cores)
+    try:
+        docs, media = entry_mod.load_corpus(spark, SF_DIR, n_docs=n_docs)
+        from paddleocr_spark.operators.extract import extract_spans
+
+        t0 = time.time()
+        extract_spans(docs, media).write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        return n_docs / dt
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from paddleocr_spark.session import get_spark
+
+    sf = _sf_of(SF_DIR)
+    spark = get_spark("bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    n_docs = entry_mod._corpus_size(spark, SF_DIR)
+    # warm the corpus cache outside the timings
+    entry_mod.load_corpus(spark, SF_DIR, n_docs=n_docs)
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        queries[name](spark, SF_DIR).write.mode("overwrite") \
+            .format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / timings["extract_full"], 1)
+    out = {
+        "metric": "end-to-end extract + analytics suite wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec": docs_per_sec,
+        "cpus": CPUS,
+    }
+    spark.stop()
+
+    if os.environ.get("SPARK_GRAFT_SCALING"):
+        lo, hi = 8, 32
+        tp_lo = _run_extract_throughput(lo, n_docs)
+        tp_hi = _run_extract_throughput(hi, n_docs)
+        out["scaling"] = {
+            f"docs_per_sec_local[{lo}]": round(tp_lo, 1),
+            f"docs_per_sec_local[{hi}]": round(tp_hi, 1),
+            "efficiency": round((tp_hi / tp_lo) / (hi / lo), 3),
+        }
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""Deduplication operators over a (doc_id, text) corpus.
+
+Four families, all shuffle-conscious:
+
+- exact:       hash-groupBy on normalized-content md5 (one shuffle,
+               map-side partial agg).
+- minhash+LSH: k=8 md5-derived min-hashes per doc → 2 bands of 4 →
+               candidate pairs via equi-join on band hash (never the
+               O(N²) cross join). Deterministic hashes (no seed state)
+               so the DuckDB oracle reproduces them bit-for-bit.
+- simhash:     32-bit sign-of-weighted-bit-sums fingerprint via an
+               explode(words)×explode(bits) aggregation — pure SQL.
+- n-gram Jaccard verify: exact word-set Jaccard on the (small) LSH
+               candidate set only.
+
+At 10^12 docs the LSH band join is the only super-linear step; its key
+cardinality ~ docs × bands, and AQE skew-join splits hot bands (e.g.
+boilerplate-only documents).
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "N_HASHES", "N_BANDS", "exact_dedup", "minhash_signatures",
+    "lsh_candidate_pairs", "near_dup_pairs", "simhash32",
+]
+
+N_HASHES = 8
+N_BANDS = 2  # 4 rows per band
+SIM_BITS = 32
+
+
+def _norm_tokens(F, col):
+    return F.split(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "), " ")
+
+
+def _word_hash(F, w, salt: int):
+    """60-bit hash_salt(w) = int(md5(salt || ':' || w)[:15], 16).
+    Mirrored exactly by the DuckDB oracle."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), w)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def exact_dedup(spark, sf_dir: str):
+    """Exact duplicate groups: normalized-md5 → (n_docs, keeper)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (df.select(F.md5(norm).alias("content_md5"),
+                      F.col("doc_id").cast("long").alias("doc_id"))
+            .groupBy("content_md5")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.min("doc_id").alias("keeper_doc_id")))
+
+
+def minhash_signatures(spark, sf_dir: str):
+    """Per-doc k=8 minhash over distinct word shingles.
+
+    explode → per-(doc, salt) min → pivot back to columns; the explode
+    keeps the agg map-side combinable (partial min per partition)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.array_distinct(_norm_tokens(F, F.col("text")))
+    base = df.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.explode(toks).alias("w"))
+    aggs = [F.min(_word_hash(F, F.col("w"), i)).alias(f"mh{i}")
+            for i in range(N_HASHES)]
+    return base.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(spark, sf_dir: str):
+    """Banded LSH: band hash = md5 of 4 concatenated minhashes;
+    candidates = docs sharing any band hash (a < b)."""
+    from pyspark.sql import functions as F
+
+    sig = minhash_signatures(spark, sf_dir)
+    rows_per_band = N_HASHES // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)]
+        bands.append(
+            sig.select("doc_id",
+                       F.lit(b).alias("band"),
+                       F.md5(F.concat_ws("_", *cols)).alias("band_hash")))
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    a = allb.alias("a")
+    bb = allb.alias("b")
+    return (a.join(bb, ["band", "band_hash"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def near_dup_pairs(spark, sf_dir: str, threshold: float = 0.7):
+    """LSH candidates verified by exact word-set Jaccard (n-gram
+    Jaccard with n=1 shingles — matches the minhash shingling)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = df.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.array_distinct(_norm_tokens(F, F.col("text")))
+                     .alias("toks"))
+    cand = lsh_candidate_pairs(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.size(F.array_union("ta", "tb")).cast("double")
+    return (cand.join(a, "doc_a").join(b, "doc_b")
+            .withColumn("jaccard", F.round(inter / union, 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def simhash32(spark, sf_dir: str):
+    """32-bit SimHash: per (doc, bit), sum ±1 weighted by word-hash bit,
+    then assemble sign bits into a long. Fully relational (explode ×
+    bit-position cross), map-side-combinable aggregation."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _norm_tokens(F, F.col("text"))  # multiset: repeated words weight more
+    words = df.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.explode(toks).alias("w"))
+    hashed = words.select("doc_id", _word_hash(F, F.col("w"), 99).alias("h"))
+    bits = spark.range(SIM_BITS).select(F.col("id").cast("int").alias("bit"))
+    weighted = (hashed.crossJoin(F.broadcast(bits))
+                .select("doc_id", "bit",
+                        (F.expr("shiftright(h, bit)")
+                         .bitwiseAND(F.lit(1)) * 2 - 1).alias("wt")))
+    return (weighted.groupBy("doc_id", "bit")
+            .agg(F.sum("wt").alias("s"))
+            .groupBy("doc_id")
+            .agg(F.sum(
+                F.when(F.col("s") > 0,
+                       F.expr("shiftleft(cast(1 as bigint), bit)"))
+                .otherwise(F.lit(0))).cast("long").alias("simhash"))
+            )

@@ -1,0 +1,108 @@
+"""Metric aggregations — the reference's evaluator classes re-expressed
+as partial/final ``groupBy().agg()`` (their accumulate/get_metric split
+IS Spark's partial aggregation; SURVEY.md §2.4).
+
+- ``rec_metric_pairs``: RecMetric semantics (``toddleocr/metrics/
+  rec.py:10-59``) — exact-match accuracy + 1 - mean normalized edit
+  distance, with the ``is_filter`` normalization (lowercase, strip
+  non-alphanumeric; ``rec.py:20-24``). Edit distance is JVM-side
+  ``F.levenshtein`` (the reference uses rapidfuzz's
+  ``Levenshtein.normalized_distance``, ``rec.py:38``). Applied to
+  consecutive-doc text pairs so a DuckDB oracle can verify it.
+- ``corpus_rec_metric`` / ``corpus_det_metric``: the same aggregations
+  over the synthetic extraction corpus, comparing the distributed
+  pipeline's outputs against generator ground truth (DetMetric's
+  per-image accumulate + combine_results finalize,
+  ``toddleocr/metrics/det.py:6-53``).
+"""
+
+from __future__ import annotations
+
+__all__ = ["rec_metric_pairs", "corpus_rec_metric", "corpus_det_metric"]
+
+
+def rec_metric_pairs(spark, sf_dir: str):
+    """Pair doc i with doc i+1; metric row over all pairs."""
+    from pyspark.sql import functions as F
+
+    df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+          .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+    norm = lambda c: F.regexp_replace(F.lower(c), "[^0-9a-z]", "")
+    a = df.select("doc_id", norm(F.col("text")).alias("pred"))
+    b = df.select((F.col("doc_id") - 1).alias("doc_id"),
+                  norm(F.col("text")).alias("target"))
+    pairs = a.join(b, "doc_id")
+    dist = (F.levenshtein("pred", "target").cast("double")
+            / F.greatest(F.length("pred"), F.length("target")))
+    return pairs.agg(
+        F.sum((F.col("pred") == F.col("target")).cast("long"))
+        .alias("correct_num"),
+        F.count("*").cast("long").alias("all_num"),
+        F.round(F.avg((F.col("pred") == F.col("target")).cast("double")), 6)
+        .alias("acc"),
+        F.round(1 - F.avg(dist), 6).alias("norm_edit_dis"),
+    )
+
+
+def corpus_rec_metric(media_df, fragments_df):
+    """Recognized text vs generator ground truth, joined on
+    (media_ref, box_idx). acc should be 1.0 when the pipeline is
+    bit-exact."""
+    from pyspark.sql import functions as F
+
+    gt = (media_df
+          .where(F.col("media_kind") == "text_block")
+          .select("media_ref",
+                  F.posexplode("gt_texts").alias("box_idx", "gt_text")))
+    pred = (fragments_df
+            .where(F.col("out_kind") == "text_block")
+            .select("media_ref", "box_idx",
+                    F.col("out_text").alias("pred_text")))
+    joined = gt.join(pred, ["media_ref", "box_idx"], "left")
+    match = (F.col("pred_text") == F.col("gt_text")).cast("long")
+    dist = (F.levenshtein(F.coalesce("pred_text", F.lit("")), "gt_text")
+            .cast("double")
+            / F.greatest(F.length(F.coalesce("pred_text", F.lit(""))),
+                         F.length("gt_text")))
+    return joined.agg(
+        F.sum(F.coalesce(match, F.lit(0))).alias("correct_num"),
+        F.count("*").cast("long").alias("all_num"),
+        F.round(F.avg(F.coalesce(match, F.lit(0)).cast("double")), 6)
+        .alias("acc"),
+        F.round(1 - F.avg(dist), 6).alias("norm_edit_dis"),
+    )
+
+
+def corpus_det_metric(media_df, fragments_df):
+    """Detection precision/recall/hmean: per-media matched counts
+    (exact text equality as the match test in fixture world), then the
+    combine_results-style global finalize."""
+    from pyspark.sql import functions as F
+
+    gt = (media_df
+          .where(F.col("media_kind") == "text_block")
+          .select("media_ref",
+                  F.posexplode("gt_texts").alias("box_idx", "gt_text")))
+    pred = (fragments_df
+            .where(F.col("out_kind") == "text_block")
+            .select("media_ref", "box_idx",
+                    F.col("out_text").alias("pred_text")))
+    per_media = (gt.join(pred, ["media_ref", "box_idx"], "full")
+                 .groupBy("media_ref")
+                 .agg(F.sum(F.col("gt_text").isNotNull().cast("long"))
+                      .alias("gt_care"),
+                      F.sum(F.col("pred_text").isNotNull().cast("long"))
+                      .alias("det_care"),
+                      F.sum(((F.col("pred_text") == F.col("gt_text"))
+                             .cast("long"))).alias("matched")))
+    totals = per_media.agg(F.sum("gt_care").alias("g"),
+                           F.sum("det_care").alias("d"),
+                           F.sum("matched").alias("m"))
+    return totals.select(
+        F.col("g").cast("long").alias("gt_total"),
+        F.col("d").cast("long").alias("det_total"),
+        F.col("m").cast("long").alias("matched_total"),
+        F.round(F.col("m") / F.col("d"), 6).alias("precision"),
+        F.round(F.col("m") / F.col("g"), 6).alias("recall"),
+        F.round(2 * F.col("m") / (F.col("d") + F.col("g")), 6).alias("hmean"),
+    )

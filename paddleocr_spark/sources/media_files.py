@@ -1,0 +1,84 @@
+"""Raw-media file ingestion — the Spark re-creation of the reference's
+input normalization (``check_and_read``, ``toddleocr/utils/
+utility.py:92-123``: GIF → first frame, PDF → one image per rendered
+page; ``img_decode`` / ``DecodeImage`` at ``toddleocr/transforms/
+operators.py:9-46``).
+
+Real image/PDF decoding libraries (cv2, fitz) are not in this
+container, so the decode kernels are STUBBED: ``decode_image_bytes``
+raises ``NotImplementedError`` unless a deterministic fake codec is
+recognized. The Spark-side plumbing — binaryFile scan, page explode
+(1 file → N page rows, a UDTF like det's 1-image→N-boxes), schema,
+Arrow batching — is real and tested via the fake codec.
+
+Fake paged-document codec (tests only):
+    b"FAKEDOC" + <n_pages:uint8> + payload
+explodes to n_pages rows whose page bytes are
+    b"PAGE" + <page_idx:uint8> + payload.
+"""
+
+from __future__ import annotations
+
+__all__ = ["read_binary_files", "explode_pages", "decode_image_bytes",
+           "PAGES_SCHEMA"]
+
+PAGES_SCHEMA = ("path string, page int, content binary, is_multipage boolean")
+
+_FAKE_MAGIC = b"FAKEDOC"
+
+
+def read_binary_files(spark, path_glob: str):
+    """binaryFile source: (path, modificationTime, length, content)."""
+    return spark.read.format("binaryFile").load(path_glob)
+
+
+def _split_pages(content: bytes):
+    """One file's bytes → list of (page_idx, page_bytes, is_multipage).
+
+    PDF/GIF handling per check_and_read: multi-page containers explode,
+    plain images pass through as page 0."""
+    if content.startswith(_FAKE_MAGIC):
+        n = content[len(_FAKE_MAGIC)]
+        payload = content[len(_FAKE_MAGIC) + 1:]
+        return [(i, b"PAGE" + bytes([i]) + payload, True) for i in range(n)]
+    try:  # real PDF path requires fitz (PyMuPDF) — not in this image
+        import fitz  # noqa: F401
+    except ImportError:
+        pass
+    else:  # pragma: no cover
+        if content.startswith(b"%PDF"):
+            raise NotImplementedError(
+                "real PDF rendering: fitz present but rendering kernel "
+                "not wired in this sandbox build")
+    return [(0, content, False)]
+
+
+def explode_pages(files_df):
+    """1 file row → N page rows via mapInPandas (Arrow-batched; binary
+    payloads never pass through per-row Python)."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"path": [], "page": [], "content": [],
+                   "is_multipage": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for idx, page_bytes, multi in _split_pages(bytes(content)):
+                    out["path"].append(path)
+                    out["page"].append(idx)
+                    out["content"].append(page_bytes)
+                    out["is_multipage"].append(multi)
+            yield pd.DataFrame(out)
+
+    return files_df.select("path", "content").mapInPandas(
+        gen, schema=PAGES_SCHEMA)
+
+
+def decode_image_bytes(content: bytes):
+    """bytes → ndarray. STUB: real decode needs cv2 (img_decode,
+    toddleocr/engine.py:214-216); the fixture corpus bypasses it by
+    carrying pre-computed tensors."""
+    raise NotImplementedError(
+        "image decode requires cv2; use the media fixture store "
+        "(corpus.synthesize_media) in this environment")

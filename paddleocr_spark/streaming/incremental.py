@@ -1,0 +1,51 @@
+"""Incremental extraction over a growing corpus.
+
+The reference is bounded-batch only (SURVEY.md §2.10); its closest
+analogue is the periodic re-run of eval every ``eval_batch_step`` iters
+(``toddleocr/config.py:651-663``). On Spark, "new documents keep
+arriving" is Structured Streaming: a file-source stream over the docs
+table directory, ``foreachBatch`` running the SAME batch extract per
+micro-batch (exactly-once via the streaming checkpoint + idempotent
+append), so batch and streaming share one implementation.
+"""
+
+from __future__ import annotations
+
+from paddleocr_spark.corpus import docs_schema
+from paddleocr_spark.operators.extract import extract_spans
+
+__all__ = ["incremental_extract", "windowed_event_counts"]
+
+
+def incremental_extract(spark, docs_dir: str, media_df, out_dir: str,
+                        checkpoint_dir: str):
+    """Start a stream: new parquet files under ``docs_dir`` →
+    extract_spans → append to ``out_dir``. Returns the StreamingQuery
+    (caller drives it; tests use processAllAvailable())."""
+    stream = (spark.readStream
+              .schema(docs_schema())
+              .option("maxFilesPerTrigger", 8)
+              .parquet(docs_dir))
+
+    def process(batch_df, epoch_id: int):
+        (extract_spans(batch_df, media_df)
+         .write.mode("append").parquet(out_dir))
+
+    return (stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def windowed_event_counts(spark, events_stream_df, watermark: str = "1 hour",
+                          window: str = "30 minutes"):
+    """Watermarked tumbling-window counts — the streaming form of
+    relational.event_hourly, tolerant of late data."""
+    from pyspark.sql import functions as F
+
+    return (events_stream_df
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("value").alias("sum_value")))

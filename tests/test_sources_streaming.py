@@ -1,0 +1,56 @@
+"""Sources (binary files, page explode) and Structured Streaming
+incremental extraction."""
+
+import os
+
+from paddleocr_spark.corpus import synthesize_docs, synthesize_media
+from paddleocr_spark.operators.extract import extract_spans
+from paddleocr_spark.sources.media_files import explode_pages, read_binary_files
+from paddleocr_spark.streaming.incremental import incremental_extract
+
+
+def test_binary_source_page_explode(spark, tmp_path):
+    d = tmp_path / "files"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"FAKEDOC" + bytes([3]) + b"payloadA")
+    (d / "b.bin").write_bytes(b"plain-image-bytes")
+    files = read_binary_files(spark, str(d))
+    pages = explode_pages(files).collect()
+    by_path = {}
+    for r in pages:
+        by_path.setdefault(os.path.basename(r.path), []).append(r)
+    assert len(by_path["a.bin"]) == 3
+    assert sorted(r.page for r in by_path["a.bin"]) == [0, 1, 2]
+    assert all(r.is_multipage for r in by_path["a.bin"])
+    assert bytes(by_path["a.bin"][0].content).startswith(b"PAGE")
+    assert len(by_path["b.bin"]) == 1
+    assert bytes(by_path["b.bin"][0].content) == b"plain-image-bytes"
+
+
+def test_incremental_extract_matches_batch(spark, tmp_path):
+    """Two file-arrival waves through the stream == one batch run."""
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = synthesize_docs(spark, 12, seed=3, heavy_frac=0.0)
+    media = synthesize_media(spark, docs, seed=3)
+    media.write.mode("overwrite").parquet(str(tmp_path / "media"))
+    media = spark.read.parquet(str(tmp_path / "media"))
+
+    from pyspark.sql import functions as F
+
+    wave1 = docs.where(F.xxhash64("doc_id") % 2 == 0)
+    wave2 = docs.where(F.xxhash64("doc_id") % 2 != 0)
+    wave1.write.mode("append").parquet(docs_dir)
+    q = incremental_extract(spark, docs_dir, media, out_dir, ckpt)
+    q.awaitTermination()
+    wave2.write.mode("append").parquet(docs_dir)
+    q = incremental_extract(spark, docs_dir, media, out_dir, ckpt)
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(out_dir)
+    batch = extract_spans(docs, media)
+    key = lambda rows: sorted((r.doc_id, r.order, r.kind, r.text,
+                               r.media_ref) for r in rows)
+    assert key(streamed.collect()) == key(batch.collect())
