@@ -41,7 +41,7 @@ def load_corpus(spark: SparkSession, sf_dir: str, n_docs: int | None = None):
     the sf directory (n_docs = |documents| rows at that sf)."""
     if n_docs is None:
         n_docs = _corpus_size(spark, sf_dir)
-    path = os.path.join(CACHE_ROOT, f"seed{SEED}_n{n_docs}")
+    path = os.path.join(CACHE_ROOT, f"v2_seed{SEED}_n{n_docs}")
     docs_path = os.path.join(path, "docs")
     media_path = os.path.join(path, "media")
     if not os.path.exists(os.path.join(media_path, "_SUCCESS")):
@@ -76,6 +76,30 @@ def _q_corpus_det_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.corpus_det_metric(media, decode_media(media))
 
 
+def _q_det_iou_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media = load_corpus(spark, sf_dir)
+    return metrics.det_iou_metric(media)
+
+
+def _q_table_structure_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media = load_corpus(spark, sf_dir)
+    return metrics.table_structure_metric(media, decode_media(media))
+
+
+def _q_filter_lang_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate coverage: isin filter (ClsLabelEncode drop,
+    label_ops.py:12-22) + length-range predicate (label_ops.py:129-130),
+    pushed to the parquet scan."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (df.where(F.col("lang").isin("en", "es")
+                     & F.col("n_chars").between(100, 300))
+            .groupBy("lang", "source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full interleaved-corpus extraction at sf0.001 scale."""
     return _q_extract_full(spark, "/root/testdata/sf0.001")
@@ -88,7 +112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_media_fragments": _q_media_fragments,
         "corpus_rec_metric": _q_corpus_rec_metric,
         "corpus_det_metric": _q_corpus_det_metric,
+        "det_iou_metric": _q_det_iou_metric,
+        "table_structure_metric": _q_table_structure_metric,
         # --- text analysis (oracle-checked) ---
+        "filter_lang_length": _q_filter_lang_length,
         "clean_boilerplate": text.clean_documents,
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
@@ -175,6 +202,14 @@ def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{s}'" for s in text.STOPWORDS)
     nq, k = similarity.N_QUERIES, similarity.TOP_K
     return {
+        "filter_lang_length": """
+            SELECT lang, source,
+                   count(*)::bigint AS n_docs,
+                   sum(n_chars)::bigint AS total_chars
+            FROM documents
+            WHERE lang IN ('en', 'es') AND n_chars BETWEEN 100 AND 300
+            GROUP BY lang, source
+        """,
         "clean_boilerplate": f"""
             SELECT doc_id,
                    trim(regexp_replace(regexp_replace(text, '{_BP_RE}', '', 'g'),

@@ -254,6 +254,8 @@ def media_record(media_ref: str, seed: int = 42) -> dict:
     rec = {
         "media_ref": media_ref,
         "media_kind": kind,
+        "gt_boxes": [[float(v) for v in b.reshape(8)] for b in boxes],
+        "gt_structure": "",
         "layout_scores": [float(s) for s in scores],
         "det_map": pm.tobytes(),
         "det_h": MAP_H,
@@ -272,11 +274,12 @@ def media_record(media_ref: str, seed: int = 42) -> dict:
     }
     if kind == "table":
         vocab = TableVocab(TABLE_TOKENS)
-        sp, lp, _toks = _gen_structure(rng, vocab)
+        sp, lp, toks = _gen_structure(rng, vocab)
         rec["structure_probs"] = sp.tobytes()
         rec["struct_t"] = sp.shape[0]
         rec["struct_v"] = sp.shape[1]
         rec["loc_preds"] = lp.tobytes()
+        rec["gt_structure"] = "".join(toks)
     return rec
 
 
@@ -314,6 +317,8 @@ def media_schema():
     return T.StructType([
         T.StructField("media_ref", T.StringType()),
         T.StructField("media_kind", T.StringType()),
+        T.StructField("gt_boxes", T.ArrayType(T.ArrayType(T.FloatType()))),
+        T.StructField("gt_structure", T.StringType()),
         T.StructField("layout_scores", T.ArrayType(T.FloatType())),
         T.StructField("det_map", T.BinaryType()),
         T.StructField("det_h", T.IntegerType()),

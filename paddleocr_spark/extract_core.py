@@ -74,6 +74,7 @@ def decode_media_row(row: dict) -> list[dict]:
         return [{
             "box_idx": 0, "out_kind": "figure", "out_text": "",
             "conf": layout_conf, "cls_label": "", "cls_score": 0.0,
+            "aux": "",
         }]
 
     pm = np.frombuffer(row["det_map"], dtype=np.float32).reshape(
@@ -98,7 +99,7 @@ def decode_media_row(row: dict) -> list[dict]:
             out.append({
                 "box_idx": i, "out_kind": "text_block", "out_text": text,
                 "conf": float(conf), "cls_label": cls[i][0],
-                "cls_score": float(cls[i][1]),
+                "cls_score": float(cls[i][1]), "aux": "",
             })
         return out
 
@@ -119,4 +120,5 @@ def decode_media_row(row: dict) -> list[dict]:
     return [{
         "box_idx": 0, "out_kind": "table", "out_text": wrap_html(body),
         "conf": float(struct_score), "cls_label": "", "cls_score": 0.0,
+        "aux": "".join(tokens),  # raw structure-token string (metrics)
     }]

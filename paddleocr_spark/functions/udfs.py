@@ -21,7 +21,7 @@ __all__ = ["MEDIA_FRAGMENT_SCHEMA", "decode_media"]
 
 MEDIA_FRAGMENT_SCHEMA = (
     "media_ref string, box_idx int, out_kind string, out_text string, "
-    "conf double, cls_label string, cls_score double"
+    "conf double, cls_label string, cls_score double, aux string"
 )
 
 _MEDIA_COLS = [
@@ -38,7 +38,7 @@ def _decode_batches(batches):
     from paddleocr_spark.extract_core import decode_media_row
 
     cols = ["media_ref", "box_idx", "out_kind", "out_text", "conf",
-            "cls_label", "cls_score"]
+            "cls_label", "cls_score", "aux"]
     for pdf in batches:
         out = {c: [] for c in cols}
         for row in pdf.itertuples(index=False):
@@ -51,6 +51,7 @@ def _decode_batches(batches):
                 out["conf"].append(frag["conf"])
                 out["cls_label"].append(frag["cls_label"])
                 out["cls_score"].append(frag["cls_score"])
+                out["aux"].append(frag["aux"])
         yield pd.DataFrame(out)
 
 

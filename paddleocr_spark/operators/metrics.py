@@ -18,7 +18,8 @@ IS Spark's partial aggregation; SURVEY.md §2.4).
 
 from __future__ import annotations
 
-__all__ = ["rec_metric_pairs", "corpus_rec_metric", "corpus_det_metric"]
+__all__ = ["rec_metric_pairs", "corpus_rec_metric", "corpus_det_metric",
+           "det_iou_metric", "table_structure_metric"]
 
 
 def rec_metric_pairs(spark, sf_dir: str):
@@ -105,4 +106,80 @@ def corpus_det_metric(media_df, fragments_df):
         F.round(F.col("m") / F.col("d"), 6).alias("precision"),
         F.round(F.col("m") / F.col("g"), 6).alias("recall"),
         F.round(2 * F.col("m") / (F.col("d") + F.col("g")), 6).alias("hmean"),
+    )
+
+
+def det_iou_metric(media_df):
+    """DetectionIoUEvaluator as a distributed job (the reference's
+    valid() evaluation flow, ``toddleocr/utils/valid.py:10-82``):
+    per-media greedy IoU matching in a mapInPandas stage emitting
+    (matched, gt_care, det_care) partials, then a global agg +
+    combine_results finalize — partial/final exactly as DetMetric
+    (``toddleocr/metrics/det.py:6-53``)."""
+    from pyspark.sql import functions as F
+
+    def eval_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from paddleocr_spark.kernels.db import db_postprocess
+        from paddleocr_spark.kernels.eval_det_iou import evaluate_image
+
+        for pdf in batches:
+            out = {"media_ref": [], "matched": [], "gt_care": [],
+                   "det_care": []}
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                pm = np.frombuffer(d["det_map"], dtype=np.float32).reshape(
+                    int(d["det_h"]), int(d["det_w"]))
+                pred = db_postprocess(pm, [float(x) for x in d["shape_list"]])
+                gt = [{"points": np.asarray(b, dtype=np.float64).reshape(4, 2)}
+                      for b in d["gt_boxes"]]
+                m, g, dc = evaluate_image(
+                    gt, [{"points": p} for p in pred])
+                out["media_ref"].append(d["media_ref"])
+                out["matched"].append(m)
+                out["gt_care"].append(g)
+                out["det_care"].append(dc)
+            yield pd.DataFrame(out)
+
+    partials = media_df.select(
+        "media_ref", "det_map", "det_h", "det_w", "shape_list", "gt_boxes"
+    ).mapInPandas(
+        eval_batches,
+        schema="media_ref string, matched long, gt_care long, det_care long")
+    totals = partials.agg(F.sum("matched").alias("m"),
+                          F.sum("gt_care").alias("g"),
+                          F.sum("det_care").alias("d"))
+    return totals.select(
+        F.col("m").cast("long").alias("matched_total"),
+        F.col("g").cast("long").alias("gt_total"),
+        F.col("d").cast("long").alias("det_total"),
+        F.round(F.when(F.col("d") > 0, F.col("m") / F.col("d"))
+                .otherwise(0.0), 6).alias("precision"),
+        F.round(F.when(F.col("g") > 0, F.col("m") / F.col("g"))
+                .otherwise(0.0), 6).alias("recall"),
+        F.round(F.when((F.col("d") + F.col("g")) > 0,
+                       2 * F.col("m") / (F.col("d") + F.col("g")))
+                .otherwise(0.0), 6).alias("hmean"),
+    )
+
+
+def table_structure_metric(media_df, fragments_df):
+    """TableStructureMetric (``toddleocr/metrics/table.py:6-56``):
+    exact-match accuracy of the decoded structure-token string against
+    ground truth, over table media."""
+    from pyspark.sql import functions as F
+
+    gt = (media_df.where(F.col("media_kind") == "table")
+          .select("media_ref", "gt_structure"))
+    pred = (fragments_df.where(F.col("out_kind") == "table")
+            .select("media_ref", F.col("aux").alias("pred_structure")))
+    joined = gt.join(pred, "media_ref", "left")
+    match = (F.col("pred_structure") == F.col("gt_structure")).cast("long")
+    return joined.agg(
+        F.sum(F.coalesce(match, F.lit(0))).alias("correct_num"),
+        F.count("*").cast("long").alias("all_num"),
+        F.round(F.avg(F.coalesce(match, F.lit(0)).cast("double")), 6)
+        .alias("acc"),
     )
