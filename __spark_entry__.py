@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from paddleocr_spark.corpus import synthesize_docs, synthesize_media
-from paddleocr_spark.functions.udfs import decode_media
+from paddleocr_spark.functions.udfs import decode_media_store
 from paddleocr_spark.operators import dedup, metrics, relational, similarity, text
 from paddleocr_spark.operators.extract import extract_spans
 
@@ -36,20 +36,31 @@ def _corpus_size(spark: SparkSession, sf_dir: str) -> int:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
 
-def load_corpus(spark: SparkSession, sf_dir: str, n_docs: int | None = None):
-    """Returns (docs_df, media_df) for the interleaved corpus sized to
-    the sf directory (n_docs = |documents| rows at that sf)."""
+def corpus_paths(spark: SparkSession, sf_dir: str,
+                 n_docs: int | None = None) -> tuple[str, str]:
+    """Ensure the interleaved corpus exists for this scale; return
+    (docs_path, media_path). The media store is written with a file
+    count sized for decode parallelism (the pointer-passing decode
+    parallelizes per file)."""
     if n_docs is None:
         n_docs = _corpus_size(spark, sf_dir)
-    path = os.path.join(CACHE_ROOT, f"v2_seed{SEED}_n{n_docs}")
+    path = os.path.join(CACHE_ROOT, f"v3_seed{SEED}_n{n_docs}")
     docs_path = os.path.join(path, "docs")
     media_path = os.path.join(path, "media")
     if not os.path.exists(os.path.join(media_path, "_SUCCESS")):
         docs = synthesize_docs(spark, n_docs, seed=SEED, heavy_frac=HEAVY_FRAC)
         docs.write.mode("overwrite").parquet(docs_path)
         docs = spark.read.parquet(docs_path)
-        media = synthesize_media(spark, docs, seed=SEED)
+        n_files = min(256, max(32, n_docs // 128))
+        media = synthesize_media(spark, docs, seed=SEED, partitions=n_files)
         media.write.mode("overwrite").parquet(media_path)
+    return docs_path, media_path
+
+
+def load_corpus(spark: SparkSession, sf_dir: str, n_docs: int | None = None):
+    """Returns (docs_df, media_df) for the interleaved corpus sized to
+    the sf directory (n_docs = |documents| rows at that sf)."""
+    docs_path, media_path = corpus_paths(spark, sf_dir, n_docs)
     return (spark.read.parquet(docs_path), spark.read.parquet(media_path))
 
 
@@ -57,33 +68,37 @@ def load_corpus(spark: SparkSession, sf_dir: str, n_docs: int | None = None):
 # Extraction queries (rows-only checks; pytest owns exact values)
 
 def _q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs, media = load_corpus(spark, sf_dir)
-    return extract_spans(docs, media)
+    docs_path, media_path = corpus_paths(spark, sf_dir)
+    return extract_spans(spark.read.parquet(docs_path), media_path)
 
 
 def _q_media_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, media = load_corpus(spark, sf_dir)
-    return decode_media(media)
+    _, media_path = corpus_paths(spark, sf_dir)
+    return decode_media_store(spark, media_path)
 
 
 def _q_corpus_rec_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, media = load_corpus(spark, sf_dir)
-    return metrics.corpus_rec_metric(media, decode_media(media))
+    _, media_path = corpus_paths(spark, sf_dir)
+    return metrics.corpus_rec_metric(media, decode_media_store(spark, media_path))
 
 
 def _q_corpus_det_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, media = load_corpus(spark, sf_dir)
-    return metrics.corpus_det_metric(media, decode_media(media))
+    _, media_path = corpus_paths(spark, sf_dir)
+    return metrics.corpus_det_metric(media, decode_media_store(spark, media_path))
 
 
 def _q_det_iou_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, media = load_corpus(spark, sf_dir)
-    return metrics.det_iou_metric(media)
+    _, media_path = corpus_paths(spark, sf_dir)
+    return metrics.det_iou_metric(media_path)
 
 
 def _q_table_structure_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, media = load_corpus(spark, sf_dir)
-    return metrics.table_structure_metric(media, decode_media(media))
+    _, media_path = corpus_paths(spark, sf_dir)
+    return metrics.table_structure_metric(
+        media, decode_media_store(spark, media_path))
 
 
 def _q_filter_lang_length(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,6 +41,8 @@ __all__ = [
     "LAYOUT_CLASSES",
     "doc_record",
     "media_record",
+    "dequantize_map",
+    "dequantize_logits",
     "synthesize_docs",
     "synthesize_media",
     "docs_schema",
@@ -167,6 +169,21 @@ def _gen_logits(rng: np.random.Generator, text: str) -> np.ndarray:
     return logits
 
 
+def dequantize_map(raw: bytes, h: int, w: int) -> np.ndarray:
+    """uint8-stored prob map -> float32 in [0,1]. The store carries
+    uint8 (as a real pipeline stores uint8 image bytes, not float
+    tensors); generator goldens and the pipeline decode BOTH consume
+    this dequantized form, so results stay bit-exact."""
+    return (np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+            .astype(np.float32) / 255.0)
+
+
+def dequantize_logits(raw: bytes, t: int, c: int) -> np.ndarray:
+    """float16-stored logits -> float32 (same on both paths)."""
+    return np.frombuffer(raw, dtype=np.float16).reshape(t, c) \
+        .astype(np.float32)
+
+
 def _gen_det_map(rng: np.random.Generator):
     """Synthetic DB prob map with K grid-placed rectangles, including
     boxes that fail box_thresh / min_size filters (db.py:109-118)."""
@@ -238,11 +255,18 @@ def media_record(media_ref: str, seed: int = 42) -> dict:
     scores = (rng.random(3) * 0.2).astype(np.float32)
     scores[LAYOUT_CLASSES.index(kind)] = 0.7 + 0.29 * float(rng.random())
 
-    pm = _gen_det_map(rng)
+    # quantize to the stored form FIRST; all downstream results (golden
+    # and pipeline) derive from the dequantized tensors
+    pm_q = np.round(_gen_det_map(rng) * 255.0).astype(np.uint8)
+    pm = pm_q.astype(np.float32) / 255.0
     boxes = db_postprocess(pm, SHAPE_LIST)  # (K,4,2) float32, src coords
     boxes = sorted_boxes(boxes)
     texts = [_gen_text(rng) for _ in range(len(boxes))]
-    logits = [_gen_logits(rng, t) for t in texts]
+    logits_q = [_gen_logits(rng, t).astype(np.float16) for t in texts]
+    logits = [lq.astype(np.float32) for lq in logits_q]
+    for lq, txt in zip(logits, texts):
+        got, _ = ctc_decode(lq, CHARSET)
+        assert got == txt, (got, txt)
     # direction-classifier probs: ~10% predicted "180" (config.py:375-378)
     cls = []
     for _ in range(len(boxes)):
@@ -257,12 +281,12 @@ def media_record(media_ref: str, seed: int = 42) -> dict:
         "gt_boxes": [[float(v) for v in b.reshape(8)] for b in boxes],
         "gt_structure": "",
         "layout_scores": [float(s) for s in scores],
-        "det_map": pm.tobytes(),
+        "det_map": pm_q.tobytes(),  # uint8 H*W
         "det_h": MAP_H,
         "det_w": MAP_W,
         "shape_list": [float(x) for x in SHAPE_LIST],
         "n_boxes": len(boxes),
-        "rec_logits": [lg.tobytes() for lg in logits],
+        "rec_logits": [lq.tobytes() for lq in logits_q],  # float16 T*C
         "rec_t": REC_T,
         "rec_c": REC_C,
         "cls_probs": cls,
@@ -275,10 +299,10 @@ def media_record(media_ref: str, seed: int = 42) -> dict:
     if kind == "table":
         vocab = TableVocab(TABLE_TOKENS)
         sp, lp, toks = _gen_structure(rng, vocab)
-        rec["structure_probs"] = sp.tobytes()
+        rec["structure_probs"] = sp.astype(np.float16).tobytes()  # float16
         rec["struct_t"] = sp.shape[0]
         rec["struct_v"] = sp.shape[1]
-        rec["loc_preds"] = lp.tobytes()
+        rec["loc_preds"] = lp.tobytes()  # float32 (tiny)
         rec["gt_structure"] = "".join(toks)
     return rec
 
@@ -287,7 +311,7 @@ def _self_check():  # pragma: no cover — used by tests
     """Generator invariant: logits decode back to their text."""
     r = media_record("m00000042")
     for lg_bytes, txt in zip(r["rec_logits"], r["gt_texts"]):
-        lg = np.frombuffer(lg_bytes, dtype=np.float32).reshape(REC_T, REC_C)
+        lg = dequantize_logits(lg_bytes, REC_T, REC_C)
         got, _ = ctc_decode(lg, CHARSET)
         assert got == txt, (got, txt)
 
@@ -360,17 +384,26 @@ def synthesize_docs(spark, n_docs: int, seed: int = 42,
     return spark.range(n_docs).mapInPandas(gen, schema=docs_schema())
 
 
-def synthesize_media(spark, docs_df, seed: int = 42):
+def synthesize_media(spark, docs_df, seed: int = 42,
+                     partitions: int | None = None):
     """Media store for exactly the refs the corpus uses: distinct
-    media_ref (a shuffle that doubles as even redistribution) →
-    mapInPandas content generation."""
+    media_ref → explicit repartition → mapInPandas content generation.
+
+    The explicit repartition AFTER distinct matters: the distinct's
+    shuffle carries only tiny media_ref strings, so AQE coalesces it to
+    ~1 partition — and the expensive generation (and any downstream
+    write) would run on one core. Cheap-rows-in / fat-rows-out UDF
+    stages must set their own parallelism."""
     from pyspark.sql import functions as F
 
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism * 2
     refs = (docs_df
             .select(F.explode("spans").alias("s"))
             .where(F.col("s.kind") == "media")
             .select(F.col("s.media_ref").alias("media_ref"))
-            .distinct())
+            .distinct()
+            .repartition(partitions, "media_ref"))
 
     def gen(batches):
         import pandas as pd

@@ -18,7 +18,12 @@ import re
 
 import numpy as np
 
-from .corpus import BOILERPLATE_RE, LAYOUT_CLASSES
+from .corpus import (
+    BOILERPLATE_RE,
+    LAYOUT_CLASSES,
+    dequantize_logits,
+    dequantize_map,
+)
 from .kernels.cls import cls_decode
 from .kernels.ctc import build_charset, ctc_decode
 from .kernels.db import db_postprocess
@@ -77,15 +82,14 @@ def decode_media_row(row: dict) -> list[dict]:
             "aux": "",
         }]
 
-    pm = np.frombuffer(row["det_map"], dtype=np.float32).reshape(
-        int(row["det_h"]), int(row["det_w"]))
+    pm = dequantize_map(row["det_map"], int(row["det_h"]),
+                        int(row["det_w"]))
     shape_list = [float(x) for x in row["shape_list"]]
     boxes = sorted_boxes(db_postprocess(pm, shape_list))
     t, c = int(row["rec_t"]), int(row["rec_c"])
     rec = []
     for lg in row["rec_logits"]:
-        arr = np.frombuffer(lg, dtype=np.float32).reshape(t, c)
-        rec.append(ctc_decode(arr, _CHARSET))
+        rec.append(ctc_decode(dequantize_logits(lg, t, c), _CHARSET))
     assert len(rec) == len(boxes), (len(rec), len(boxes))
     cls = cls_decode(np.stack(
         [np.asarray(p, dtype=np.float32) for p in row["cls_probs"]])) \
@@ -104,8 +108,8 @@ def decode_media_row(row: dict) -> list[dict]:
         return out
 
     # table: structure decode + OCR match + HTML merge
-    sp = np.frombuffer(row["structure_probs"], dtype=np.float32).reshape(
-        int(row["struct_t"]), int(row["struct_v"]))
+    sp = np.frombuffer(row["structure_probs"], dtype=np.float16).reshape(
+        int(row["struct_t"]), int(row["struct_v"])).astype(np.float32)
     lp = np.frombuffer(row["loc_preds"], dtype=np.float32).reshape(
         int(row["struct_t"]), 8)
     tokens, cell_bboxes, struct_score = table_decode(sp, lp, shape_list, _VOCAB)

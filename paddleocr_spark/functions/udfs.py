@@ -66,3 +66,55 @@ def decode_media(media_df, repartition: int | None = None):
     if repartition:
         df = df.repartition(repartition)
     return df.mapInPandas(_decode_batches, schema=MEDIA_FRAGMENT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Fast path: pointer-passing media decode.
+#
+# Shipping ~60 KB of tensor bytes per row from the JVM to Python through
+# the Arrow python-runner measures at ~8 MB/s/core (the row-to-Arrow
+# copy of large binaries dominates; a passthrough mapInPandas over the
+# fat columns costs 68 s for 540 MB at local[8] while the actual decode
+# is 32 core-seconds). The reference never ships pixels either — it
+# passes image PATHS and reads executor-side (toddleocr/datasets/
+# simple.py:68). We do the same: the driver plans over FILE POINTERS
+# (at production scale, Iceberg manifest entries) and each task reads
+# its parquet split directly with pyarrow — vectorized, no JVM copy.
+
+def list_store_files(path: str) -> list[str]:
+    """Data files of a parquet store directory. Local listing here; on
+    a real deployment this comes from the Iceberg manifest (which also
+    gives size/row-count for balanced assignment)."""
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isfile(path):
+        return [path]
+    return sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+
+
+def map_media_store(spark, store_path: str, batch_fn, schema,
+                    columns: list[str] | None = None):
+    """Run ``batch_fn(iter_of_pandas)`` over the media store with
+    executor-side pyarrow reads: one input row per data file, decode
+    parallelism = file count (set by the store's write partitioning)."""
+    files = list_store_files(store_path)
+    files_df = spark.createDataFrame([(f,) for f in files], "path string") \
+        .repartition(len(files))
+    cols = columns
+
+    def per_file(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                tbl = pq.read_table(path, columns=cols)
+                yield from batch_fn(iter([tbl.to_pandas()]))
+
+    return files_df.mapInPandas(per_file, schema=schema)
+
+
+def decode_media_store(spark, store_path: str):
+    """media store directory → fragment DataFrame (fast path)."""
+    return map_media_store(spark, store_path, _decode_batches,
+                           MEDIA_FRAGMENT_SCHEMA, columns=_MEDIA_COLS)

@@ -33,7 +33,7 @@ Scale design notes (the parts that matter at 10^12 docs):
 from __future__ import annotations
 
 from paddleocr_spark.corpus import BOILERPLATE_RE
-from paddleocr_spark.functions.udfs import decode_media
+from paddleocr_spark.functions.udfs import decode_media, decode_media_store
 
 __all__ = ["explode_spans", "clean_text_col", "extract_spans"]
 
@@ -56,10 +56,15 @@ def explode_spans(docs_df):
             .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"))
 
 
-def extract_spans(docs_df, media_df, decode_partitions: int | None = None,
+def extract_spans(docs_df, media, decode_partitions: int | None = None,
                   salt_buckets: int = 0):
     """docs + media store → ordered span rows
-    (doc_id, order, kind, text, media_ref, conf)."""
+    (doc_id, order, kind, text, media_ref, conf).
+
+    ``media`` is either a DataFrame (generic path: tensors cross the
+    JVM→Python Arrow boundary — fine for small stores) or a parquet
+    store path (fast pointer-passing path: tasks read their split
+    directly with pyarrow; see functions/udfs.py)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -76,7 +81,10 @@ def extract_spans(docs_df, media_df, decode_partitions: int | None = None,
                          F.lit("").alias("media_ref"),
                          F.lit(1.0).alias("conf")))
 
-    fragments = decode_media(media_df, repartition=decode_partitions)
+    if isinstance(media, str):
+        fragments = decode_media_store(docs_df.sparkSession, media)
+    else:
+        fragments = decode_media(media, repartition=decode_partitions)
 
     media_rows = (spans
                   .where(F.col("kind") == "media")

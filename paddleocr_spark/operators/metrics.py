@@ -109,19 +109,23 @@ def corpus_det_metric(media_df, fragments_df):
     )
 
 
-def det_iou_metric(media_df):
+def det_iou_metric(media):
     """DetectionIoUEvaluator as a distributed job (the reference's
     valid() evaluation flow, ``toddleocr/utils/valid.py:10-82``):
     per-media greedy IoU matching in a mapInPandas stage emitting
     (matched, gt_care, det_care) partials, then a global agg +
     combine_results finalize — partial/final exactly as DetMetric
-    (``toddleocr/metrics/det.py:6-53``)."""
+    (``toddleocr/metrics/det.py:6-53``).
+
+    ``media``: DataFrame or media-store path (fast pointer-passing
+    read, see functions/udfs.map_media_store)."""
     from pyspark.sql import functions as F
 
     def eval_batches(batches):
         import numpy as np
         import pandas as pd
 
+        from paddleocr_spark.corpus import dequantize_map
         from paddleocr_spark.kernels.db import db_postprocess
         from paddleocr_spark.kernels.eval_det_iou import evaluate_image
 
@@ -130,8 +134,8 @@ def det_iou_metric(media_df):
                    "det_care": []}
             for row in pdf.itertuples(index=False):
                 d = row._asdict()
-                pm = np.frombuffer(d["det_map"], dtype=np.float32).reshape(
-                    int(d["det_h"]), int(d["det_w"]))
+                pm = dequantize_map(d["det_map"], int(d["det_h"]),
+                                    int(d["det_w"]))
                 pred = db_postprocess(pm, [float(x) for x in d["shape_list"]])
                 gt = [{"points": np.asarray(b, dtype=np.float64).reshape(4, 2)}
                       for b in d["gt_boxes"]]
@@ -143,11 +147,21 @@ def det_iou_metric(media_df):
                 out["det_care"].append(dc)
             yield pd.DataFrame(out)
 
-    partials = media_df.select(
-        "media_ref", "det_map", "det_h", "det_w", "shape_list", "gt_boxes"
-    ).mapInPandas(
-        eval_batches,
-        schema="media_ref string, matched long, gt_care long, det_care long")
+    eval_cols = ["media_ref", "det_map", "det_h", "det_w", "shape_list",
+                 "gt_boxes"]
+    eval_schema = ("media_ref string, matched long, gt_care long, "
+                   "det_care long")
+    if isinstance(media, str):
+        from pyspark.sql import SparkSession
+
+        from paddleocr_spark.functions.udfs import map_media_store
+
+        partials = map_media_store(SparkSession.active(), media,
+                                   eval_batches, eval_schema,
+                                   columns=eval_cols)
+    else:
+        partials = media.select(*eval_cols).mapInPandas(
+            eval_batches, schema=eval_schema)
     totals = partials.agg(F.sum("matched").alias("m"),
                           F.sum("gt_care").alias("g"),
                           F.sum("det_care").alias("d"))

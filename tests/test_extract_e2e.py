@@ -61,3 +61,29 @@ def test_order_is_dense_per_doc(pipeline_result):
         by_doc.setdefault(r.doc_id, []).append(r.order)
     for orders in by_doc.values():
         assert sorted(orders) == list(range(len(orders)))
+
+
+def test_fast_path_equals_generic_path(spark, tmp_path):
+    """Pointer-passing decode (decode_media_store) must equal the
+    generic DataFrame path row-for-row."""
+    from paddleocr_spark.functions.udfs import decode_media, decode_media_store
+
+    docs = synthesize_docs(spark, 12, seed=21, heavy_frac=0.0)
+    media = synthesize_media(spark, docs, seed=21, partitions=3)
+    store = str(tmp_path / "media_store")
+    media.write.mode("overwrite").parquet(store)
+    media_df = spark.read.parquet(store)
+
+    key = lambda rows: sorted((r.media_ref, r.box_idx, r.out_kind,
+                               r.out_text, round(r.conf, 9), r.aux)
+                              for r in rows)
+    a = key(decode_media(media_df).collect())
+    b = key(decode_media_store(spark, store).collect())
+    assert a == b
+
+    # extract_spans accepts either form with identical results
+    ra = extract_spans(docs, media_df).collect()
+    rb = extract_spans(docs, store).collect()
+    k2 = lambda rows: sorted((r.doc_id, r.order, r.kind, r.text,
+                              r.media_ref) for r in rows)
+    assert k2(ra) == k2(rb)
