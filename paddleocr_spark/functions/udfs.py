@@ -99,8 +99,12 @@ def map_media_store(spark, store_path: str, batch_fn, schema,
     executor-side pyarrow reads: one input row per data file, decode
     parallelism = file count (set by the store's write partitioning)."""
     files = list_store_files(store_path)
+    # pack files into ~2 tasks/core: fewer task boundaries than
+    # one-task-per-file, still enough for stragglers to rebalance
+    n_tasks = min(len(files),
+                  spark.sparkContext.defaultParallelism * 2)
     files_df = spark.createDataFrame([(f,) for f in files], "path string") \
-        .repartition(len(files))
+        .repartition(n_tasks)
     cols = columns
 
     def per_file(batches):
@@ -108,7 +112,10 @@ def map_media_store(spark, store_path: str, batch_fn, schema,
 
         for pdf in batches:
             for path in pdf["path"]:
-                tbl = pq.read_table(path, columns=cols)
+                # use_threads=False: every worker spinning up Arrow's
+                # cpu_count-wide pool under full task concurrency
+                # oversubscribes cores ~32x
+                tbl = pq.read_table(path, columns=cols, use_threads=False)
                 yield from batch_fn(iter([tbl.to_pandas()]))
 
     return files_df.mapInPandas(per_file, schema=schema)
