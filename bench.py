@@ -161,7 +161,8 @@ def main() -> None:
     spark.stop()
 
     if os.environ.get("SPARK_GRAFT_SCALING"):
-        lo, hi = 8, 32
+        pair = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "8,32")
+        lo, hi = (int(x) for x in pair.split(","))
         scale_docs = NDOCS or n_docs
         tp_lo = _run_extract_throughput(lo, scale_docs)
         tp_hi = _run_extract_throughput(hi, scale_docs)

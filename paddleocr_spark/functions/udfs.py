@@ -112,11 +112,16 @@ def map_media_store(spark, store_path: str, batch_fn, schema,
 
         for pdf in batches:
             for path in pdf["path"]:
-                # use_threads=False: every worker spinning up Arrow's
-                # cpu_count-wide pool under full task concurrency
-                # oversubscribes cores ~32x
-                tbl = pq.read_table(path, columns=cols, use_threads=False)
-                yield from batch_fn(iter([tbl.to_pandas()]))
+                # stream row-group batches instead of whole-file
+                # to_pandas: bounds per-task transient memory to ~tens
+                # of MB regardless of file size (whole-file pandas at
+                # full task concurrency caused reclaim stalls), and
+                # use_threads=False so workers don't each spin up
+                # Arrow's cpu_count-wide pool (~32x oversubscription)
+                pf = pq.ParquetFile(path)
+                for rb in pf.iter_batches(batch_size=512, columns=cols,
+                                          use_threads=False):
+                    yield from batch_fn(iter([rb.to_pandas()]))
 
     return files_df.mapInPandas(per_file, schema=schema)
 

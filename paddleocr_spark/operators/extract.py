@@ -68,34 +68,47 @@ def extract_spans(docs_df, media, decode_partitions: int | None = None,
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    spans = explode_spans(docs_df)
-
-    text_rows = (spans
-                 .where(F.col("kind") == "text")
-                 .withColumn("out_text", clean_text_col(F.col("text")))
-                 .where(F.length("out_text") > 0)
-                 .select("doc_id", "offset",
-                         F.lit(0).alias("box_idx"),
-                         F.lit("text").alias("kind"),
-                         F.col("out_text").alias("text"),
-                         F.lit("").alias("media_ref"),
-                         F.lit(1.0).alias("conf")))
-
     if isinstance(media, str):
         fragments = decode_media_store(docs_df.sparkSession, media)
     else:
         fragments = decode_media(media, repartition=decode_partitions)
+    frags = fragments.select(
+        F.col("media_ref").alias("join_key"),
+        "box_idx",
+        F.col("out_kind").alias("f_kind"),
+        F.col("out_text").alias("f_text"),
+        F.col("conf").alias("f_conf"))
 
-    media_rows = (spans
-                  .where(F.col("kind") == "media")
-                  .select("doc_id", "offset", "media_ref")
-                  .join(fragments, "media_ref")
-                  .select("doc_id", "offset", "box_idx",
-                          F.col("out_kind").alias("kind"),
-                          F.col("out_text").alias("text"),
-                          "media_ref", "conf"))
+    # SINGLE scan + explode feeding both branches (a text/media union of
+    # two filters would scan + nested-decode the spans column twice —
+    # measured at ~330 JVM core-s per pass at 100k docs). Text rows get
+    # a synthetic unique join key so the left join has no hot ''-key.
+    spans = (explode_spans(docs_df)
+             .withColumn("clean",
+                         F.when(F.col("kind") == "text",
+                                clean_text_col(F.col("text"))))
+             .withColumn("join_key",
+                         F.when(F.col("kind") == "media",
+                                F.col("media_ref"))
+                         .otherwise(F.concat(F.lit("t#"), F.col("doc_id"),
+                                             F.lit("#"), F.col("offset")))))
 
-    unioned = text_rows.unionByName(media_rows)
+    joined = spans.join(frags, "join_key", "left")
+    unioned = (joined
+               .where(((F.col("kind") == "text")
+                       & (F.length("clean") > 0))
+                      | ((F.col("kind") == "media")
+                         & F.col("f_kind").isNotNull()))
+               .select("doc_id", "offset",
+                       F.coalesce("box_idx", F.lit(0)).alias("box_idx"),
+                       F.when(F.col("kind") == "text", F.lit("text"))
+                       .otherwise(F.col("f_kind")).alias("kind"),
+                       F.when(F.col("kind") == "text", F.col("clean"))
+                       .otherwise(F.col("f_text")).alias("text"),
+                       F.when(F.col("kind") == "text", F.lit(""))
+                       .otherwise(F.col("media_ref")).alias("media_ref"),
+                       F.when(F.col("kind") == "text", F.lit(1.0))
+                       .otherwise(F.col("f_conf")).alias("conf")))
     if salt_buckets:
         # pre-spread pathological docs before the per-doc sort
         unioned = unioned.repartition(

@@ -54,3 +54,31 @@ def test_incremental_extract_matches_batch(spark, tmp_path):
     key = lambda rows: sorted((r.doc_id, r.order, r.kind, r.text,
                                r.media_ref) for r in rows)
     assert key(streamed.collect()) == key(batch.collect())
+
+
+def test_pubtab_jsonl_source(spark, tmp_path):
+    import json
+
+    from paddleocr_spark.sources.pubtab import read_pubtab
+
+    rows = [
+        {"filename": "t1.png",
+         "html": {"cells": [{"tokens": ["a"], "bbox": [0, 0, 5, 5]}],
+                  "structure": {"tokens": ["<tr>", "<td></td>", "</tr>"]}}},
+        {"filename": "t2.png",  # too many structure tokens -> filtered
+         "html": {"cells": [{"tokens": ["b"], "bbox": [0, 0, 5, 5]}],
+                  "structure": {"tokens": ["<td></td>"] * 600}}},
+        {"filename": "t3.png",  # no cells -> filtered
+         "html": {"cells": [],
+                  "structure": {"tokens": ["<tr>", "</tr>"]}}},
+    ]
+    p = tmp_path / "pubtab.jsonl"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        f.write("{not valid json\n")  # corrupt row -> filtered
+
+    out = read_pubtab(spark, str(p)).collect()
+    assert [r.filename for r in out] == ["t1.png"]
+    assert out[0].structure_tokens == ["<tr>", "<td></td>", "</tr>"]
+    assert out[0].n_cells == 1
