@@ -410,7 +410,12 @@ def synthesize_media(spark, docs_df, seed: int = 42,
 
         cols = [f.name for f in media_schema().fields]
         for pdf in batches:
-            rows = [media_record(ref, seed) for ref in pdf["media_ref"]]
-            yield pd.DataFrame({c: [r[c] for r in rows] for c in cols})
+            # chunk the fat output rows so each yielded frame stays
+            # ~10 MB regardless of the session's Arrow input batch size
+            refs_list = list(pdf["media_ref"])
+            for i in range(0, len(refs_list), 256):
+                rows = [media_record(ref, seed)
+                        for ref in refs_list[i:i + 256]]
+                yield pd.DataFrame({c: [r[c] for r in rows] for c in cols})
 
     return refs.mapInPandas(gen, schema=media_schema())

@@ -45,6 +45,8 @@ def windowed_event_counts(spark, events_stream_df, watermark: str = "1 hour",
     from pyspark.sql import functions as F
 
     return (events_stream_df
+            # watermarks need TIMESTAMP; parquet yields TIMESTAMP_NTZ
+            .withColumn("ts", F.col("ts").cast("timestamp"))
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window), "event_type")
             .agg(F.count("*").alias("n"),

@@ -82,3 +82,30 @@ def test_pubtab_jsonl_source(spark, tmp_path):
     assert [r.filename for r in out] == ["t1.png"]
     assert out[0].structure_tokens == ["<tr>", "<td></td>", "</tr>"]
     assert out[0].n_cells == 1
+
+
+def test_windowed_event_counts_stream(spark, tmp_path):
+    """Watermarked tumbling-window aggregation over a bounded stream
+    driven to completion (events table as the file source)."""
+    from paddleocr_spark.streaming.incremental import windowed_event_counts
+
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # the file-stream source needs a directory
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    import shutil
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                events_dir / "part-0.parquet")
+    stream = (spark.readStream.schema(batch.schema)
+              .parquet(str(events_dir)))
+    agg = windowed_event_counts(spark, stream, watermark="1 hour",
+                                window="30 minutes")
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("win_counts")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT sum(n) AS total FROM win_counts").collect()[0].total
+    assert got == batch.count()
