@@ -361,7 +361,7 @@ def oracle_sql() -> dict[str, str]:
             pairs AS (
               SELECT a.t AS pred, b.t AS target
               FROM n a JOIN n b ON b.doc_id = a.doc_id + 1)
-            SELECT sum((pred = target)::bigint) AS correct_num,
+            SELECT sum((pred = target)::bigint)::bigint AS correct_num,
                    count(*)::bigint AS all_num,
                    round(avg((pred = target)::int), 6) AS acc,
                    round(1 - avg(levenshtein(pred, target)::double

@@ -119,9 +119,15 @@ def near_dup_pairs(spark, sf_dir: str, threshold: float = 0.7):
 
 
 def simhash32(spark, sf_dir: str):
-    """32-bit SimHash: per (doc, bit), sum ±1 weighted by word-hash bit,
-    then assemble sign bits into a long. Fully relational (explode ×
-    bit-position cross), map-side-combinable aggregation."""
+    """32-bit SimHash in ONE groupBy over the token stream.
+
+    Per bit b the signed sum over words is sum(±1) = 2*count(bit set)
+    - n_words, so 32 conditional-count aggregates plus one count(*)
+    replace the previous explode(words)×crossJoin(32 bits) plan (32×
+    row amplification through a shuffle + two groupBys, ~9 s at sf0.1
+    vs ~2 s for minhash on the same corpus). All aggregates are
+    map-side combinable; at 10^12 docs this shuffles exactly one
+    partial-agg row per (partition, doc)."""
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -129,16 +135,16 @@ def simhash32(spark, sf_dir: str):
     words = df.select(F.col("doc_id").cast("long").alias("doc_id"),
                       F.explode(toks).alias("w"))
     hashed = words.select("doc_id", _word_hash(F, F.col("w"), 99).alias("h"))
-    bits = spark.range(SIM_BITS).select(F.col("id").cast("int").alias("bit"))
-    weighted = (hashed.crossJoin(F.broadcast(bits))
-                .select("doc_id", "bit",
-                        (F.expr("shiftright(h, bit)")
-                         .bitwiseAND(F.lit(1)) * 2 - 1).alias("wt")))
-    return (weighted.groupBy("doc_id", "bit")
-            .agg(F.sum("wt").alias("s"))
-            .groupBy("doc_id")
-            .agg(F.sum(
-                F.when(F.col("s") > 0,
-                       F.expr("shiftleft(cast(1 as bigint), bit)"))
-                .otherwise(F.lit(0))).cast("long").alias("simhash"))
-            )
+    bit_counts = [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+        for b in range(SIM_BITS)
+    ]
+    agg = hashed.groupBy("doc_id").agg(
+        F.count("*").alias("n"), *bit_counts)
+    sim = F.lit(0).cast("long")
+    for b in range(SIM_BITS):
+        # bit set iff the signed sum 2*c_b - n > 0 (same sign rule as
+        # the per-bit groupBy formulation and the DuckDB oracle)
+        sim = sim + F.when(2 * F.col(f"c{b}") - F.col("n") > 0,
+                           F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
