@@ -173,33 +173,58 @@ def _wh(salt: int, expr: str = "w") -> str:
             " as bigint)")
 
 
-_MINHASH_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, unnest(list_distinct(string_split({_NORM}, ' '))) AS w
-  FROM documents
-)
-SELECT doc_id,
-       {", ".join(f"min({_wh(i)}) AS mh{i}" for i in range(dedup.N_HASHES))}
-FROM toks GROUP BY doc_id
-"""
-
-_BANDS_SQL = f"""
-sig AS ({_MINHASH_SQL}),
-bands AS (
-  SELECT doc_id, 0 AS band,
-         md5(concat_ws('_', mh0::varchar, mh1::varchar, mh2::varchar,
-                       mh3::varchar)) AS band_hash FROM sig
+# DuckDB twins of dedup._augmented_docs / _signatures / _band_hashes —
+# generated from the same AFFINE coefficients and plant constants so
+# every signature and band hash matches bit-for-bit.
+_AUG_SQL = f"""aug AS (
+  SELECT doc_id::bigint AS doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id, 1 AS band,
-         md5(concat_ws('_', mh4::varchar, mh5::varchar, mh6::varchar,
-                       mh7::varchar)) AS band_hash FROM sig
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b USING (band, band_hash)
-  WHERE a.doc_id < b.doc_id
-)
-"""
+  SELECT doc_id::bigint + {dedup.NEAR_PLANT_OFFSET} AS doc_id,
+         text || '{dedup.NEAR_PLANT_SUFFIX}' AS text
+  FROM documents WHERE doc_id < {dedup.NEAR_PLANT_N}
+  UNION ALL
+  SELECT doc_id::bigint + {dedup.EXACT_PLANT_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id < {dedup.EXACT_PLANT_N}
+)"""
+
+
+def _sig_sql(src: str) -> str:
+    """Shingle → base-hash → 128 affine min-hash CTE chain over src."""
+    mins = ",\n       ".join(
+        f"min(({a} * h + {b}) % {dedup.MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(dedup.AFFINE))
+    return f"""
+tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+       FROM {src}),
+shg AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                  range(1, len(tk) - 1),
+                  i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS s
+       FROM tk),
+h AS (SELECT doc_id, {_wh(0, 's')} % {dedup.MINHASH_PRIME} AS h FROM shg),
+sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id)"""
+
+
+def _bands_sql() -> str:
+    selects = []
+    for bnd in range(dedup.N_BANDS):
+        cols = ", ".join(
+            f"mh{bnd * dedup.ROWS_PER_BAND + r}::varchar"
+            for r in range(dedup.ROWS_PER_BAND))
+        selects.append(f"SELECT doc_id, {bnd} AS band, "
+                       f"md5(concat_ws('_', {cols})) AS band_hash FROM sig")
+    return ("bands AS (" + "\nUNION ALL\n".join(selects) + "),\n"
+            "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+            "         FROM bands a JOIN bands b USING (band, band_hash)\n"
+            "         WHERE a.doc_id < b.doc_id)")
+
+
+_SHINGLE_SETS_SQL = """d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, len(tk) - 1),
+             i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+  FROM tk)"""
 
 def _cos_sql(a: str, b: str) -> str:
     """DuckDB twin of similarity._cosine (double math, same formula)."""
@@ -270,26 +295,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "exact_dedup": f"""
+            WITH {_AUG_SQL}
             SELECT md5({_NORM}) AS content_md5,
                    count(*)::bigint AS n_docs,
                    min(doc_id) AS keeper_doc_id
-            FROM documents GROUP BY 1
+            FROM aug GROUP BY 1
         """,
-        "minhash_signatures": _MINHASH_SQL,
-        "lsh_candidate_pairs": f"WITH {_BANDS_SQL} SELECT doc_a, doc_b FROM cand",
+        "minhash_signatures": (
+            "WITH raw AS (SELECT doc_id::bigint AS doc_id, text "
+            "FROM documents)," + _sig_sql("raw") + "\nSELECT * FROM sig"),
+        "lsh_candidate_pairs": (
+            f"WITH {_AUG_SQL},{_sig_sql('aug')},\n{_bands_sql()}\n"
+            "SELECT doc_a, doc_b FROM cand"),
         "near_dup_pairs": f"""
-            WITH {_BANDS_SQL},
-            d AS (SELECT doc_id,
-                         list_distinct(string_split({_NORM}, ' ')) AS toks
-                  FROM documents)
+            WITH {_AUG_SQL},{_sig_sql('aug')},
+            {_bands_sql()},
+            {_SHINGLE_SETS_SQL}
             SELECT doc_a, doc_b,
-                   round(len(list_intersect(a.toks, b.toks))::double
-                         / len(list_distinct(list_concat(a.toks, b.toks))), 6)
+                   round(len(list_intersect(a.sh, b.sh))::double
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 6)
                        AS jaccard
             FROM cand JOIN d a ON cand.doc_a = a.doc_id
                       JOIN d b ON cand.doc_b = b.doc_id
-            WHERE len(list_intersect(a.toks, b.toks))::double
-                  / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.7
+            WHERE len(list_intersect(a.sh, b.sh))::double
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
         """,
         "simhash32": f"""
             WITH words AS (

@@ -4,30 +4,66 @@ Four families, all shuffle-conscious:
 
 - exact:       hash-groupBy on normalized-content md5 (one shuffle,
                map-side partial agg).
-- minhash+LSH: k=8 md5-derived min-hashes per doc → 2 bands of 4 →
-               candidate pairs via equi-join on band hash (never the
-               O(N²) cross join). Deterministic hashes (no seed state)
-               so the DuckDB oracle reproduces them bit-for-bit.
-- simhash:     32-bit sign-of-weighted-bit-sums fingerprint via an
-               explode(words)×explode(bits) aggregation — pure SQL.
-- n-gram Jaccard verify: exact word-set Jaccard on the (small) LSH
-               candidate set only.
+- minhash+LSH: k=128 min-hashes over DISTINCT 3-word shingles → 16
+               bands of 8 rows → candidate pairs via equi-join on
+               (band, band_hash) — never the O(N²) cross join. One md5
+               per shingle gives a 60-bit base hash; the k permutations
+               are cheap affine maps (a_i*h + b_i) mod 2^31-1 with
+               fixed seeded coefficients, so the DuckDB oracle
+               reproduces every signature bit-for-bit.
+- simhash:     32-bit sign-of-weighted-bit-sums fingerprint as 32
+               conditional-count aggregates in one groupBy.
+- n-gram Jaccard verify: exact 3-shingle-set Jaccard on the (small)
+               LSH candidate set only.
 
-At 10^12 docs the LSH band join is the only super-linear step; its key
-cardinality ~ docs × bands, and AQE skew-join splits hot bands (e.g.
-boilerplate-only documents).
+Parameter rationale (the 100 TB story): unigram shingles over a small
+vocabulary make band hashes collide massively (41% of all pairs became
+candidates on the round-1 corpus — degenerate toward quadratic). 3-word
+shingles make random-doc shingle overlap ≈ 0, and 8 rows/band drives a
+band-collision probability of J^8 (J=0.7 → 0.06 per band), while 16
+bands keep recall for true near-dups at 1-(1-J^8)^16 ≈ 0.61 at J=0.7
+and ≈ 0.99 at J=0.9. Band-key cardinality ~ docs × 16 and hot bands
+hold only genuinely-similar docs, so the join stays linear-ish; AQE
+skew-join splits any residual hot band (e.g. boilerplate-only docs).
+
+The test corpus has no natural duplicates, so the pair-producing
+operators PLANT deterministic duplicates (exact copies + suffix-edited
+near copies of a doc_id prefix) — mirrored verbatim in the DuckDB
+oracles — so dup groups and near-dup pairs are actually observed.
 """
 
 from __future__ import annotations
 
+import numpy as np
+
 __all__ = [
-    "N_HASHES", "N_BANDS", "exact_dedup", "minhash_signatures",
+    "N_HASHES", "N_BANDS", "ROWS_PER_BAND", "MINHASH_PRIME", "AFFINE",
+    "SHINGLE_N", "NEAR_PLANT_N", "NEAR_PLANT_OFFSET", "NEAR_PLANT_SUFFIX",
+    "EXACT_PLANT_N", "EXACT_PLANT_OFFSET",
+    "exact_dedup", "minhash_signatures",
     "lsh_candidate_pairs", "near_dup_pairs", "simhash32",
 ]
 
-N_HASHES = 8
-N_BANDS = 2  # 4 rows per band
+N_HASHES = 128
+N_BANDS = 16
+ROWS_PER_BAND = N_HASHES // N_BANDS  # 8
+MINHASH_PRIME = 2147483647  # 2^31-1: products stay < 2^62 (no overflow)
+SHINGLE_N = 3
 SIM_BITS = 32
+
+# planted duplicates (see module docstring)
+NEAR_PLANT_N = 50
+NEAR_PLANT_OFFSET = 1_000_000
+NEAR_PLANT_SUFFIX = " planted near duplicate suffix"
+EXACT_PLANT_N = 25
+EXACT_PLANT_OFFSET = 2_000_000
+
+# fixed affine-permutation coefficients, identical in the DuckDB oracle
+_rng = np.random.default_rng(12345)
+AFFINE = [(int(a), int(b))
+          for a, b in zip(_rng.integers(1, MINHASH_PRIME, N_HASHES),
+                          _rng.integers(0, MINHASH_PRIME, N_HASHES))]
+del _rng
 
 
 def _norm_tokens(F, col):
@@ -42,56 +78,99 @@ def _word_hash(F, w, salt: int):
     ).cast("long")
 
 
-def exact_dedup(spark, sf_dir: str):
-    """Exact duplicate groups: normalized-md5 → (n_docs, keeper)."""
+def _augmented_docs(spark, sf_dir: str):
+    """documents ∪ planted exact copies ∪ planted near copies.
+
+    Deterministic (pure column expressions), mirrored verbatim in the
+    DuckDB oracle CTE, so the dup operators are observed producing
+    non-trivial output on a corpus with no natural duplicates."""
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+          .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+    near = (df.where(F.col("doc_id") < NEAR_PLANT_N)
+            .select((F.col("doc_id") + NEAR_PLANT_OFFSET).alias("doc_id"),
+                    F.concat(F.col("text"),
+                             F.lit(NEAR_PLANT_SUFFIX)).alias("text")))
+    exact = (df.where(F.col("doc_id") < EXACT_PLANT_N)
+             .select((F.col("doc_id") + EXACT_PLANT_OFFSET).alias("doc_id"),
+                     "text"))
+    return df.unionByName(near).unionByName(exact)
+
+
+def _shingles(F, toks_col):
+    """Distinct 3-word shingles of a token-array column (total: short
+    docs yield an empty array, never an error)."""
+    return F.array_distinct(F.filter(
+        F.transform(
+            toks_col,
+            lambda x, i: F.when(
+                i + SHINGLE_N - 1 < F.size(toks_col),
+                F.concat_ws(" ", x,
+                            F.element_at(toks_col, i + 2),
+                            F.element_at(toks_col, i + 3)))),
+        lambda s: s.isNotNull()))
+
+
+def _signatures(F, docs):
+    """(doc_id, text) → (doc_id, mh0..mh127): one md5 per distinct
+    shingle, then 128 affine permutations min-aggregated in a single
+    map-side-combinable groupBy."""
+    toks = docs.select("doc_id", _norm_tokens(F, F.col("text")).alias("tk"))
+    sh = toks.select("doc_id", F.explode(_shingles(F, F.col("tk"))).alias("s"))
+    h = sh.select("doc_id",
+                  (_word_hash(F, F.col("s"), 0) % MINHASH_PRIME).alias("h"))
+    aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME)
+            .alias(f"mh{i}") for i, (a, b) in enumerate(AFFINE)]
+    return h.groupBy("doc_id").agg(*aggs)
+
+
+def _band_hashes(F, sig):
+    """signature → (doc_id, band, band_hash) via ONE posexplode (no
+    16-way union scan)."""
+    band_cols = []
+    for bnd in range(N_BANDS):
+        cols = [F.col(f"mh{bnd * ROWS_PER_BAND + r}").cast("string")
+                for r in range(ROWS_PER_BAND)]
+        band_cols.append(F.md5(F.concat_ws("_", *cols)))
+    return sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "band_hash"))
+
+
+def exact_dedup(spark, sf_dir: str):
+    """Exact duplicate groups: normalized-md5 → (n_docs, keeper), over
+    the planted-augmented corpus (keeper = lowest doc_id, so planted
+    copies collapse onto their originals)."""
+    from pyspark.sql import functions as F
+
+    df = _augmented_docs(spark, sf_dir)
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    return (df.select(F.md5(norm).alias("content_md5"),
-                      F.col("doc_id").cast("long").alias("doc_id"))
+    return (df.select(F.md5(norm).alias("content_md5"), "doc_id")
             .groupBy("content_md5")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.min("doc_id").alias("keeper_doc_id")))
 
 
 def minhash_signatures(spark, sf_dir: str):
-    """Per-doc k=8 minhash over distinct word shingles.
-
-    explode → per-(doc, salt) min → pivot back to columns; the explode
-    keeps the agg map-side combinable (partial min per partition)."""
+    """Per-doc k=128 minhash over distinct 3-word shingles."""
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.array_distinct(_norm_tokens(F, F.col("text")))
-    base = df.select(F.col("doc_id").cast("long").alias("doc_id"),
-                     F.explode(toks).alias("w"))
-    aggs = [F.min(_word_hash(F, F.col("w"), i)).alias(f"mh{i}")
-            for i in range(N_HASHES)]
-    return base.groupBy("doc_id").agg(*aggs)
+    df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+          .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+    return _signatures(F, df)
 
 
 def lsh_candidate_pairs(spark, sf_dir: str):
-    """Banded LSH: band hash = md5 of 4 concatenated minhashes;
-    candidates = docs sharing any band hash (a < b)."""
+    """Banded LSH over the planted-augmented corpus: band hash = md5 of
+    8 concatenated minhashes; candidates = docs sharing any (band,
+    band_hash) key (a < b). The join key includes the band index so
+    cross-band hash coincidences can't create pairs."""
     from pyspark.sql import functions as F
 
-    sig = minhash_signatures(spark, sf_dir)
-    rows_per_band = N_HASHES // N_BANDS
-    bands = []
-    for b in range(N_BANDS):
-        cols = [F.col(f"mh{b * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)]
-        bands.append(
-            sig.select("doc_id",
-                       F.lit(b).alias("band"),
-                       F.md5(F.concat_ws("_", *cols)).alias("band_hash")))
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionByName(b)
-    a = allb.alias("a")
-    bb = allb.alias("b")
-    return (a.join(bb, ["band", "band_hash"])
+    bands = _band_hashes(F, _signatures(F, _augmented_docs(spark, sf_dir)))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (a.join(b, ["band", "band_hash"])
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
@@ -99,19 +178,18 @@ def lsh_candidate_pairs(spark, sf_dir: str):
 
 
 def near_dup_pairs(spark, sf_dir: str, threshold: float = 0.7):
-    """LSH candidates verified by exact word-set Jaccard (n-gram
-    Jaccard with n=1 shingles — matches the minhash shingling)."""
+    """LSH candidates verified by exact 3-shingle-set Jaccard — the
+    verify step only ever touches the (bounded) candidate set."""
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    docs = df.select(F.col("doc_id").cast("long").alias("doc_id"),
-                     F.array_distinct(_norm_tokens(F, F.col("text")))
-                     .alias("toks"))
+    docs = (_augmented_docs(spark, sf_dir)
+            .select("doc_id",
+                    _shingles(F, _norm_tokens(F, F.col("text"))).alias("sh")))
     cand = lsh_candidate_pairs(spark, sf_dir)
-    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
-    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
-    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
-    union = F.size(F.array_union("ta", "tb")).cast("double")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
     return (cand.join(a, "doc_a").join(b, "doc_b")
             .withColumn("jaccard", F.round(inter / union, 6))
             .where(F.col("jaccard") >= threshold)
