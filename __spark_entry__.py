@@ -233,9 +233,20 @@ def _cos_sql(a: str, b: str) -> str:
             f"sqrt(list_dot_product({b}, {b}))), 6)")
 
 
-_LSH_BUCKET = ("(" + " + ".join(
-    f"(CASE WHEN emb[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
-    for i in range(similarity.SIGN_BITS)) + ")")
+# DuckDB twin of similarity._band_buckets: per-band sign-bitmask
+# buckets from the same seeded hyperplane literals.
+def _emb_bands_sql(src: str) -> str:
+    selects = []
+    for band in range(similarity.SIGN_BANDS):
+        bits = []
+        for bit in range(similarity.SIGN_BITS):
+            plane = similarity.PLANES[band * similarity.SIGN_BITS + bit]
+            lit = "[" + ", ".join(repr(c) for c in plane) + "]"
+            bits.append(f"(CASE WHEN list_dot_product(emb, {lit}) >= 0 "
+                        f"THEN {1 << bit} ELSE 0 END)")
+        selects.append(f"SELECT vec_id, emb, {band} AS band, "
+                       f"({' + '.join(bits)})::int AS bucket FROM {src}")
+    return "bk AS (" + "\nUNION ALL\n".join(selects) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -353,15 +364,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= {k}
         """,
         "cosine_topk_lsh": f"""
-            WITH e AS (SELECT vec_id, list_transform(embedding,
-                              x -> x::double) AS emb,
-                              {_LSH_BUCKET}::int AS bucket
+            WITH e AS (SELECT vec_id::bigint AS vec_id,
+                              list_transform(embedding, x -> x::double) AS emb
                        FROM embeddings),
-            q AS (SELECT vec_id AS query_id, emb AS qemb, bucket FROM e
-                  WHERE vec_id < {nq}),
+            {_emb_bands_sql('e')},
+            q AS (SELECT vec_id AS query_id, emb AS qemb, band, bucket
+                  FROM bk WHERE vec_id < {nq}),
             scored AS (
-              SELECT query_id, e.vec_id, {_cos_sql('qemb', 'emb')} AS cosine
-              FROM e JOIN q USING (bucket) WHERE e.vec_id <> query_id),
+              SELECT DISTINCT query_id, bk.vec_id,
+                     {_cos_sql('qemb', 'emb')} AS cosine
+              FROM bk JOIN q USING (band, bucket)
+              WHERE bk.vec_id <> q.query_id),
             ranked AS (
               SELECT query_id, vec_id, cosine,
                      row_number() OVER (PARTITION BY query_id
@@ -372,15 +385,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= {k}
         """,
         "embedding_near_dups": f"""
-            WITH e AS (SELECT vec_id, list_transform(embedding,
-                              x -> x::double) AS emb,
-                              {_LSH_BUCKET}::int AS bucket
-                       FROM embeddings)
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   {_cos_sql('a.emb', 'b.emb')} AS cosine
-            FROM e a JOIN e b USING (bucket)
-            WHERE a.vec_id < b.vec_id
-              AND {_cos_sql('a.emb', 'b.emb')} >= 0.9
+            WITH e AS (SELECT vec_id::bigint AS vec_id,
+                              list_transform(embedding, x -> x::double) AS emb
+                       FROM embeddings
+                       UNION ALL
+                       SELECT vec_id::bigint + {similarity.PLANT_OFFSET},
+                              list_transform(embedding,
+                                             x -> x::double * 1.01 + 0.001)
+                       FROM embeddings WHERE vec_id < {similarity.PLANT_N}),
+            {_emb_bands_sql('e')},
+            pairs AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     {_cos_sql('a.emb', 'b.emb')} AS cosine
+              FROM bk a JOIN bk b USING (band, bucket)
+              WHERE a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.9
         """,
         "rec_metric_pairs": """
             WITH n AS (SELECT doc_id,
