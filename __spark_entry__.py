@@ -44,7 +44,7 @@ def corpus_paths(spark: SparkSession, sf_dir: str,
     parallelizes per file)."""
     if n_docs is None:
         n_docs = _corpus_size(spark, sf_dir)
-    path = os.path.join(CACHE_ROOT, f"v3_seed{SEED}_n{n_docs}")
+    path = os.path.join(CACHE_ROOT, f"v4_seed{SEED}_n{n_docs}")
     docs_path = os.path.join(path, "docs")
     media_path = os.path.join(path, "media")
     if not os.path.exists(os.path.join(media_path, "_SUCCESS")):

@@ -31,6 +31,7 @@ import numpy as np
 
 from .kernels.ctc import DEFAULT_CHARS, build_charset, ctc_decode
 from .kernels.db import db_postprocess
+from .kernels.nms import layout_select
 from .kernels.reading_order import sorted_boxes
 from .kernels.table import TABLE_TOKENS, TableVocab
 
@@ -41,6 +42,8 @@ __all__ = [
     "LAYOUT_CLASSES",
     "doc_record",
     "media_record",
+    "select_regions",
+    "region_y_bounds",
     "dequantize_map",
     "dequantize_logits",
     "synthesize_docs",
@@ -78,6 +81,20 @@ LAYOUT_CLASSES = ["text_block", "table", "figure"]
 MAP_H, MAP_W = 64, 96
 SRC_H, SRC_W = 128, 192  # "source image" size; ratio 0.5 each axis
 SHAPE_LIST = [float(SRC_H), float(SRC_W), MAP_H / SRC_H, MAP_W / SRC_W]
+
+# Layout geometry: media are divided into 1-3 horizontal-strip regions
+# along the det grid's 3 rows (PP-Structure layout analysis,
+# toddleocr/postprocess/picodet.py:155-186); region kinds decided by
+# layout_select (score filter + per-class hard NMS) over candidate
+# boxes — the fixture analogue of PicoDet head output.
+GRID_ROWS, GRID_COLS = 3, 2
+ROW_BOUNDS = [0, 21, 42, 64]          # det-map y bounds of the 3 grid rows
+REGION_SPLITS = [[3], [1, 2], [2, 1], [1, 1, 1]]
+MAP_TO_SRC = SRC_H // MAP_H           # 2x: map px -> src px
+# cls: probability that a text-region box is upside-down ("180"); its
+# stored rec logits then decode to the REVERSED text, so the pipeline
+# must apply the rotate predicate (config.py:375-378) to recover it.
+ROT_P = 0.1
 
 REC_T = 40  # logit timesteps (fits 12 chars at <=2 repeats + blanks)
 CHARSET = build_charset(DEFAULT_CHARS)
@@ -184,16 +201,99 @@ def dequantize_logits(raw: bytes, t: int, c: int) -> np.ndarray:
         .astype(np.float32)
 
 
-def _gen_det_map(rng: np.random.Generator):
-    """Synthetic DB prob map with K grid-placed rectangles, including
-    boxes that fail box_thresh / min_size filters (db.py:109-118)."""
+def _gen_regions(rng: np.random.Generator) -> list[dict]:
+    """Partition the 3 det-grid rows into 1-3 consecutive regions, each
+    with a layout class (at most one table — the media schema carries a
+    single structure tensor)."""
+    split = REGION_SPLITS[int(rng.integers(0, len(REGION_SPLITS)))]
+    regions = []
+    r0 = 0
+    table_used = False
+    for n_rows in split:
+        roll = rng.random()
+        if roll < 0.2 and not table_used:
+            cls = "table"
+            table_used = True
+        elif roll < 0.4:
+            cls = "figure"
+        else:
+            cls = "text_block"
+        regions.append({"rows": (r0, r0 + n_rows), "cls": cls})
+        r0 += n_rows
+    return regions
+
+
+def _region_src_bbox(reg: dict) -> list[float]:
+    r0, r1 = reg["rows"]
+    return [0.0, ROW_BOUNDS[r0] * float(MAP_TO_SRC),
+            float(SRC_W), ROW_BOUNDS[r1] * float(MAP_TO_SRC)]
+
+
+def _gen_layout_cands(rng: np.random.Generator, regions: list[dict]):
+    """PicoDet-style candidate set (src coords): one high-score main
+    candidate per region, 0-2 shrunk same-class duplicates (IoU ≥ 0.7
+    with the main → always NMS-suppressed), 0-2 sub-threshold noise
+    candidates. Returns (boxes (N,4), class_scores (N,3)) in a shuffled
+    order so selection is genuinely score-driven."""
+    cands: list[tuple[list[float], int, float]] = []
+    for reg in regions:
+        x1, y1, x2, y2 = _region_src_bbox(reg)
+        ci = LAYOUT_CLASSES.index(reg["cls"])
+        main_score = 0.75 + 0.2 * float(rng.random())
+        cands.append(([x1, y1, x2, y2], ci, main_score))
+        h = y2 - y1
+        for _ in range(int(rng.integers(0, 3))):
+            dy1 = float(rng.random()) * 0.08 * h
+            dy2 = float(rng.random()) * 0.08 * h
+            dx1 = float(rng.random()) * 0.08 * SRC_W
+            dx2 = float(rng.random()) * 0.08 * SRC_W
+            dup = [x1 + dx1, y1 + dy1, x2 - dx2, y2 - dy2]
+            cands.append((dup, ci, 0.45 + 0.25 * float(rng.random())))
+    for _ in range(int(rng.integers(0, 3))):
+        nx = float(rng.random()) * (SRC_W - 50)
+        ny = float(rng.random()) * (SRC_H - 50)
+        noise = [nx, ny, nx + 10 + float(rng.random()) * 40,
+                 ny + 10 + float(rng.random()) * 40]
+        cands.append((noise, int(rng.integers(0, 3)),
+                      0.05 + 0.3 * float(rng.random())))
+    perm = rng.permutation(len(cands))
+    boxes = np.array([cands[int(i)][0] for i in perm], dtype=np.float64)
+    scores = np.full((len(cands), len(LAYOUT_CLASSES)), 0.0)
+    for n, i in enumerate(perm):
+        _, ci, s = cands[int(i)]
+        for c in range(len(LAYOUT_CLASSES)):
+            scores[n, c] = s if c == ci else 0.15 * float(rng.random())
+    return boxes, scores
+
+
+def _rows_2d(a, width: int) -> np.ndarray:
+    """list/object-array of row vectors → (N, width) float64. Arrow
+    hands list<list<float>> columns back as object ndarrays of float32
+    ndarrays, which np.asarray refuses to stack directly."""
+    rows = [np.asarray(r, dtype=np.float64) for r in a]
+    return np.stack(rows) if rows else np.zeros((0, width))
+
+
+def select_regions(cand_boxes, cand_scores):
+    """Candidates → regions in reading order: layout_select (score
+    filter + per-class hard NMS + top-k) then a (y1, x1) sort. Shared
+    by the generator (gt_regions), the sequential reference path and
+    the Spark decode UDF."""
+    regions = layout_select(_rows_2d(cand_boxes, 4),
+                            _rows_2d(cand_scores, len(LAYOUT_CLASSES)))
+    regions.sort(key=lambda d: (d["bbox"][1], d["bbox"][0]))
+    return regions
+
+
+def _gen_det_map(rng: np.random.Generator, cells: list[tuple[int, int]]):
+    """Synthetic DB prob map with rectangles in the given grid cells,
+    including boxes that fail box_thresh / min_size filters
+    (db.py:109-118)."""
     pm = (rng.random((MAP_H, MAP_W), dtype=np.float32) * 0.15).astype(np.float32)
-    rows, cols = 3, 2
-    ch, cw = MAP_H // rows, MAP_W // cols
-    k = int(rng.integers(0, rows * cols + 1))
-    cells = list(rng.permutation(rows * cols)[:k])
-    for c in cells:
-        r, q = divmod(int(c), cols)
+    ch, cw = MAP_H // GRID_ROWS, MAP_W // GRID_COLS
+    for r, q in cells:
+        if rng.random() < 0.25:
+            continue  # empty cell
         y0, x0 = r * ch, q * cw
         roll = rng.random()
         if roll < 0.12:
@@ -224,63 +324,122 @@ def _table_tokens(rows: int, cols: int) -> list[str]:
     return toks
 
 
-def _gen_structure(rng: np.random.Generator, vocab: TableVocab):
-    """Token-prob tensor decoding to an R x C table (table.py:43-74) +
-    per-<td> normalized cell bboxes aligned to the det grid."""
-    rows, cols = int(rng.integers(2, 4)), 2
+def _gen_structure(rng: np.random.Generator, vocab: TableVocab,
+                   grid_rows: tuple[int, int]):
+    """Token-prob tensor decoding to an R x 2 table (table.py:43-74)
+    whose R rows are the det-grid rows [grid_rows), with per-<td>
+    normalized cell bboxes aligned to those grid cells (so the region's
+    detected boxes land inside their cells for TableMatch)."""
+    r0, r1 = grid_rows
+    rows, cols = r1 - r0, GRID_COLS
     tokens = _table_tokens(rows, cols)
     steps = len(tokens) + 1  # + eos
     probs = (rng.random((steps, len(vocab.character))) * 0.05).astype(np.float32)
     locs = np.zeros((steps, 8), dtype=np.float32)
-    ch, cw = 1.0 / 3, 1.0 / 2  # grid cells in normalized coords (3x2 grid)
+    cw = 1.0 / GRID_COLS
     cell_i = 0
     for t, tok in enumerate(tokens):
         probs[t, vocab.dict[tok]] = 0.9 + 0.09 * float(rng.random())
         if tok == "<td></td>":
             r, q = divmod(cell_i, cols)
-            x0, y0 = q * cw, r * ch
-            x1, y1 = x0 + cw, y0 + ch
+            x0 = q * cw
+            y0 = ROW_BOUNDS[r0 + r] * MAP_TO_SRC / SRC_H
+            y1 = ROW_BOUNDS[r0 + r + 1] * MAP_TO_SRC / SRC_H
+            x1 = x0 + cw
             locs[t] = [x0, y0, x1, y0, x1, y1, x0, y1]
             cell_i += 1
     probs[len(tokens), vocab.eos] = 0.95
     return probs, locs, tokens
 
 
+def region_y_bounds(reg: dict) -> tuple[float, float]:
+    return (ROW_BOUNDS[reg["rows"][0]] * float(MAP_TO_SRC),
+            ROW_BOUNDS[reg["rows"][1]] * float(MAP_TO_SRC))
+
+
 def media_record(media_ref: str, seed: int = 42) -> dict:
     """Full fixture row for one media_ref — a pure function of the ref
-    string. The generator itself runs the det kernel so rec logits align
-    1:1 with the boxes the pipeline will detect, in reading order."""
-    rng = _key("media", seed, media_ref)
-    kind = LAYOUT_CLASSES[int(rng.choice(3, p=[0.7, 0.15, 0.15]))]
-    scores = (rng.random(3) * 0.2).astype(np.float32)
-    scores[LAYOUT_CLASSES.index(kind)] = 0.7 + 0.29 * float(rng.random())
+    string. The generator itself runs the det + layout kernels so rec
+    logits align 1:1 with the boxes the pipeline will detect and
+    gt_regions equals the pipeline's layout_select output.
 
-    # quantize to the stored form FIRST; all downstream results (golden
-    # and pipeline) derive from the dequantized tensors
-    pm_q = np.round(_gen_det_map(rng) * 255.0).astype(np.uint8)
+    cls is LOAD-BEARING: a text-region box flagged "180" stores logits
+    that decode to the reversed text, so only a pipeline that applies
+    the rotate predicate (should_rotate → reverse, the fixture-world
+    analogue of cv2.rotate before rec at config.py:375-378) recovers
+    gt_texts. Layout NMS is LOAD-BEARING: the region set (and hence
+    which fragments exist, their kinds and order) is decided by
+    layout_select over overlapping multi-candidate input."""
+    rng = _key("media", seed, media_ref)
+    regions = _gen_regions(rng)
+    cand_boxes, cand_scores = _gen_layout_cands(rng, regions)
+    # quantize to the float32 the parquet store carries, so the golden
+    # path and the Spark decode select over bit-identical values
+    cand_boxes = cand_boxes.astype(np.float32)
+    cand_scores = cand_scores.astype(np.float32)
+    sel = select_regions(cand_boxes, cand_scores)
+    # generator invariant: NMS must recover exactly the true regions,
+    # in reading order, with their classes
+    assert len(sel) == len(regions), (media_ref, sel, regions)
+    for d, reg in zip(sel, regions):
+        assert d["label"] == reg["cls"], (media_ref, d, reg)
+    top = max(sel, key=lambda d: d["bbox"][4])
+    gt_regions = [[float(v) for v in d["bbox"]]
+                  + [float(LAYOUT_CLASSES.index(d["label"]))] for d in sel]
+
+    # det boxes live only in text/table regions' grid cells; quantize
+    # to the stored form FIRST so golden and pipeline both derive from
+    # the dequantized tensors
+    cells = [(r, q) for reg in regions if reg["cls"] != "figure"
+             for r in range(*reg["rows"]) for q in range(GRID_COLS)]
+    pm_q = np.round(_gen_det_map(rng, cells) * 255.0).astype(np.uint8)
     pm = pm_q.astype(np.float32) / 255.0
-    boxes = db_postprocess(pm, SHAPE_LIST)  # (K,4,2) float32, src coords
-    boxes = sorted_boxes(boxes)
-    texts = [_gen_text(rng) for _ in range(len(boxes))]
-    logits_q = [_gen_logits(rng, t).astype(np.float16) for t in texts]
-    logits = [lq.astype(np.float32) for lq in logits_q]
-    for lq, txt in zip(logits, texts):
-        got, _ = ctc_decode(lq, CHARSET)
-        assert got == txt, (got, txt)
-    # direction-classifier probs: ~10% predicted "180" (config.py:375-378)
-    cls = []
-    for _ in range(len(boxes)):
-        if rng.random() < 0.1:
-            cls.append([0.15 + 0.1 * float(rng.random()), 0.75])
+    boxes = sorted_boxes(db_postprocess(pm, SHAPE_LIST))
+
+    def region_of(box):
+        cy = float(np.asarray(box)[:, 1].mean())
+        for reg in regions:
+            y1, y2 = region_y_bounds(reg)
+            if y1 <= cy < y2:
+                return reg
+        return None
+
+    box_regions = [region_of(b) for b in boxes]
+    texts: list[str] = []
+    logits_q = []
+    cls: list[list[float]] = []
+    gt_text_idx: list[int] = []
+    for i, breg in enumerate(box_regions):
+        text = _gen_text(rng)
+        texts.append(text)
+        in_text = breg is not None and breg["cls"] == "text_block"
+        if in_text:
+            gt_text_idx.append(i)
+        rot = in_text and rng.random() < ROT_P
+        stored = text[::-1] if rot else text
+        lq = _gen_logits(rng, stored).astype(np.float16)
+        got, _ = ctc_decode(lq.astype(np.float32), CHARSET)
+        assert got == stored, (got, stored)
+        logits_q.append(lq)
+        # float32-quantized like the parquet store, so the in-memory
+        # golden path and the store-backed pipeline emit bit-identical
+        # cls scores
+        if rot:
+            probs = [0.15 + 0.1 * float(rng.random()), 0.75]
         else:
-            cls.append([0.9, 0.05 + 0.1 * float(rng.random())])
+            probs = [0.9, 0.05 + 0.1 * float(rng.random())]
+        cls.append([float(np.float32(p)) for p in probs])
 
     rec = {
         "media_ref": media_ref,
-        "media_kind": kind,
-        "gt_boxes": [[float(v) for v in b.reshape(8)] for b in boxes],
+        "media_kind": top["label"],
+        "gt_boxes": [[float(v) for v in np.asarray(b).reshape(8)]
+                     for b in boxes],
         "gt_structure": "",
-        "layout_scores": [float(s) for s in scores],
+        "cand_boxes": [[float(v) for v in b] for b in cand_boxes],
+        "cand_scores": [[float(v) for v in s] for s in cand_scores],
+        "gt_regions": gt_regions,
+        "gt_text_idx": gt_text_idx,
         "det_map": pm_q.tobytes(),  # uint8 H*W
         "det_h": MAP_H,
         "det_w": MAP_W,
@@ -296,9 +455,10 @@ def media_record(media_ref: str, seed: int = 42) -> dict:
         "struct_v": 0,
         "loc_preds": None,
     }
-    if kind == "table":
+    treg = next((reg for reg in regions if reg["cls"] == "table"), None)
+    if treg is not None:
         vocab = TableVocab(TABLE_TOKENS)
-        sp, lp, toks = _gen_structure(rng, vocab)
+        sp, lp, toks = _gen_structure(rng, vocab, treg["rows"])
         rec["structure_probs"] = sp.astype(np.float16).tobytes()  # float16
         rec["struct_t"] = sp.shape[0]
         rec["struct_v"] = sp.shape[1]
@@ -308,12 +468,15 @@ def media_record(media_ref: str, seed: int = 42) -> dict:
 
 
 def _self_check():  # pragma: no cover — used by tests
-    """Generator invariant: logits decode back to their text."""
+    """Generator invariant: logits decode back to their text (reversed
+    for boxes the cls stage flags as 180)."""
     r = media_record("m00000042")
-    for lg_bytes, txt in zip(r["rec_logits"], r["gt_texts"]):
+    for lg_bytes, txt, cp in zip(r["rec_logits"], r["gt_texts"],
+                                 r["cls_probs"]):
         lg = dequantize_logits(lg_bytes, REC_T, REC_C)
         got, _ = ctc_decode(lg, CHARSET)
-        assert got == txt, (got, txt)
+        rotated = cp[1] > cp[0]
+        assert got == (txt[::-1] if rotated else txt), (got, txt)
 
 
 # ---------------------------------------------------------------------------
@@ -343,7 +506,10 @@ def media_schema():
         T.StructField("media_kind", T.StringType()),
         T.StructField("gt_boxes", T.ArrayType(T.ArrayType(T.FloatType()))),
         T.StructField("gt_structure", T.StringType()),
-        T.StructField("layout_scores", T.ArrayType(T.FloatType())),
+        T.StructField("cand_boxes", T.ArrayType(T.ArrayType(T.FloatType()))),
+        T.StructField("cand_scores", T.ArrayType(T.ArrayType(T.FloatType()))),
+        T.StructField("gt_regions", T.ArrayType(T.ArrayType(T.FloatType()))),
+        T.StructField("gt_text_idx", T.ArrayType(T.IntegerType())),
         T.StructField("det_map", T.BinaryType()),
         T.StructField("det_h", T.IntegerType()),
         T.StructField("det_w", T.IntegerType()),

@@ -20,11 +20,11 @@ import numpy as np
 
 from .corpus import (
     BOILERPLATE_RE,
-    LAYOUT_CLASSES,
     dequantize_logits,
     dequantize_map,
+    select_regions,
 )
-from .kernels.cls import cls_decode
+from .kernels.cls import cls_decode, should_rotate
 from .kernels.ctc import build_charset, ctc_decode
 from .kernels.db import db_postprocess
 from .kernels.matcher import filter_ocr_result, get_pred_html, match_result
@@ -68,19 +68,27 @@ def decode_media_row(row: dict) -> list[dict]:
     """Decode one media fixture row into output span fragments.
 
     Input keys match the ``media`` store schema (corpus.media_schema).
-    Returns ordered fragments: dicts with box_idx, out_kind, out_text,
-    conf, cls_label, cls_score.
-    """
-    layout_idx = int(np.argmax(np.asarray(row["layout_scores"])))
-    kind = LAYOUT_CLASSES[layout_idx]
-    layout_conf = float(row["layout_scores"][layout_idx])
+    Flow (the PP-Structure page pipeline, one page = one media item):
 
-    if kind == "figure":
-        return [{
-            "box_idx": 0, "out_kind": "figure", "out_text": "",
-            "conf": layout_conf, "cls_label": "", "cls_score": 0.0,
-            "aux": "",
-        }]
+    1. layout: ``select_regions`` = PicoDet-style score filter +
+       per-class hard NMS over the candidate boxes
+       (toddleocr/postprocess/picodet.py:155-186), reading-order
+       sorted — the region set DECIDES which fragments exist.
+    2. det once per page (DB post-process, db.py:201-230), boxes
+       assigned to regions by center containment.
+    3. per region: figure → single fragment; text_block → cls rotate
+       predicate (config.py:375-378; rotation = string reversal in
+       fixture world) then rec per box with DROP_SCORE; table →
+       structure decode + OCR match + HTML merge (config.py:830-855 —
+       no cls in the table OCR path, config.py:803-828).
+
+    Returns ordered fragments: dicts with frag_idx (dense order key),
+    box_idx (global det index; -1 for region-level fragments),
+    out_kind, out_text, conf, cls_label, cls_score, aux.
+    """
+    regions = select_regions(row["cand_boxes"], row["cand_scores"])
+    if not regions:
+        return []
 
     pm = dequantize_map(row["det_map"], int(row["det_h"]),
                         int(row["det_w"]))
@@ -94,35 +102,58 @@ def decode_media_row(row: dict) -> list[dict]:
     cls = cls_decode(np.stack(
         [np.asarray(p, dtype=np.float32) for p in row["cls_probs"]])) \
         if len(boxes) else []
+    centers_y = [float(np.asarray(b)[:, 1].mean()) for b in boxes]
 
-    if kind == "text_block":
-        out = []
-        for i, (text, conf) in enumerate(rec):
-            if not text or conf < DROP_SCORE:
-                continue
-            out.append({
-                "box_idx": i, "out_kind": "text_block", "out_text": text,
-                "conf": float(conf), "cls_label": cls[i][0],
-                "cls_score": float(cls[i][1]), "aux": "",
+    frags: list[dict] = []
+    for reg in regions:
+        kind = reg["label"]
+        x1, y1, x2, y2, reg_score = reg["bbox"]
+        if kind == "figure":
+            frags.append({
+                "box_idx": -1, "out_kind": "figure", "out_text": "",
+                "conf": float(reg_score), "cls_label": "",
+                "cls_score": 0.0, "aux": "",
             })
-        return out
-
-    # table: structure decode + OCR match + HTML merge
-    sp = np.frombuffer(row["structure_probs"], dtype=np.float16).reshape(
-        int(row["struct_t"]), int(row["struct_v"])).astype(np.float32)
-    lp = np.frombuffer(row["loc_preds"], dtype=np.float32).reshape(
-        int(row["struct_t"]), 8)
-    tokens, cell_bboxes, struct_score = table_decode(sp, lp, shape_list, _VOCAB)
-    h, w = shape_list[0], shape_list[1]
-    dt_xyxy = [_expand_xyxy(np.asarray(b), h, w) for b in boxes]
-    kept = [(b, r) for b, r in zip(dt_xyxy, rec) if r[0] and r[1] >= DROP_SCORE]
-    dt_xyxy = [b for b, _ in kept]
-    rec_kept = [r for _, r in kept]
-    dt_xyxy, rec_kept = filter_ocr_result(cell_bboxes, dt_xyxy, rec_kept)
-    matched = match_result(dt_xyxy, cell_bboxes)
-    body, _ = get_pred_html(tokens, matched, rec_kept)
-    return [{
-        "box_idx": 0, "out_kind": "table", "out_text": wrap_html(body),
-        "conf": float(struct_score), "cls_label": "", "cls_score": 0.0,
-        "aux": "".join(tokens),  # raw structure-token string (metrics)
-    }]
+            continue
+        idxs = [i for i, cy in enumerate(centers_y) if y1 <= cy < y2]
+        if kind == "text_block":
+            for i in idxs:
+                text, conf = rec[i]
+                label, cscore = cls[i]
+                if should_rotate(label, cscore):
+                    text = text[::-1]
+                if not text or conf < DROP_SCORE:
+                    continue
+                frags.append({
+                    "box_idx": i, "out_kind": "text_block",
+                    "out_text": text, "conf": float(conf),
+                    "cls_label": label, "cls_score": float(cscore),
+                    "aux": "",
+                })
+            continue
+        # table region
+        sp = np.frombuffer(row["structure_probs"], dtype=np.float16).reshape(
+            int(row["struct_t"]), int(row["struct_v"])).astype(np.float32)
+        lp = np.frombuffer(row["loc_preds"], dtype=np.float32).reshape(
+            int(row["struct_t"]), 8)
+        tokens, cell_bboxes, struct_score = table_decode(
+            sp, lp, shape_list, _VOCAB)
+        h, w = shape_list[0], shape_list[1]
+        dt_xyxy = [_expand_xyxy(np.asarray(boxes[i]), h, w) for i in idxs]
+        rec_reg = [rec[i] for i in idxs]
+        kept = [(b, r) for b, r in zip(dt_xyxy, rec_reg)
+                if r[0] and r[1] >= DROP_SCORE]
+        dt_xyxy = [b for b, _ in kept]
+        rec_kept = [r for _, r in kept]
+        dt_xyxy, rec_kept = filter_ocr_result(cell_bboxes, dt_xyxy, rec_kept)
+        matched = match_result(dt_xyxy, cell_bboxes)
+        body, _ = get_pred_html(tokens, matched, rec_kept)
+        frags.append({
+            "box_idx": -1, "out_kind": "table",
+            "out_text": wrap_html(body), "conf": float(struct_score),
+            "cls_label": "", "cls_score": 0.0,
+            "aux": "".join(tokens),  # raw structure-token string (metrics)
+        })
+    for fi, f in enumerate(frags):
+        f["frag_idx"] = fi
+    return frags

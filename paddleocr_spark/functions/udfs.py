@@ -20,15 +20,19 @@ from __future__ import annotations
 __all__ = ["MEDIA_FRAGMENT_SCHEMA", "decode_media"]
 
 MEDIA_FRAGMENT_SCHEMA = (
-    "media_ref string, box_idx int, out_kind string, out_text string, "
-    "conf double, cls_label string, cls_score double, aux string"
+    "media_ref string, frag_idx int, box_idx int, out_kind string, "
+    "out_text string, conf double, cls_label string, cls_score double, "
+    "aux string"
 )
 
 _MEDIA_COLS = [
-    "media_ref", "layout_scores", "det_map", "det_h", "det_w", "shape_list",
-    "rec_logits", "rec_t", "rec_c", "cls_probs",
+    "media_ref", "cand_boxes", "cand_scores", "det_map", "det_h", "det_w",
+    "shape_list", "rec_logits", "rec_t", "rec_c", "cls_probs",
     "structure_probs", "struct_t", "struct_v", "loc_preds",
 ]
+
+_FRAG_COLS = ["frag_idx", "box_idx", "out_kind", "out_text", "conf",
+              "cls_label", "cls_score", "aux"]
 
 
 def _decode_batches(batches):
@@ -37,21 +41,14 @@ def _decode_batches(batches):
 
     from paddleocr_spark.extract_core import decode_media_row
 
-    cols = ["media_ref", "box_idx", "out_kind", "out_text", "conf",
-            "cls_label", "cls_score", "aux"]
     for pdf in batches:
-        out = {c: [] for c in cols}
+        out = {c: [] for c in ["media_ref", *_FRAG_COLS]}
         for row in pdf.itertuples(index=False):
             d = row._asdict()
             for frag in decode_media_row(d):
                 out["media_ref"].append(d["media_ref"])
-                out["box_idx"].append(frag["box_idx"])
-                out["out_kind"].append(frag["out_kind"])
-                out["out_text"].append(frag["out_text"])
-                out["conf"].append(frag["conf"])
-                out["cls_label"].append(frag["cls_label"])
-                out["cls_score"].append(frag["cls_score"])
-                out["aux"].append(frag["aux"])
+                for c in _FRAG_COLS:
+                    out[c].append(frag[c])
         yield pd.DataFrame(out)
 
 

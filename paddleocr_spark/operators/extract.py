@@ -10,7 +10,7 @@ inverted from per-image loops into set-at-a-time DataFrame stages:
       → media branch: decode ONCE PER DISTINCT media_ref (the media
         store is already distinct) via one mapInPandas stage, then
         equi-join the small string fragments back to the spans
-      → union → per-doc (offset, box_idx) window → order
+      → union → per-doc (offset, frag_idx) window → order
       → (doc_id, order, kind, text, media_ref, conf)
 
 Scale design notes (the parts that matter at 10^12 docs):
@@ -74,7 +74,7 @@ def extract_spans(docs_df, media, decode_partitions: int | None = None,
         fragments = decode_media(media, repartition=decode_partitions)
     frags = fragments.select(
         F.col("media_ref").alias("join_key"),
-        "box_idx",
+        "frag_idx",
         F.col("out_kind").alias("f_kind"),
         F.col("out_text").alias("f_text"),
         F.col("conf").alias("f_conf"))
@@ -100,7 +100,7 @@ def extract_spans(docs_df, media, decode_partitions: int | None = None,
                       | ((F.col("kind") == "media")
                          & F.col("f_kind").isNotNull()))
                .select("doc_id", "offset",
-                       F.coalesce("box_idx", F.lit(0)).alias("box_idx"),
+                       F.coalesce("frag_idx", F.lit(0)).alias("frag_idx"),
                        F.when(F.col("kind") == "text", F.lit("text"))
                        .otherwise(F.col("f_kind")).alias("kind"),
                        F.when(F.col("kind") == "text", F.col("clean"))
@@ -114,7 +114,7 @@ def extract_spans(docs_df, media, decode_partitions: int | None = None,
         unioned = unioned.repartition(
             F.col("doc_id"), F.pmod(F.hash("offset"), F.lit(salt_buckets)))
 
-    w = Window.partitionBy("doc_id").orderBy("offset", "box_idx")
+    w = Window.partitionBy("doc_id").orderBy("offset", "frag_idx")
     return (unioned
             .withColumn("order", (F.row_number().over(w) - 1).cast("int"))
             .select("doc_id", "order", "kind", "text", "media_ref", "conf"))

@@ -45,16 +45,27 @@ def rec_metric_pairs(spark, sf_dir: str):
     )
 
 
+def _text_gt(media_df):
+    """Ground-truth (media_ref, box_idx, gt_text) rows for boxes that
+    live in text_block layout regions (the ones the pipeline emits as
+    text fragments)."""
+    from pyspark.sql import functions as F
+
+    return (media_df
+            .select("media_ref", "gt_texts",
+                    F.explode("gt_text_idx").alias("box_idx"))
+            .select("media_ref", "box_idx",
+                    F.element_at("gt_texts", F.col("box_idx") + 1)
+                    .alias("gt_text")))
+
+
 def corpus_rec_metric(media_df, fragments_df):
     """Recognized text vs generator ground truth, joined on
     (media_ref, box_idx). acc should be 1.0 when the pipeline is
     bit-exact."""
     from pyspark.sql import functions as F
 
-    gt = (media_df
-          .where(F.col("media_kind") == "text_block")
-          .select("media_ref",
-                  F.posexplode("gt_texts").alias("box_idx", "gt_text")))
+    gt = _text_gt(media_df)
     pred = (fragments_df
             .where(F.col("out_kind") == "text_block")
             .select("media_ref", "box_idx",
@@ -80,10 +91,7 @@ def corpus_det_metric(media_df, fragments_df):
     combine_results-style global finalize."""
     from pyspark.sql import functions as F
 
-    gt = (media_df
-          .where(F.col("media_kind") == "text_block")
-          .select("media_ref",
-                  F.posexplode("gt_texts").alias("box_idx", "gt_text")))
+    gt = _text_gt(media_df)
     pred = (fragments_df
             .where(F.col("out_kind") == "text_block")
             .select("media_ref", "box_idx",
@@ -185,7 +193,7 @@ def table_structure_metric(media_df, fragments_df):
     ground truth, over table media."""
     from pyspark.sql import functions as F
 
-    gt = (media_df.where(F.col("media_kind") == "table")
+    gt = (media_df.where(F.col("gt_structure") != "")
           .select("media_ref", "gt_structure"))
     pred = (fragments_df.where(F.col("out_kind") == "table")
             .select("media_ref", F.col("aux").alias("pred_structure")))
