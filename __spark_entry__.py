@@ -4,10 +4,14 @@
 the training-data-pipeline additions: dedup, similarity search, text
 analysis). Each SQL-expressible query has a DuckDB oracle in
 ``oracle_sql()`` computing identical values (same hash constructions,
-same rounding); extraction-pipeline queries are non-SQL-expressible
-(NumPy kernels inside Arrow UDFs) and get rows-only checks — their
-exact-value verification is `python -m pytest -x -q` span-sequence
-equality against the sequential reference path.
+same rounding). The extraction-pipeline queries (NumPy kernels inside
+Arrow UDFs) are oracle-checked against the MATERIALIZED sequential
+reference path: ``paddleocr_spark.golden`` writes the pure-Python
+per-document results as parquet, and the oracle is a plain SELECT over
+those goldens — so the driver's hash compare verifies the distributed
+plumbing (explode/join/shuffle/window, Arrow crossings, store
+round-trips) against an independently-executed sequential run.
+`python -m pytest -x -q` additionally asserts span-sequence equality.
 """
 
 from __future__ import annotations
@@ -19,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from paddleocr_spark.corpus import synthesize_docs, synthesize_media
 from paddleocr_spark.functions.udfs import decode_media_store
+from paddleocr_spark.golden import materialize_goldens
 from paddleocr_spark.operators import dedup, metrics, relational, similarity, text
 from paddleocr_spark.operators.extract import extract_spans
 
@@ -54,7 +59,24 @@ def corpus_paths(spark: SparkSession, sf_dir: str,
         n_files = min(256, max(32, n_docs // 128))
         media = synthesize_media(spark, docs, seed=SEED, partitions=n_files)
         media.write.mode("overwrite").parquet(media_path)
+    # sequential-reference goldens (CORRECTNESS oracles); idempotent
+    materialize_goldens(path, n_docs, seed=SEED, heavy_frac=HEAVY_FRAC)
     return docs_path, media_path
+
+
+def _correctness_cache_dir() -> str:
+    """Cache dir for the sf the driver's CORRECTNESS compare runs at
+    (sf0.01). Resolved by row count so it tracks the test data."""
+    try:
+        import duckdb
+
+        n = duckdb.sql(
+            "SELECT count(*) FROM "
+            "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        ).fetchone()[0]
+    except Exception:
+        n = 500
+    return os.path.join(CACHE_ROOT, f"v4_seed{SEED}_n{int(n)}")
 
 
 def load_corpus(spark: SparkSession, sf_dir: str, n_docs: int | None = None):
@@ -68,13 +90,21 @@ def load_corpus(spark: SparkSession, sf_dir: str, n_docs: int | None = None):
 # Extraction queries (rows-only checks; pytest owns exact values)
 
 def _q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     docs_path, media_path = corpus_paths(spark, sf_dir)
-    return extract_spans(spark.read.parquet(docs_path), media_path)
+    out = extract_spans(spark.read.parquet(docs_path), media_path)
+    # 6-dp rounding on BOTH sides of the compare (oracle rounds too)
+    return out.withColumn("conf", F.round("conf", 6))
 
 
 def _q_media_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     _, media_path = corpus_paths(spark, sf_dir)
-    return decode_media_store(spark, media_path)
+    return (decode_media_store(spark, media_path)
+            .withColumn("conf", F.round("conf", 6))
+            .withColumn("cls_score", F.round("cls_score", 6)))
 
 
 def _q_corpus_rec_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,7 +152,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- extraction pipeline (non-SQL; pytest-verified) ---
+        # --- extraction pipeline (golden-oracle-checked + pytest) ---
         "extract_full": _q_extract_full,
         "extract_media_fragments": _q_media_fragments,
         "corpus_rec_metric": _q_corpus_rec_metric,
@@ -252,7 +282,33 @@ def _emb_bands_sql(src: str) -> str:
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{s}'" for s in text.STOPWORDS)
     nq, k = similarity.N_QUERIES, similarity.TOP_K
+    # the extraction oracles read sequential-reference goldens; make
+    # sure they exist regardless of whether the driver ran the Spark
+    # queries first (pure-Python materialization, no SparkSession)
+    gdir = _correctness_cache_dir()
+    try:
+        n = int(gdir.rsplit("_n", 1)[1])
+        materialize_goldens(gdir, n, seed=SEED, heavy_frac=HEAVY_FRAC)
+    except Exception:
+        pass  # oracle queries will surface the miss explicitly
+    g = lambda name: f"read_parquet('{gdir}/{name}.parquet')"
     return {
+        "extract_full": f"""
+            SELECT doc_id, "order", kind, text, media_ref,
+                   round(conf, 6) AS conf
+            FROM {g('golden_spans')}
+        """,
+        "extract_media_fragments": f"""
+            SELECT media_ref, frag_idx, box_idx, out_kind, out_text,
+                   round(conf, 6) AS conf, cls_label,
+                   round(cls_score, 6) AS cls_score, aux
+            FROM {g('golden_fragments')}
+        """,
+        "corpus_rec_metric": f"SELECT * FROM {g('golden_rec_metric')}",
+        "corpus_det_metric": f"SELECT * FROM {g('golden_det_metric')}",
+        "det_iou_metric": f"SELECT * FROM {g('golden_det_iou_metric')}",
+        "table_structure_metric":
+            f"SELECT * FROM {g('golden_table_structure_metric')}",
         "filter_lang_length": """
             SELECT lang, source,
                    count(*)::bigint AS n_docs,

@@ -1,0 +1,183 @@
+"""Golden artifacts for the extraction pipeline's CORRECTNESS oracles.
+
+The extraction kernels are not SQL-expressible, but their *golden
+output is*: the sequential pure-Python reference path
+(``reference_path.golden_corpus``, mirroring toddleocr's per-image flow
+``config.py:419-439``) is materialized as parquet next to the media
+store, and each extraction query gets a DuckDB oracle of the form
+``SELECT ... FROM read_parquet('golden_*.parquet')``. The driver then
+hash-compares the distributed Spark result against the sequential
+result — a genuine independent check of everything that can break at
+scale (explode/join/shuffle/window plumbing, Arrow crossings, store
+round-trips), since the two sides share only the NumPy kernel math.
+
+Metric goldens replicate the Spark aggregation semantics exactly:
+integer sums are exact; the two float averages (norm edit distance)
+agree to well past the 6-dp rounding both sides apply.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .corpus import dequantize_map
+from .extract_core import decode_media_row
+from .kernels.db import db_postprocess
+from .kernels.eval_det_iou import evaluate_image
+from .reference_path import golden_corpus
+
+__all__ = ["levenshtein", "compute_goldens", "materialize_goldens",
+           "GOLDEN_FILES"]
+
+GOLDEN_FILES = [
+    "golden_spans.parquet",
+    "golden_fragments.parquet",
+    "golden_rec_metric.parquet",
+    "golden_det_metric.parquet",
+    "golden_det_iou_metric.parquet",
+    "golden_table_structure_metric.parquet",
+]
+
+_FRAG_COLS = ["frag_idx", "box_idx", "out_kind", "out_text", "conf",
+              "cls_label", "cls_score", "aux"]
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Plain DP edit distance — the twin of Spark's F.levenshtein and
+    DuckDB's levenshtein() (reference: rapidfuzz normalized_distance at
+    toddleocr/metrics/rec.py:38, same unit-cost model)."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def compute_goldens(n_docs: int, seed: int = 42, heavy_frac: float = 0.01):
+    """Run the sequential reference path and derive every golden table.
+    Returns {name: list[dict]} keyed like GOLDEN_FILES (sans ext)."""
+    _, media, golden = golden_corpus(n_docs, seed, heavy_frac)
+
+    spans = [{"doc_id": r["doc_id"], "order": r["order"], "kind": r["kind"],
+              "text": r["text"], "media_ref": r["media_ref"],
+              "conf": float(r["conf"])} for r in golden]
+
+    frags = []
+    for ref in sorted(media):
+        for f in decode_media_row(media[ref]):
+            frags.append({"media_ref": ref,
+                          **{k: f[k] for k in _FRAG_COLS}})
+
+    # --- corpus_rec_metric / corpus_det_metric (text-region boxes) ---
+    pred_text = {(r["media_ref"], r["box_idx"]): r["out_text"]
+                 for r in frags if r["out_kind"] == "text_block"}
+    correct = 0
+    dists = []
+    gt_keys = set()
+    for ref, m in media.items():
+        for i in m["gt_text_idx"]:
+            gt_keys.add((ref, i))
+            gt = m["gt_texts"][i]
+            p = pred_text.get((ref, i))
+            if p is not None and p == gt:
+                correct += 1
+            pp = p if p is not None else ""
+            dists.append(levenshtein(pp, gt) / max(len(pp), len(gt)))
+    all_num = len(gt_keys)
+    rec_metric = [{
+        "correct_num": correct, "all_num": all_num,
+        "acc": round(correct / all_num, 6),
+        "norm_edit_dis": round(1.0 - sum(dists) / len(dists), 6),
+    }]
+
+    # full-join counts per media, then the combine_results finalize
+    g_tot = len(gt_keys)
+    d_tot = len(pred_text)
+    m_tot = sum(1 for k, p in pred_text.items()
+                if k in gt_keys and p == media[k[0]]["gt_texts"][k[1]])
+    det_metric = [{
+        "gt_total": g_tot, "det_total": d_tot, "matched_total": m_tot,
+        "precision": round(m_tot / d_tot, 6),
+        "recall": round(m_tot / g_tot, 6),
+        "hmean": round(2 * m_tot / (d_tot + g_tot), 6),
+    }]
+
+    # --- det_iou_metric (greedy IoU matching per media) ---
+    mm = gg = dd = 0
+    for m in media.values():
+        pm = dequantize_map(m["det_map"], int(m["det_h"]), int(m["det_w"]))
+        pred = db_postprocess(pm, [float(x) for x in m["shape_list"]])
+        gt = [{"points": np.asarray(b, dtype=np.float64).reshape(4, 2)}
+              for b in m["gt_boxes"]]
+        a, b, c = evaluate_image(gt, [{"points": p} for p in pred])
+        mm += a
+        gg += b
+        dd += c
+    det_iou = [{
+        "matched_total": mm, "gt_total": gg, "det_total": dd,
+        "precision": round(mm / dd, 6) if dd else 0.0,
+        "recall": round(mm / gg, 6) if gg else 0.0,
+        "hmean": round(2 * mm / (dd + gg), 6) if (dd + gg) else 0.0,
+    }]
+
+    # --- table_structure_metric ---
+    pred_aux = {r["media_ref"]: r["aux"] for r in frags
+                if r["out_kind"] == "table"}
+    tbl = [(ref, m["gt_structure"]) for ref, m in media.items()
+           if m["gt_structure"]]
+    t_correct = sum(1 for ref, gt in tbl if pred_aux.get(ref) == gt)
+    table_metric = [{
+        "correct_num": t_correct, "all_num": len(tbl),
+        "acc": round(t_correct / len(tbl), 6) if tbl else 0.0,
+    }]
+
+    return {
+        "golden_spans": spans,
+        "golden_fragments": frags,
+        "golden_rec_metric": rec_metric,
+        "golden_det_metric": det_metric,
+        "golden_det_iou_metric": det_iou,
+        "golden_table_structure_metric": table_metric,
+    }
+
+
+_INT32_COLS = {"order", "frag_idx", "box_idx"}
+
+
+def materialize_goldens(path: str, n_docs: int, seed: int = 42,
+                        heavy_frac: float = 0.01, force: bool = False):
+    """Write every golden table as a single parquet file under path
+    (idempotent). Pure Python + pyarrow — needs no SparkSession, so the
+    oracle side can ensure goldens exist independently of the driver's
+    query-execution order."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not force and all(os.path.exists(os.path.join(path, f))
+                         for f in GOLDEN_FILES):
+        return
+    os.makedirs(path, exist_ok=True)
+    tables = compute_goldens(n_docs, seed, heavy_frac)
+    for name, rows in tables.items():
+        df = pd.DataFrame(rows)
+        for c in df.columns:
+            if c in _INT32_COLS:
+                df[c] = df[c].astype(np.int32)
+            elif df[c].dtype == np.int64 or c in ("correct_num", "all_num",
+                                                  "gt_total", "det_total",
+                                                  "matched_total"):
+                df[c] = df[c].astype(np.int64)
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       os.path.join(path, f"{name}.parquet"))
