@@ -131,6 +131,15 @@ def _q_table_structure_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         media, decode_media_store(spark, media_path))
 
 
+def _q_table_master_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableMasterMatcher cascade over every table-bearing media item
+    (the reference's second table-match algorithm)."""
+    from paddleocr_spark.functions.udfs import master_html_store
+
+    _, media_path = corpus_paths(spark, sf_dir)
+    return master_html_store(spark, media_path)
+
+
 def _q_filter_lang_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate coverage: isin filter (ClsLabelEncode drop,
     label_ops.py:12-22) + length-range predicate (label_ops.py:129-130),
@@ -141,6 +150,25 @@ def _q_filter_lang_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (df.where(F.col("lang").isin("en", "es")
                      & F.col("n_chars").between(100, 300))
             .groupBy("lang", "source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))
+
+
+def _q_sampled_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleDataSet multi-source ratio sampling + union
+    (simple.py:31-45): two deterministic hash samples unioned, then a
+    per-lang summary."""
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.sources.tables import (
+        load_documents_sampled,
+        union_sources,
+    )
+
+    a = load_documents_sampled(spark, sf_dir, 0.5, seed=1)
+    b = load_documents_sampled(spark, sf_dir, 0.25, seed=2)
+    return (union_sources(a, b)
+            .groupBy("lang")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("n_chars").cast("long").alias("total_chars")))
 
@@ -159,8 +187,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_det_metric": _q_corpus_det_metric,
         "det_iou_metric": _q_det_iou_metric,
         "table_structure_metric": _q_table_structure_metric,
+        "table_master_html": _q_table_master_html,
         # --- text analysis (oracle-checked) ---
         "filter_lang_length": _q_filter_lang_length,
+        "sampled_union": _q_sampled_union,
         "clean_boilerplate": text.clean_documents,
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
@@ -177,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": similarity.embedding_near_dups,
         # --- metric aggregations (oracle-checked) ---
         "rec_metric_pairs": metrics.rec_metric_pairs,
+        "cls_cnt_metric_pairs": metrics.cls_cnt_metric_pairs,
         # --- relational coverage (oracle-checked) ---
         "pricing_summary": relational.pricing_summary,
         "revenue_by_region": relational.revenue_by_region,
@@ -309,6 +340,8 @@ def oracle_sql() -> dict[str, str]:
         "det_iou_metric": f"SELECT * FROM {g('golden_det_iou_metric')}",
         "table_structure_metric":
             f"SELECT * FROM {g('golden_table_structure_metric')}",
+        "table_master_html":
+            f"SELECT media_ref, master_html FROM {g('golden_master_html')}",
         "filter_lang_length": """
             SELECT lang, source,
                    count(*)::bigint AS n_docs,
@@ -316,6 +349,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE lang IN ('en', 'es') AND n_chars BETWEEN 100 AND 300
             GROUP BY lang, source
+        """,
+        "sampled_union": f"""
+            WITH s AS (
+              SELECT lang, n_chars FROM documents
+              WHERE {_wh(1, 'doc_id::varchar')} % 1000000 < 500000
+              UNION ALL
+              SELECT lang, n_chars FROM documents
+              WHERE {_wh(2, 'doc_id::varchar')} % 1000000 < 250000)
+            SELECT lang, count(*)::bigint AS n_docs,
+                   sum(n_chars)::bigint AS total_chars
+            FROM s GROUP BY lang
+        """,
+        "cls_cnt_metric_pairs": """
+            WITH pairs AS (
+              SELECT a.lang AS pred, b.lang AS label
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)
+            SELECT sum((pred = label)::bigint)::bigint AS correct_num,
+                   count(*)::bigint AS all_num,
+                   round(avg((pred = label)::int), 6) AS acc
+            FROM pairs
         """,
         "clean_boilerplate": f"""
             SELECT doc_id,

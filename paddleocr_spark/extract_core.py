@@ -27,11 +27,13 @@ from .corpus import (
 from .kernels.cls import cls_decode, should_rotate
 from .kernels.ctc import build_charset, ctc_decode
 from .kernels.db import db_postprocess
+from .kernels.master_match import table_master_match
 from .kernels.matcher import filter_ocr_result, get_pred_html, match_result
 from .kernels.reading_order import sorted_boxes
 from .kernels.table import TableVocab, table_decode, wrap_html
 
-__all__ = ["clean_text", "decode_media_row", "DROP_SCORE"]
+__all__ = ["clean_text", "decode_media_row", "master_html_for_row",
+           "DROP_SCORE"]
 
 # rec results below this confidence are dropped, as the engine's
 # drop_score (toddleocr/engine.py:355, config default 0.5).
@@ -157,3 +159,48 @@ def decode_media_row(row: dict) -> list[dict]:
     for fi, f in enumerate(frags):
         f["frag_idx"] = fi
     return frags
+
+
+def master_html_for_row(row: dict) -> str | None:
+    """TableMaster-variant HTML for a media item's table region — the
+    reference's ``algorithm == "TableMaster"`` branch of the table
+    pipeline (``toddleocr/config.py:846-851``): same det + rec, but the
+    3-rule ``TableMasterMatcher`` cascade instead of ``TableMatch``.
+
+    Boxes are passed as the ``_ocr`` r_boxes form (xyxy with a ±1
+    margin clipped to the image, ``config.py:805-816``); structure
+    cells collapse their 8-coord corners to xyxy; no drop_score filter
+    (the reference hands every rec result to the master matcher).
+    Returns None when the media has no table region."""
+    regions = select_regions(row["cand_boxes"], row["cand_scores"])
+    treg = next((r for r in regions if r["label"] == "table"), None)
+    if treg is None:
+        return None
+    pm = dequantize_map(row["det_map"], int(row["det_h"]), int(row["det_w"]))
+    shape_list = [float(x) for x in row["shape_list"]]
+    h, w = shape_list[0], shape_list[1]
+    boxes = sorted_boxes(db_postprocess(pm, shape_list))
+    t, c = int(row["rec_t"]), int(row["rec_c"])
+    rec = [ctc_decode(dequantize_logits(lg, t, c), _CHARSET)
+           for lg in row["rec_logits"]]
+    _, y1, _, y2, _ = treg["bbox"]
+    idxs = [i for i, b in enumerate(boxes)
+            if y1 <= float(np.asarray(b)[:, 1].mean()) < y2]
+    sp = np.frombuffer(row["structure_probs"], dtype=np.float16).reshape(
+        int(row["struct_t"]), int(row["struct_v"])).astype(np.float32)
+    lp = np.frombuffer(row["loc_preds"], dtype=np.float32).reshape(
+        int(row["struct_t"]), 8)
+    tokens, cell_bboxes, _ = table_decode(sp, lp, shape_list, _VOCAB)
+    cells_xyxy = [[float(b[0::2].min()), float(b[1::2].min()),
+                   float(b[0::2].max()), float(b[1::2].max())]
+                  for b in np.asarray(cell_bboxes).reshape(-1, 8)]
+    dt_xyxy = []
+    for i in idxs:
+        b = np.asarray(boxes[i])
+        dt_xyxy.append([max(0.0, float(b[:, 0].min()) - 1),
+                        max(0.0, float(b[:, 1].min()) - 1),
+                        min(w, float(b[:, 0].max()) + 1),
+                        min(h, float(b[:, 1].max()) + 1)])
+    texts = [rec[i][0] for i in idxs]
+    body = table_master_match(tokens, cells_xyxy, dt_xyxy, texts)
+    return wrap_html(body)

@@ -127,3 +127,31 @@ def decode_media_store(spark, store_path: str):
     """media store directory → fragment DataFrame (fast path)."""
     return map_media_store(spark, store_path, _decode_batches,
                            MEDIA_FRAGMENT_SCHEMA, columns=_MEDIA_COLS)
+
+
+# TableMaster variant: same det+rec, 3-rule cascade match instead of
+# TableMatch (config.py:846-851); one row per table-bearing media.
+
+_MASTER_COLS = [c for c in _MEDIA_COLS if c != "cls_probs"]
+
+
+def _master_html_batches(batches):
+    import pandas as pd
+
+    from paddleocr_spark.extract_core import master_html_for_row
+
+    for pdf in batches:
+        refs, htmls = [], []
+        for row in pdf.itertuples(index=False):
+            d = row._asdict()
+            html = master_html_for_row(d)
+            if html is not None:
+                refs.append(d["media_ref"])
+                htmls.append(html)
+        yield pd.DataFrame({"media_ref": refs, "master_html": htmls})
+
+
+def master_html_store(spark, store_path: str):
+    return map_media_store(spark, store_path, _master_html_batches,
+                           "media_ref string, master_html string",
+                           columns=_MASTER_COLS)

@@ -23,7 +23,7 @@ import os
 import numpy as np
 
 from .corpus import dequantize_map
-from .extract_core import decode_media_row
+from .extract_core import decode_media_row, master_html_for_row
 from .kernels.db import db_postprocess
 from .kernels.eval_det_iou import evaluate_image
 from .reference_path import golden_corpus
@@ -38,6 +38,7 @@ GOLDEN_FILES = [
     "golden_det_metric.parquet",
     "golden_det_iou_metric.parquet",
     "golden_table_structure_metric.parquet",
+    "golden_master_html.parquet",
 ]
 
 _FRAG_COLS = ["frag_idx", "box_idx", "out_kind", "out_text", "conf",
@@ -142,9 +143,17 @@ def compute_goldens(n_docs: int, seed: int = 42, heavy_frac: float = 0.01):
         "acc": round(t_correct / len(tbl), 6) if tbl else 0.0,
     }]
 
+    # --- TableMaster-variant HTML per table media ---
+    master = []
+    for ref in sorted(media):
+        html = master_html_for_row(media[ref])
+        if html is not None:
+            master.append({"media_ref": ref, "master_html": html})
+
     return {
         "golden_spans": spans,
         "golden_fragments": frags,
+        "golden_master_html": master,
         "golden_rec_metric": rec_metric,
         "golden_det_metric": det_metric,
         "golden_det_iou_metric": det_iou,

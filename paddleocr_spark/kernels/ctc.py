@@ -9,13 +9,19 @@ probs (0.0 if nothing survives).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
-__all__ = ["build_charset", "ctc_decode", "ctc_decode_batch", "DEFAULT_CHARS"]
+__all__ = ["build_charset", "load_charset_file", "ctc_decode",
+           "ctc_decode_batch", "pred_reverse", "DEFAULT_CHARS",
+           "DIGIT_CHARS"]
 
 # 95 printable ASCII (space last, mirroring use_space_char=True which
 # appends " " after the dict chars; rec.py:43-44)
 DEFAULT_CHARS = [chr(c) for c in range(33, 127)] + [" "]
+# ic15-style digit-only dict (toddleocr/utils/dict/ic15_dict.txt shape)
+DIGIT_CHARS = [str(d) for d in range(10)]
 
 
 def build_charset(chars=None):
@@ -24,8 +30,47 @@ def build_charset(chars=None):
     return ["blank"] + list(chars if chars is not None else DEFAULT_CHARS)
 
 
-def ctc_decode(logits: np.ndarray, charset: list[str]):
-    """One sequence: logits (T, C) -> (text, conf)."""
+def load_charset_file(path: str, use_space_char: bool = True):
+    """Parse a reference-format dict file — one character per line,
+    optional trailing space char (``rec.py:36-45``). Returns
+    (chars, reverse) where reverse mirrors the ``"arabic" in path``
+    RTL switch (``rec.py:46-47``). The char list feeds
+    ``build_charset`` and is BROADCAST to executors alongside weights
+    (SURVEY §2.1 'weights/dict broadcast')."""
+    chars = []
+    with open(path, "rb") as fin:
+        for line in fin:
+            chars.append(line.decode("utf-8").strip("\n").strip("\r\n"))
+    if use_space_char:
+        chars.append(" ")
+    return chars, "arabic" in str(path)
+
+
+_LTR_RE = re.compile("[a-zA-Z0-9 :*./%+-]")
+
+
+def pred_reverse(pred: str) -> str:
+    """RTL post-fix (``rec.py:54-67``): maximal runs of LTR-safe chars
+    keep their internal order; the run sequence is reversed."""
+    segs: list[str] = []
+    current = ""
+    for c in pred:
+        if not _LTR_RE.search(c):
+            if current:
+                segs.append(current)
+            segs.append(c)
+            current = ""
+        else:
+            current += c
+    if current:
+        segs.append(current)
+    return "".join(segs[::-1])
+
+
+def ctc_decode(logits: np.ndarray, charset: list[str],
+               reverse: bool = False):
+    """One sequence: logits (T, C) -> (text, conf). ``reverse`` applies
+    the RTL segment reversal (arabic dicts; ``rec.py:92-93``)."""
     idx = logits.argmax(axis=1)
     prob = logits.max(axis=1)
     selection = np.ones(len(idx), dtype=bool)
@@ -35,9 +80,14 @@ def ctc_decode(logits: np.ndarray, charset: list[str]):
     conf = prob[selection]
     if len(conf) == 0:
         return "", 0.0
-    return "".join(chars), float(np.mean(conf))
+    text = "".join(chars)
+    if reverse:
+        text = pred_reverse(text)
+    return text, float(np.mean(conf))
 
 
-def ctc_decode_batch(logits_batch, charset: list[str]):
+def ctc_decode_batch(logits_batch, charset: list[str],
+                     reverse: bool = False):
     """List of (T, C) arrays (ragged T allowed) -> list[(text, conf)]."""
-    return [ctc_decode(np.asarray(lg), charset) for lg in logits_batch]
+    return [ctc_decode(np.asarray(lg), charset, reverse)
+            for lg in logits_batch]

@@ -28,7 +28,8 @@ from .geometry import (
     unclip_rect,
 )
 
-__all__ = ["DBParams", "boxes_from_bitmap", "db_postprocess", "filter_tag_det_res"]
+__all__ = ["DBParams", "boxes_from_bitmap", "db_postprocess",
+           "filter_tag_det_res", "component_score_slow"]
 
 
 class DBParams:
@@ -41,12 +42,33 @@ class DBParams:
         max_candidates: int = 1000,
         unclip_ratio: float = 2.0,
         min_size: int = 3,
+        score_mode: str = "fast",
     ):
+        assert score_mode in ("fast", "slow"), score_mode
         self.thresh = thresh
         self.box_thresh = box_thresh
         self.max_candidates = max_candidates
         self.unclip_ratio = unclip_ratio
         self.min_size = min_size
+        self.score_mode = score_mode
+
+
+def component_score_slow(pred: np.ndarray, run_points: np.ndarray) -> float:
+    """``box_score_slow`` (``db.py:180-199``): mean of the prob map
+    over the component's OWN region rather than its min-rect bbox mask.
+    The reference rasterizes the contour with fillPoly; our connected
+    components carry run endpoints (alternating left/right per row), so
+    the exact region mean is the sum over the row spans — equivalent
+    for any component shape, including non-convex ones."""
+    total = 0.0
+    count = 0
+    for k in range(0, len(run_points), 2):
+        x0, y = int(run_points[k][0]), int(run_points[k][1])
+        x1 = int(run_points[k + 1][0])
+        seg = pred[y, x0:x1 + 1]
+        total += float(seg.sum())
+        count += seg.size
+    return total / count if count else 0.0
 
 
 def get_mini_boxes(points: np.ndarray):
@@ -90,7 +112,10 @@ def boxes_from_bitmap(
         box, sside = get_mini_boxes(pts)
         if sside < p.min_size:
             continue
-        score = polygon_mask_mean(pred, box)
+        if p.score_mode == "slow":
+            score = component_score_slow(pred, pts)
+        else:
+            score = polygon_mask_mean(pred, box)
         if p.box_thresh > score:
             continue
         expanded = unclip_rect(box, p.unclip_ratio)

@@ -18,8 +18,8 @@ IS Spark's partial aggregation; SURVEY.md §2.4).
 
 from __future__ import annotations
 
-__all__ = ["rec_metric_pairs", "corpus_rec_metric", "corpus_det_metric",
-           "det_iou_metric", "table_structure_metric"]
+__all__ = ["rec_metric_pairs", "cls_cnt_metric_pairs", "corpus_rec_metric",
+           "corpus_det_metric", "det_iou_metric", "table_structure_metric"]
 
 
 def rec_metric_pairs(spark, sf_dir: str):
@@ -42,6 +42,28 @@ def rec_metric_pairs(spark, sf_dir: str):
         F.round(F.avg((F.col("pred") == F.col("target")).cast("double")), 6)
         .alias("acc"),
         F.round(1 - F.avg(dist), 6).alias("norm_edit_dis"),
+    )
+
+
+def cls_cnt_metric_pairs(spark, sf_dir: str):
+    """ClsMetric / CNTMetric exact-match accuracy
+    (``toddleocr/metrics/cls.py:4-29``, ``metrics/rec.py:62-87``): the
+    same partial (correct, all) accumulate + final acc shape as
+    RecMetric, without the edit-distance term. Applied to
+    consecutive-doc label pairs so a DuckDB oracle verifies it."""
+    from pyspark.sql import functions as F
+
+    df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+          .select(F.col("doc_id").cast("long").alias("doc_id"), "lang"))
+    a = df.select("doc_id", F.col("lang").alias("pred"))
+    b = df.select((F.col("doc_id") - 1).alias("doc_id"),
+                  F.col("lang").alias("label"))
+    pairs = a.join(b, "doc_id")
+    match = (F.col("pred") == F.col("label")).cast("long")
+    return pairs.agg(
+        F.sum(match).alias("correct_num"),
+        F.count("*").cast("long").alias("all_num"),
+        F.round(F.avg(match.cast("double")), 6).alias("acc"),
     )
 
 

@@ -21,10 +21,21 @@ def load_table(spark, sf_dir: str, name: str):
 
 def load_documents_sampled(spark, sf_dir: str, ratio: float, seed: int = 42):
     """Multi-source sampling: the ``ratio_list`` mechanism of
-    SimpleDataSet (``simple.py:39-45``) is ``df.sample`` — deterministic
-    under a fixed seed, executed scan-side."""
+    SimpleDataSet (``simple.py:39-45``) as a DETERMINISTIC hash filter
+    (md5(seed:doc_id) mod 10^6 < ratio*10^6) rather than df.sample —
+    same membership on every engine and every partition layout, so the
+    DuckDB oracle reproduces the sample exactly, and at 10^12 rows the
+    predicate is scan-side and partition-independent."""
+    from pyspark.sql import functions as F
+
     df = load_table(spark, sf_dir, "documents")
-    return df if ratio >= 1.0 else df.sample(fraction=ratio, seed=seed)
+    if ratio >= 1.0:
+        return df
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"),
+                                   F.col("doc_id").cast("string"))), 1, 15),
+        16, 10).cast("long") % 1000000
+    return df.where(bucket < int(ratio * 1000000))
 
 
 def union_sources(*dfs):
