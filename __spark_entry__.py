@@ -24,7 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 from paddleocr_spark.corpus import synthesize_docs, synthesize_media
 from paddleocr_spark.functions.udfs import decode_media_store
 from paddleocr_spark.golden import materialize_goldens
-from paddleocr_spark.operators import dedup, metrics, relational, similarity, text
+from paddleocr_spark.operators import (
+    dedup,
+    kie,
+    metrics,
+    relational,
+    similarity,
+    text,
+)
 from paddleocr_spark.operators.extract import extract_spans
 
 CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -154,6 +161,21 @@ def _q_filter_lang_length(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_chars").cast("long").alias("total_chars")))
 
 
+def _q_ser_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media_path = corpus_paths(spark, sf_dir)
+    return kie.ser_entities(decode_media_store(spark, media_path))
+
+
+def _q_re_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media_path = corpus_paths(spark, sf_dir)
+    return kie.re_pairs(decode_media_store(spark, media_path))
+
+
+def _q_kie_re_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media_path = corpus_paths(spark, sf_dir)
+    return kie.kie_re_metric(decode_media_store(spark, media_path))
+
+
 def _q_sampled_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimpleDataSet multi-source ratio sampling + union
     (simple.py:31-45): two deterministic hash samples unioned, then a
@@ -188,6 +210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_iou_metric": _q_det_iou_metric,
         "table_structure_metric": _q_table_structure_metric,
         "table_master_html": _q_table_master_html,
+        # --- SER/RE key-information extraction (oracle-checked) ---
+        "ser_entities": _q_ser_entities,
+        "re_pairs": _q_re_pairs,
+        "kie_re_metric": _q_kie_re_metric,
         # --- text analysis (oracle-checked) ---
         "filter_lang_length": _q_filter_lang_length,
         "sampled_union": _q_sampled_union,
@@ -294,6 +320,54 @@ def _cos_sql(a: str, b: str) -> str:
             f"sqrt(list_dot_product({b}, {b}))), 6)")
 
 
+# DuckDB twins of operators.kie — same salted hashes over the golden
+# fragments parquet.
+def _ser_cte(gdir: str, label_salt: int, pfx: str) -> str:
+    return f"""
+{pfx}toks AS (
+  SELECT media_ref, box_idx, unnest(string_split(out_text, ' ')) AS tok
+  FROM read_parquet('{gdir}/golden_fragments.parquet')
+  WHERE out_kind = 'text_block'),
+{pfx}lab AS (
+  SELECT media_ref, box_idx,
+         ({_wh(label_salt, 'tok')} % {kie.N_BIO_IDS})::int AS lab
+  FROM {pfx}toks),
+{pfx}cnt AS (
+  SELECT media_ref, box_idx,
+         CASE WHEN lab = 0 THEN 0
+              WHEN lab % 2 = 0 THEN lab - 1 ELSE lab END AS fid,
+         count(*) AS n
+  FROM {pfx}lab GROUP BY ALL),
+{pfx}pick AS (
+  SELECT media_ref, box_idx, fid,
+         row_number() OVER (PARTITION BY media_ref, box_idx
+                            ORDER BY n DESC, fid ASC) AS rk
+  FROM {pfx}cnt),
+{pfx}ent AS (
+  SELECT media_ref, box_idx,
+         CASE fid WHEN 1 THEN 'QUESTION' WHEN 3 THEN 'ANSWER'
+              ELSE 'HEADER' END AS label
+  FROM {pfx}pick WHERE rk = 1 AND fid <> 0)"""
+
+
+def _re_cte(label_salt: int, link_salt: int, pfx: str) -> str:
+    lk = _wh(link_salt,
+             "concat(media_ref, ':', head_box::varchar, ':', "
+             "tail_box::varchar)")
+    return f"""
+{pfx}cand AS (
+  SELECT q.media_ref, q.box_idx AS head_box, a.box_idx AS tail_box
+  FROM {pfx}ent q JOIN {pfx}ent a USING (media_ref)
+  WHERE q.label = 'QUESTION' AND a.label = 'ANSWER'),
+{pfx}linked AS (
+  SELECT * FROM {pfx}cand WHERE {lk} % 100 < {kie.LINK_PCT}),
+{pfx}pairs AS (
+  SELECT media_ref, head_box, tail_box FROM (
+    SELECT *, row_number() OVER (PARTITION BY media_ref, tail_box
+                                 ORDER BY head_box ASC) AS rk
+    FROM {pfx}linked) WHERE rk = 1)"""
+
+
 # DuckDB twin of similarity._band_buckets: per-band sign-bitmask
 # buckets from the same seeded hyperplane literals.
 def _emb_bands_sql(src: str) -> str:
@@ -342,6 +416,45 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM {g('golden_table_structure_metric')}",
         "table_master_html":
             f"SELECT media_ref, master_html FROM {g('golden_master_html')}",
+        "ser_entities": (
+            "WITH " + _ser_cte(gdir, kie.LABEL_SALT, "p") +
+            "\nSELECT media_ref, box_idx, label FROM pent"),
+        "re_pairs": (
+            "WITH " + _ser_cte(gdir, kie.LABEL_SALT, "p") + "," +
+            _re_cte(kie.LABEL_SALT, kie.LINK_SALT, "p") +
+            "\nSELECT media_ref, head_box, tail_box FROM ppairs"),
+        "kie_re_metric": (
+            "WITH " + _ser_cte(gdir, kie.LABEL_SALT, "p") + "," +
+            _re_cte(kie.LABEL_SALT, kie.LINK_SALT, "p") + "," +
+            _ser_cte(gdir, kie.GT_LABEL_SALT, "g") + "," +
+            _re_cte(kie.GT_LABEL_SALT, kie.GT_LINK_SALT, "g") + f"""
+            , j AS (
+              SELECT coalesce(p.one, 0) AS in_pred,
+                     coalesce(q.one, 0) AS in_gt
+              FROM (SELECT *, 1 AS one FROM ppairs) p
+              FULL JOIN (SELECT *, 1 AS one FROM gpairs) q
+              USING (media_ref, head_box, tail_box)),
+            t AS (SELECT sum(in_pred * in_gt)::bigint AS tp,
+                         sum(in_pred)::bigint AS n_pred,
+                         sum(in_gt)::bigint AS n_gt FROM j)
+            SELECT coalesce(tp, 0) AS tp,
+                   coalesce(n_pred, 0) AS n_pred,
+                   coalesce(n_gt, 0) AS n_gt,
+                   round(CASE WHEN n_pred > 0
+                              THEN tp::double / n_pred ELSE 0 END, 6)
+                       AS precision,
+                   round(CASE WHEN n_gt > 0
+                              THEN tp::double / n_gt ELSE 0 END, 6)
+                       AS recall,
+                   round(CASE WHEN n_pred > 0 AND n_gt > 0
+                               AND tp::double / n_pred
+                                   + tp::double / n_gt > 0
+                              THEN 2 * (tp::double / n_pred)
+                                   * (tp::double / n_gt)
+                                   / (tp::double / n_pred
+                                      + tp::double / n_gt)
+                              ELSE 0 END, 6) AS hmean
+            FROM t"""),
         "filter_lang_length": """
             SELECT lang, source,
                    count(*)::bigint AS n_docs,

@@ -7,8 +7,12 @@ analogue is epoch-level ``.pth``+``.states`` checkpointing
 unit is a deterministic hash bucket of doc_id.
 
 Design (Iceberg in production — ``MERGE``/append per partition with
-snapshot isolation; plain parquet directories here, since the sandbox
-image carries no Iceberg runtime jars — the logic is identical):
+snapshot isolation; plain parquet directories here. Verified round 2:
+the image ships NO iceberg-spark-runtime jar anywhere on disk
+(``find / -name '*iceberg*'`` → none, no pyiceberg either) and has no
+network to fetch one, so ``spark.jars``/``spark.jars.packages`` cannot
+load it; the parquet fallback is the only option and the logic is
+identical):
 
 - output written under   <out>/spans/bucket=<b>/
 - checkpoint rows under  <out>/checkpoint/ with schema
