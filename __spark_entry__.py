@@ -138,6 +138,21 @@ def _q_table_structure_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         media, decode_media_store(spark, media_path))
 
 
+def _q_sr_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media_path = corpus_paths(spark, sf_dir)
+    return metrics.sr_metric(media_path)
+
+
+def _q_can_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media_path = corpus_paths(spark, sf_dir)
+    return metrics.can_metric(media_path)
+
+
+def _q_e2e_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media_path = corpus_paths(spark, sf_dir)
+    return metrics.e2e_metric(media_path)
+
+
 def _q_table_master_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TableMasterMatcher cascade over every table-bearing media item
     (the reference's second table-match algorithm)."""
@@ -209,6 +224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_det_metric": _q_corpus_det_metric,
         "det_iou_metric": _q_det_iou_metric,
         "table_structure_metric": _q_table_structure_metric,
+        "sr_metric": _q_sr_metric,
+        "can_metric": _q_can_metric,
+        "e2e_metric": _q_e2e_metric,
         "table_master_html": _q_table_master_html,
         # --- SER/RE key-information extraction (oracle-checked) ---
         "ser_entities": _q_ser_entities,
@@ -416,6 +434,9 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM {g('golden_table_structure_metric')}",
         "table_master_html":
             f"SELECT media_ref, master_html FROM {g('golden_master_html')}",
+        "sr_metric": f"SELECT * FROM {g('golden_sr_metric')}",
+        "can_metric": f"SELECT * FROM {g('golden_can_metric')}",
+        "e2e_metric": f"SELECT * FROM {g('golden_e2e_metric')}",
         "ser_entities": (
             "WITH " + _ser_cte(gdir, kie.LABEL_SALT, "p") +
             "\nSELECT media_ref, box_idx, label FROM pent"),

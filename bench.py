@@ -35,12 +35,17 @@ BENCH_QUERIES = [
     "corpus_det_metric",
     "clean_boilerplate",
     "quality_scores",
+    "table_master_html",
+    "ser_entities",
+    "re_pairs",
     "exact_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "near_dup_pairs",
     "simhash32",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
+    "embedding_near_dups",
     "rec_metric_pairs",
     "pricing_summary",
     "revenue_by_region",

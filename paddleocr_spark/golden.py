@@ -39,6 +39,9 @@ GOLDEN_FILES = [
     "golden_det_iou_metric.parquet",
     "golden_table_structure_metric.parquet",
     "golden_master_html.parquet",
+    "golden_sr_metric.parquet",
+    "golden_can_metric.parquet",
+    "golden_e2e_metric.parquet",
 ]
 
 _FRAG_COLS = ["frag_idx", "box_idx", "out_kind", "out_text", "conf",
@@ -143,6 +146,76 @@ def compute_goldens(n_docs: int, seed: int = 42, heavy_frac: float = 0.01):
         "acc": round(t_correct / len(tbl), 6) if tbl else 0.0,
     }]
 
+    # --- SR / CAN / E2E metric goldens (sequential replicas of the
+    # Spark mapInPandas jobs in operators/metrics.py) ---
+    from difflib import SequenceMatcher
+
+    from .corpus import CHARSET
+    from .kernels.ctc import ctc_decode
+    from .kernels.eval_det_iou import poly_iou
+    from .kernels.sr import psnr, ssim
+
+    psnrs, ssims = [], []
+    word_right = exp_right = n_words = 0.0
+    e_m = e_g = e_d = 0
+
+    def _norm(t):
+        return "".join(c for c in t.lower() if c.isalnum())
+
+    from .corpus import dequantize_logits
+
+    for m in media.values():
+        img = dequantize_map(m["det_map"], int(m["det_h"]), int(m["det_w"]))
+        degraded = (np.round(img * 15.0) / 15.0).astype(np.float32)
+        psnrs.append(psnr(img, degraded))
+        ssims.append(ssim(img, degraded))
+
+        raw_texts = [ctc_decode(dequantize_logits(lg, m["rec_t"],
+                                                  m["rec_c"]), CHARSET)[0]
+                     for lg in m["rec_logits"]]
+        idxs = list(m["gt_text_idx"])
+        if idxs:
+            scores = []
+            for i in idxs:
+                gt = m["gt_texts"][i]
+                r = raw_texts[i]
+                s = SequenceMatcher(None, gt, r, autojunk=False).ratio()
+                scores.append(s * (len(gt) + len(r)) / len(gt) / 2)
+            n = len(scores)
+            word_right += (sum(scores) / n) * n
+            exp_right += (sum(1 for s in scores if s == 1) / n) * n
+            n_words += n
+
+        pm = dequantize_map(m["det_map"], int(m["det_h"]), int(m["det_w"]))
+        pred_boxes = db_postprocess(pm, [float(x) for x in m["shape_list"]])
+        gt_items = [(np.asarray(b, dtype=np.float64).reshape(4, 2),
+                     _norm(m["gt_texts"][i]))
+                    for i, b in enumerate(m["gt_boxes"])]
+        used: set = set()
+        for pi, pb in enumerate(pred_boxes):
+            for gi, (gb, gtext) in enumerate(gt_items):
+                if gi in used:
+                    continue
+                if poly_iou(np.asarray(pb, dtype=np.float64), gb) > 0.5 \
+                        and _norm(raw_texts[pi]) == gtext:
+                    used.add(gi)
+                    e_m += 1
+                    break
+        e_g += len(gt_items)
+        e_d += len(pred_boxes)
+
+    sr = [{"n_media": len(media),
+           "mean_psnr": round(sum(psnrs) / len(psnrs), 6),
+           "mean_ssim": round(sum(ssims) / len(ssims), 6)}]
+    can = [{"n_words": int(n_words),
+            "word_rate": round(word_right / n_words, 6),
+            "exp_rate": round(exp_right / n_words, 6)}]
+    e2e = [{"matched_total": e_m, "gt_total": e_g, "det_total": e_d,
+            "precision": round(e_m / e_d, 6) if e_d else 0.0,
+            "recall": round(e_m / e_g, 6) if e_g else 0.0,
+            "f_score_e2e": round(2 * e_m / (e_d + e_g), 6)
+            if (e_d + e_g) else 0.0}]
+
     # --- TableMaster-variant HTML per table media ---
     master = []
     for ref in sorted(media):
@@ -154,6 +227,9 @@ def compute_goldens(n_docs: int, seed: int = 42, heavy_frac: float = 0.01):
         "golden_spans": spans,
         "golden_fragments": frags,
         "golden_master_html": master,
+        "golden_sr_metric": sr,
+        "golden_can_metric": can,
+        "golden_e2e_metric": e2e,
         "golden_rec_metric": rec_metric,
         "golden_det_metric": det_metric,
         "golden_det_iou_metric": det_iou,

@@ -19,7 +19,8 @@ IS Spark's partial aggregation; SURVEY.md §2.4).
 from __future__ import annotations
 
 __all__ = ["rec_metric_pairs", "cls_cnt_metric_pairs", "corpus_rec_metric",
-           "corpus_det_metric", "det_iou_metric", "table_structure_metric"]
+           "corpus_det_metric", "det_iou_metric", "table_structure_metric",
+           "sr_metric", "can_metric", "e2e_metric"]
 
 
 def rec_metric_pairs(spark, sf_dir: str):
@@ -207,6 +208,188 @@ def det_iou_metric(media):
                        2 * F.col("m") / (F.col("d") + F.col("g")))
                 .otherwise(0.0), 6).alias("hmean"),
     )
+
+
+def _map_media(media, batch_fn, schema, columns):
+    """DataFrame-or-store-path dispatch shared by the mapInPandas
+    metric jobs (same pattern as det_iou_metric)."""
+    if isinstance(media, str):
+        from pyspark.sql import SparkSession
+
+        from paddleocr_spark.functions.udfs import map_media_store
+
+        return map_media_store(SparkSession.active(), media, batch_fn,
+                               schema, columns=columns)
+    return media.select(*columns).mapInPandas(batch_fn, schema=schema)
+
+
+def sr_metric(media):
+    """SRMetric (``toddleocr/metrics/sr.py:87-150``): mean PSNR + SSIM
+    between image pairs, as per-media partials + a global mean. The
+    pair is the stored det map vs a deterministic 4-bit-requantized
+    degradation of it (the fixture stand-in for SR input/output)."""
+    from pyspark.sql import functions as F
+
+    def eval_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from paddleocr_spark.corpus import dequantize_map
+        from paddleocr_spark.kernels.sr import psnr, ssim
+
+        for pdf in batches:
+            out = {"media_ref": [], "psnr": [], "ssim": []}
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                img = dequantize_map(d["det_map"], int(d["det_h"]),
+                                     int(d["det_w"]))
+                degraded = (np.round(img * 15.0) / 15.0).astype(np.float32)
+                out["media_ref"].append(d["media_ref"])
+                out["psnr"].append(psnr(img, degraded))
+                out["ssim"].append(ssim(img, degraded))
+            yield pd.DataFrame(out)
+
+    partials = _map_media(media, eval_batches,
+                          "media_ref string, psnr double, ssim double",
+                          ["media_ref", "det_map", "det_h", "det_w"])
+    return partials.agg(
+        F.count("*").cast("long").alias("n_media"),
+        F.round(F.avg("psnr"), 6).alias("mean_psnr"),
+        F.round(F.avg("ssim"), 6).alias("mean_ssim"))
+
+
+def can_metric(media):
+    """CANMetric (``toddleocr/metrics/rec.py:90-148``): difflib
+    SequenceMatcher word scores + exact-match exp rate, accumulated as
+    length-weighted partials. Pairs are (gt text, RAW un-rotated
+    decode) per text-region box, so rotated boxes keep the metric away
+    from the trivial 1.0."""
+    from pyspark.sql import functions as F
+
+    def eval_batches(batches):
+        from difflib import SequenceMatcher
+
+        import pandas as pd
+
+        from paddleocr_spark.corpus import CHARSET, dequantize_logits
+        from paddleocr_spark.kernels.ctc import ctc_decode
+
+        for pdf in batches:
+            out = {"media_ref": [], "word_right": [], "exp_right": [],
+                   "n": []}
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                idxs = [int(i) for i in d["gt_text_idx"]]
+                if not idxs:
+                    continue
+                scores = []
+                for i in idxs:
+                    gt = d["gt_texts"][i]
+                    raw, _ = ctc_decode(
+                        dequantize_logits(d["rec_logits"][i],
+                                          int(d["rec_t"]),
+                                          int(d["rec_c"])), CHARSET)
+                    m = SequenceMatcher(None, gt, raw,
+                                        autojunk=False).ratio()
+                    scores.append(m * (len(gt) + len(raw)) / len(gt) / 2)
+                n = len(scores)
+                word_rate = sum(scores) / n
+                exp_rate = sum(1 for s in scores if s == 1) / n
+                out["media_ref"].append(d["media_ref"])
+                out["word_right"].append(word_rate * n)
+                out["exp_right"].append(exp_rate * n)
+                out["n"].append(n)
+            yield pd.DataFrame(out)
+
+    partials = _map_media(
+        media, eval_batches,
+        "media_ref string, word_right double, exp_right double, n long",
+        ["media_ref", "gt_texts", "gt_text_idx", "rec_logits",
+         "rec_t", "rec_c"])
+    return partials.agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.round(F.sum("word_right") / F.sum("n"), 6).alias("word_rate"),
+        F.round(F.sum("exp_right") / F.sum("n"), 6).alias("exp_rate"))
+
+
+def e2e_metric(media):
+    """E2EMetric (``toddleocr/metrics/e2e.py:7-66`` +
+    ``_det_eval.get_score_A``): end-to-end text spotting — a predicted
+    box counts only if it IoU>0.5-matches a gt box AND its recognized
+    text equals the gt text (normalized). Predictions use the RAW
+    un-rotated decode, so rotated boxes miss — precision/recall/f sit
+    strictly below the det-only metric. Greedy per-media matching +
+    combine_results finalize."""
+    from pyspark.sql import functions as F
+
+    def eval_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from paddleocr_spark.corpus import CHARSET, dequantize_logits, \
+            dequantize_map
+        from paddleocr_spark.kernels.ctc import ctc_decode
+        from paddleocr_spark.kernels.db import db_postprocess
+        from paddleocr_spark.kernels.eval_det_iou import poly_iou
+
+        def norm(t):
+            return "".join(c for c in t.lower() if c.isalnum())
+
+        for pdf in batches:
+            out = {"media_ref": [], "matched": [], "gt_care": [],
+                   "det_care": []}
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                pm = dequantize_map(d["det_map"], int(d["det_h"]),
+                                    int(d["det_w"]))
+                pred_boxes = db_postprocess(
+                    pm, [float(x) for x in d["shape_list"]])
+                texts = []
+                for lg in d["rec_logits"]:
+                    t, _ = ctc_decode(
+                        dequantize_logits(lg, int(d["rec_t"]),
+                                          int(d["rec_c"])), CHARSET)
+                    texts.append(t)
+                gt = [(np.asarray(b, dtype=np.float64).reshape(4, 2),
+                       norm(d["gt_texts"][i]))
+                      for i, b in enumerate(d["gt_boxes"])]
+                used = set()
+                matched = 0
+                for pi, pb in enumerate(pred_boxes):
+                    for gi, (gb, gtext) in enumerate(gt):
+                        if gi in used:
+                            continue
+                        if poly_iou(np.asarray(pb, dtype=np.float64),
+                                    gb) > 0.5 \
+                                and norm(texts[pi]) == gtext:
+                            used.add(gi)
+                            matched += 1
+                            break
+                out["media_ref"].append(d["media_ref"])
+                out["matched"].append(matched)
+                out["gt_care"].append(len(gt))
+                out["det_care"].append(len(pred_boxes))
+            yield pd.DataFrame(out)
+
+    partials = _map_media(
+        media, eval_batches,
+        "media_ref string, matched long, gt_care long, det_care long",
+        ["media_ref", "det_map", "det_h", "det_w", "shape_list",
+         "gt_boxes", "gt_texts", "rec_logits", "rec_t", "rec_c"])
+    totals = partials.agg(F.sum("matched").alias("m"),
+                          F.sum("gt_care").alias("g"),
+                          F.sum("det_care").alias("d"))
+    return totals.select(
+        F.col("m").cast("long").alias("matched_total"),
+        F.col("g").cast("long").alias("gt_total"),
+        F.col("d").cast("long").alias("det_total"),
+        F.round(F.when(F.col("d") > 0, F.col("m") / F.col("d"))
+                .otherwise(0.0), 6).alias("precision"),
+        F.round(F.when(F.col("g") > 0, F.col("m") / F.col("g"))
+                .otherwise(0.0), 6).alias("recall"),
+        F.round(F.when((F.col("d") + F.col("g")) > 0,
+                       2 * F.col("m") / (F.col("d") + F.col("g")))
+                .otherwise(0.0), 6).alias("f_score_e2e"))
 
 
 def table_structure_metric(media_df, fragments_df):

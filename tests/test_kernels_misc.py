@@ -80,3 +80,28 @@ def test_score_modes_agree_on_solid_rect():
     fast = db_postprocess(pm, shape, DBParams())
     slow = db_postprocess(pm, shape, DBParams(score_mode="slow"))
     assert np.array_equal(fast, slow)
+
+
+def test_psnr_known_value():
+    import math
+
+    from paddleocr_spark.kernels.sr import psnr
+
+    a = np.zeros((8, 8))
+    b = np.full((8, 8), 10.0 / 255.0)  # uniform offset of 10/255
+    # mse = 100 -> psnr = 20*log10(255/10)
+    assert abs(psnr(a, b) - 20 * math.log10(25.5)) < 1e-9
+    assert psnr(a, a) == float("inf")
+
+
+def test_ssim_identity_and_bounds():
+    from paddleocr_spark.kernels.sr import gaussian_window, ssim
+
+    rng = np.random.default_rng(3)
+    img = rng.random((32, 48))
+    assert abs(ssim(img, img) - 1.0) < 1e-9
+    noisy = np.clip(img + rng.normal(0, 0.2, img.shape), 0, 1)
+    s = ssim(img, noisy)
+    assert 0.0 < s < 0.95
+    w = gaussian_window()
+    assert abs(w.sum() - 1.0) < 1e-12 and len(w) == 11

@@ -73,6 +73,34 @@ def test_extract_shuffle_budget(spark):
     assert count_exchanges(df) <= 5
 
 
+def test_simhash_single_aggregation_pass(spark):
+    """The simhash rewrite must be one map-side-combinable groupBy: no
+    bit-explode row amplification, at most the agg exchange."""
+    from paddleocr_spark.operators import dedup
+
+    df = dedup.simhash32(spark, SF)
+    plan = __import__(
+        "paddleocr_spark.plans.inspect", fromlist=["formatted_plan"]
+    ).formatted_plan(df)
+    assert has_partial_aggregate(df)
+    assert count_exchanges(df) <= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_pairs_never_cartesian(spark):
+    """Banded LSH candidates must be an equi-join on (band, band_hash),
+    never an all-pairs product."""
+    from paddleocr_spark.operators import dedup, similarity
+    from paddleocr_spark.plans.inspect import formatted_plan
+
+    for df in (dedup.lsh_candidate_pairs(spark, SF),
+               similarity.embedding_near_dups(spark, SF)):
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_codegen_spans_exist(spark):
     """AQE defers codegen compilation, so probe with AQE off."""
     spark.conf.set("spark.sql.adaptive.enabled", "false")
