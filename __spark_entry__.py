@@ -66,8 +66,12 @@ def corpus_paths(spark: SparkSession, sf_dir: str,
         n_files = min(256, max(32, n_docs // 128))
         media = synthesize_media(spark, docs, seed=SEED, partitions=n_files)
         media.write.mode("overwrite").parquet(media_path)
-    # sequential-reference goldens (CORRECTNESS oracles); idempotent
-    materialize_goldens(path, n_docs, seed=SEED, heavy_frac=HEAVY_FRAC)
+    # sequential-reference goldens (CORRECTNESS oracles); idempotent.
+    # Only at test/correctness scales — the golden path is sequential
+    # by design (it IS the single-threaded reference), so bench-scale
+    # corpora (100k+ docs, scaling studies) skip it.
+    if n_docs <= 20000:
+        materialize_goldens(path, n_docs, seed=SEED, heavy_frac=HEAVY_FRAC)
     return docs_path, media_path
 
 

@@ -4,12 +4,13 @@ utility.py:92-123``: GIF → first frame, PDF → one image per rendered
 page; ``img_decode`` / ``DecodeImage`` at ``toddleocr/transforms/
 operators.py:9-46``).
 
-Real image/PDF decoding libraries (cv2, fitz) are not in this
-container, so the decode kernels are STUBBED: ``decode_image_bytes``
-raises ``NotImplementedError`` unless a deterministic fake codec is
-recognized. The Spark-side plumbing — binaryFile scan, page explode
-(1 file → N page rows, a UDTF like det's 1-image→N-boxes), schema,
-Arrow batching — is real and tested via the fake codec.
+``decode_image_bytes`` REALLY decodes PNG/BMP/PPM via the repo's
+pure-NumPy codecs (``kernels/imgcodec.py``, stdlib zlib for PNG) with
+cv2 IMREAD_COLOR semantics; JPEG/GIF/PDF rendering would need codec
+libraries absent from this container and stay stubbed. The Spark-side
+plumbing — binaryFile scan, page explode (1 file → N page rows, a
+UDTF like det's 1-image→N-boxes), schema, Arrow batching — is real
+and tested via both the real codecs and the fake paged codec.
 
 Fake paged-document codec (tests only):
     b"FAKEDOC" + <n_pages:uint8> + payload
@@ -76,9 +77,11 @@ def explode_pages(files_df):
 
 
 def decode_image_bytes(content: bytes):
-    """bytes → ndarray. STUB: real decode needs cv2 (img_decode,
-    toddleocr/engine.py:214-216); the fixture corpus bypasses it by
-    carrying pre-computed tensors."""
-    raise NotImplementedError(
-        "image decode requires cv2; use the media fixture store "
-        "(corpus.synthesize_media) in this environment")
+    """bytes → (H, W, 3) uint8 BGR ndarray — ``img_decode``
+    (``toddleocr/engine.py:214-216``) with IMREAD_COLOR semantics,
+    via the repo's pure-NumPy codecs (PNG/BMP/PPM;
+    ``kernels/imgcodec.py``). JPEG/GIF would need external codec
+    libraries absent from this environment and raise ValueError."""
+    from paddleocr_spark.kernels.imgcodec import decode_image
+
+    return decode_image(bytes(content))

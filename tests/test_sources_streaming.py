@@ -109,3 +109,59 @@ def test_windowed_event_counts_stream(spark, tmp_path):
     got = spark.sql(
         "SELECT sum(n) AS total FROM win_counts").collect()[0].total
     assert got == batch.count()
+
+
+def test_real_image_ingest_pipeline(spark, tmp_path):
+    """Non-fictional ingest: PNG/BMP bytes on disk → binaryFile scan →
+    page explode → REAL decode (pure-NumPy codecs) → DetResizeForTest
+    inside one Arrow-batched stage, emitting per-image shape records."""
+    import numpy as np
+
+    from paddleocr_spark.kernels.imgcodec import encode_png
+    from paddleocr_spark.sources.media_files import (
+        explode_pages,
+        read_binary_files,
+    )
+
+    rng = np.random.default_rng(5)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    sizes = {"a.png": (40, 64), "b.png": (100, 52)}
+    for name, (h, w) in sizes.items():
+        (img_dir / name).write_bytes(
+            encode_png(rng.integers(0, 256, (h, w, 3), dtype=np.uint8)))
+
+    pages = explode_pages(read_binary_files(spark, str(img_dir)))
+
+    def decode_resize(batches):
+        import os
+
+        import pandas as pd
+
+        from paddleocr_spark.kernels.preprocess import det_resize_for_test
+        from paddleocr_spark.sources.media_files import decode_image_bytes
+
+        for pdf in batches:
+            out = {"name": [], "src_h": [], "src_w": [],
+                   "det_h": [], "det_w": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img = decode_image_bytes(bytes(content))
+                resized, shape = det_resize_for_test(img,
+                                                     limit_side_len=64,
+                                                     limit_type="min")
+                out["name"].append(os.path.basename(path))
+                out["src_h"].append(int(shape[0]))
+                out["src_w"].append(int(shape[1]))
+                out["det_h"].append(resized.shape[0])
+                out["det_w"].append(resized.shape[1])
+            yield pd.DataFrame(out)
+
+    rows = {r.name: r for r in pages.mapInPandas(
+        decode_resize,
+        schema="name string, src_h int, src_w int, det_h int, det_w int"
+    ).collect()}
+    assert rows["a.png"].src_h == 40 and rows["a.png"].src_w == 64
+    # every output side is a /32 multiple with min side >= 64
+    for r in rows.values():
+        assert r.det_h % 32 == 0 and r.det_w % 32 == 0
+        assert min(r.det_h, r.det_w) >= 64
