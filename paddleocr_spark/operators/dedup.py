@@ -100,7 +100,13 @@ def _augmented_docs(spark, sf_dir: str):
 
 def _shingles(F, toks_col):
     """Distinct 3-word shingles of a token-array column (total: short
-    docs yield an empty array, never an error)."""
+    docs yield an empty array, never an error).
+
+    toks_col MUST be a bound column reference, not the raw
+    split(regexp_replace(...)) expression: the lambda references it
+    per element, and Catalyst re-evaluates an inline expression each
+    time — measured quadratic (18 s for one shingle pass at sf0.1 vs
+    ~1 s with a materialized column)."""
     return F.array_distinct(F.filter(
         F.transform(
             toks_col,
@@ -168,6 +174,12 @@ def lsh_candidate_pairs(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     bands = _band_hashes(F, _signatures(F, _augmented_docs(spark, sf_dir)))
+    # the shingle→128-minhash aggregation is the expensive subtree and
+    # Catalyst does not reuse it across the self-join's two sides
+    # (0 ReusedExchange, measured); persist the tiny (doc_id, band,
+    # band_hash) rows so it runs once. At production scale signatures
+    # are materialized as their own table instead.
+    bands = bands.persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, ["band", "band_hash"])
@@ -183,8 +195,8 @@ def near_dup_pairs(spark, sf_dir: str, threshold: float = 0.7):
     from pyspark.sql import functions as F
 
     docs = (_augmented_docs(spark, sf_dir)
-            .select("doc_id",
-                    _shingles(F, _norm_tokens(F, F.col("text"))).alias("sh")))
+            .select("doc_id", _norm_tokens(F, F.col("text")).alias("tk"))
+            .select("doc_id", _shingles(F, F.col("tk")).alias("sh")))
     cand = lsh_candidate_pairs(spark, sf_dir)
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
