@@ -91,7 +91,10 @@ def _tmpfs_media(media_path: str, n_docs: int) -> str:
     numbers are reported alongside in BENCH/BASELINE.md.)"""
     import shutil
 
-    dst = f"/dev/shm/paddleocr_media_n{n_docs}"
+    # key by the versioned cache dir (…/v4_seed42_nN/media) so fixture
+    # schema bumps never reuse a stale copy
+    version = os.path.basename(os.path.dirname(media_path.rstrip("/")))
+    dst = f"/dev/shm/paddleocr_media_{version}"
     if not os.path.exists(os.path.join(dst, "_SUCCESS")):
         shutil.rmtree(dst, ignore_errors=True)
         shutil.copytree(media_path, dst)
