@@ -55,3 +55,53 @@ def test_reading_order_deterministic(seed):
     rng = np.random.default_rng(seed)
     boxes = rng.random((8, 4, 2)).astype(np.float32) * 100
     assert reading_order_indices(boxes) == reading_order_indices(boxes)
+
+
+@given(st.text(min_size=0, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_pred_reverse_is_involution_and_permutation(s):
+    """Applying the RTL segment reversal twice restores the input, and
+    it only permutes characters (multiset preserved)."""
+    from paddleocr_spark.kernels.ctc import pred_reverse
+
+    r = pred_reverse(s)
+    assert sorted(r) == sorted(s)
+    assert pred_reverse(r) == s
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 30))
+@settings(max_examples=30, deadline=None)
+def test_hard_nms_kept_boxes_never_overlap(seed, n):
+    """After greedy NMS no two kept boxes exceed the IoU threshold."""
+    from paddleocr_spark.kernels.nms import hard_nms, iou_of
+
+    rng = np.random.default_rng(seed)
+    xy = rng.random((n, 2)) * 100
+    wh = rng.random((n, 2)) * 50 + 1
+    scores = rng.random((n, 1))
+    boxes = np.concatenate([xy, xy + wh, scores], axis=1)
+    kept = hard_nms(boxes, iou_threshold=0.5)
+    for i in range(len(kept)):
+        for j in range(i + 1, len(kept)):
+            assert iou_of(kept[i, :4], kept[j, :4]) <= 0.5 + 1e-9
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=20, deadline=None)
+def test_ser_majority_ids_are_b_or_o(seed):
+    """The voted segment id is always 0 or a B- id present (folded) in
+    the segment."""
+    from paddleocr_spark.kernels.ser import fold_to_b, ser_majority_decode
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 40))
+    preds = [int(x) for x in rng.integers(0, 7, n)]
+    cuts = sorted({int(x) for x in rng.integers(1, n + 1,
+                                                max(1, n // 4))} | {n})
+    out = ser_majority_decode(preds, cuts)
+    start = 0
+    for (pid, label), end in zip(out, cuts):
+        seg_folded = {fold_to_b(p) for p in preds[start:end]}
+        assert pid in seg_folded or (pid == 0 and not seg_folded)
+        assert pid == 0 or pid % 2 == 1
+        start = end
