@@ -545,12 +545,19 @@ def oracle_sql() -> dict[str, str]:
             FROM q
         """,
         "fingerprints": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents)
             SELECT doc_id,
-                   md5({_NORM}) AS content_md5,
-                   list_aggregate(list_transform(string_split({_NORM}, ' '),
+                   md5(norm) AS content_md5,
+                   list_aggregate(list_transform(string_split(norm, ' '),
                                                  w -> {_wh(0, 'w')}), 'min')
-                       AS min_word_hash
-            FROM documents
+                       AS min_word_hash,
+                   list_reduce(
+                       list_prepend(0::bigint,
+                           list_transform(range(1, length(norm) + 1),
+                                          i -> ascii(norm[i])::bigint)),
+                       (acc, x) -> (acc * {text.ROLL_BASE} + x)
+                                   % {text.ROLL_MOD}) AS rolling_hash
+            FROM n
         """,
         "exact_dedup": f"""
             WITH {_AUG_SQL}

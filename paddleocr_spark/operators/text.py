@@ -89,9 +89,17 @@ def quality_scores(spark, sf_dir: str):
     )
 
 
+ROLL_BASE = 31
+ROLL_MOD = 2147483647  # 2^31-1: acc*31 + 255 stays < 2^36, overflow-free
+                       # under BOTH Spark (wrapping) and DuckDB (erroring)
+
+
 def fingerprints(spark, sf_dir: str):
-    """Document fingerprints: md5 of the normalized text plus the min
-    word-hash (1-perm minhash) — the exact-dedup and near-dedup keys."""
+    """Document fingerprints: md5 of the normalized text, the min
+    word-hash (1-perm minhash), and a Karp–Rabin polynomial rolling
+    hash over the characters — the exact-dedup / near-dedup / shingle
+    keys. The rolling hash is a JVM-side left fold (F.aggregate), no
+    Python."""
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -102,8 +110,13 @@ def fingerprints(spark, sf_dir: str):
     word_hash = lambda w: F.conv(
         F.substring(F.md5(F.concat(F.lit("0:"), w)), 1, 15), 16, 10
     ).cast("long")
+    rolling = F.aggregate(
+        F.split(norm, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * ROLL_BASE + F.ascii(ch)) % ROLL_MOD)
     return df.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.md5(norm).alias("content_md5"),
         F.array_min(F.transform(toks, word_hash)).alias("min_word_hash"),
+        rolling.alias("rolling_hash"),
     )
