@@ -25,7 +25,7 @@ from .corpus import (
     select_regions,
 )
 from .kernels.cls import cls_decode, should_rotate
-from .kernels.ctc import build_charset, ctc_decode
+from .kernels.ctc import batched_ctc_decode, build_charset, ctc_decode
 from .kernels.db import db_postprocess
 from .kernels.master_match import table_master_match
 from .kernels.matcher import filter_ocr_result, get_pred_html, match_result
@@ -44,6 +44,24 @@ _BP = re.compile(BOILERPLATE_RE)
 
 _CHARSET = build_charset()
 _VOCAB = TableVocab()
+
+# The "model weights" of the fixture world: everything the decode
+# stages need beyond the row itself. The Spark path broadcasts this
+# bundle once per executor (functions/udfs.py), exactly as the
+# reference loads model+dicts once per process (engine.py:317-324) —
+# the north rule's "weights broadcast once per executor".
+MODEL_BUNDLE = {
+    "chars": list(_CHARSET[1:]),   # charset minus the blank
+    "drop_score": DROP_SCORE,
+}
+
+
+def resolve_bundle(bundle: dict | None):
+    """bundle dict → (charset, drop_score); None → module defaults."""
+    if bundle is None:
+        return _CHARSET, DROP_SCORE
+    return (build_charset(bundle["chars"]),
+            float(bundle["drop_score"]))
 
 
 def clean_text(text: str) -> str:
@@ -66,7 +84,7 @@ def _expand_xyxy(box: np.ndarray, h: float, w: float, margin: int = 2):
     ]
 
 
-def decode_media_row(row: dict) -> list[dict]:
+def decode_media_row(row: dict, bundle: dict | None = None) -> list[dict]:
     """Decode one media fixture row into output span fragments.
 
     Input keys match the ``media`` store schema (corpus.media_schema).
@@ -87,7 +105,11 @@ def decode_media_row(row: dict) -> list[dict]:
     Returns ordered fragments: dicts with frag_idx (dense order key),
     box_idx (global det index; -1 for region-level fragments),
     out_kind, out_text, conf, cls_label, cls_score, aux.
+
+    ``bundle``: broadcast model bundle (MODEL_BUNDLE shape); None uses
+    module defaults (sequential golden path).
     """
+    charset, drop_score = resolve_bundle(bundle)
     regions = select_regions(row["cand_boxes"], row["cand_scores"])
     if not regions:
         return []
@@ -97,9 +119,11 @@ def decode_media_row(row: dict) -> list[dict]:
     shape_list = [float(x) for x in row["shape_list"]]
     boxes = sorted_boxes(db_postprocess(pm, shape_list))
     t, c = int(row["rec_t"]), int(row["rec_c"])
-    rec = []
-    for lg in row["rec_logits"]:
-        rec.append(ctc_decode(dequantize_logits(lg, t, c), _CHARSET))
+    # rec in wh-ratio-sorted micro-batches with scatter-back, as the
+    # reference batches before the model forward (config.py:387-416)
+    rec = batched_ctc_decode(
+        [dequantize_logits(lg, t, c) for lg in row["rec_logits"]],
+        boxes, charset)
     assert len(rec) == len(boxes), (len(rec), len(boxes))
     cls = cls_decode(np.stack(
         [np.asarray(p, dtype=np.float32) for p in row["cls_probs"]])) \
@@ -124,7 +148,7 @@ def decode_media_row(row: dict) -> list[dict]:
                 label, cscore = cls[i]
                 if should_rotate(label, cscore):
                     text = text[::-1]
-                if not text or conf < DROP_SCORE:
+                if not text or conf < drop_score:
                     continue
                 frags.append({
                     "box_idx": i, "out_kind": "text_block",
@@ -144,7 +168,7 @@ def decode_media_row(row: dict) -> list[dict]:
         dt_xyxy = [_expand_xyxy(np.asarray(boxes[i]), h, w) for i in idxs]
         rec_reg = [rec[i] for i in idxs]
         kept = [(b, r) for b, r in zip(dt_xyxy, rec_reg)
-                if r[0] and r[1] >= DROP_SCORE]
+                if r[0] and r[1] >= drop_score]
         dt_xyxy = [b for b, _ in kept]
         rec_kept = [r for _, r in kept]
         dt_xyxy, rec_kept = filter_ocr_result(cell_bboxes, dt_xyxy, rec_kept)

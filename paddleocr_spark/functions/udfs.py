@@ -35,21 +35,43 @@ _FRAG_COLS = ["frag_idx", "box_idx", "out_kind", "out_text", "conf",
               "cls_label", "cls_score", "aux"]
 
 
-def _decode_batches(batches):
-    # import inside the worker so only executors pay the import
-    import pandas as pd
+def _make_decode_batches(bundle_bc=None):
+    """Build the mapInPandas body, closing over an optional
+    ``sc.broadcast(MODEL_BUNDLE)`` handle — the charset/drop_score
+    "weights" ship to each executor once via the broadcast machinery
+    (torrent-style at cluster scale), not once per task in the
+    serialized closure, mirroring the reference's load-model-once-per-
+    process (toddleocr/engine.py:317-324)."""
 
-    from paddleocr_spark.extract_core import decode_media_row
+    def _decode_batches(batches):
+        # import inside the worker so only executors pay the import
+        import pandas as pd
 
-    for pdf in batches:
-        out = {c: [] for c in ["media_ref", *_FRAG_COLS]}
-        for row in pdf.itertuples(index=False):
-            d = row._asdict()
-            for frag in decode_media_row(d):
-                out["media_ref"].append(d["media_ref"])
-                for c in _FRAG_COLS:
-                    out[c].append(frag[c])
-        yield pd.DataFrame(out)
+        from paddleocr_spark.extract_core import decode_media_row
+
+        bundle = bundle_bc.value if bundle_bc is not None else None
+        for pdf in batches:
+            out = {c: [] for c in ["media_ref", *_FRAG_COLS]}
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                for frag in decode_media_row(d, bundle):
+                    out["media_ref"].append(d["media_ref"])
+                    for c in _FRAG_COLS:
+                        out[c].append(frag[c])
+            yield pd.DataFrame(out)
+
+    return _decode_batches
+
+
+# default body (module-level defaults; used where no SparkContext is
+# at hand, e.g. direct tests of the batch function)
+_decode_batches = _make_decode_batches(None)
+
+
+def _broadcast_bundle(spark):
+    from paddleocr_spark.extract_core import MODEL_BUNDLE
+
+    return spark.sparkContext.broadcast(MODEL_BUNDLE)
 
 
 def decode_media(media_df, repartition: int | None = None):
@@ -62,7 +84,9 @@ def decode_media(media_df, repartition: int | None = None):
     df = media_df.select(*_MEDIA_COLS)
     if repartition:
         df = df.repartition(repartition)
-    return df.mapInPandas(_decode_batches, schema=MEDIA_FRAGMENT_SCHEMA)
+    bc = _broadcast_bundle(media_df.sparkSession)
+    return df.mapInPandas(_make_decode_batches(bc),
+                          schema=MEDIA_FRAGMENT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -125,7 +149,8 @@ def map_media_store(spark, store_path: str, batch_fn, schema,
 
 def decode_media_store(spark, store_path: str):
     """media store directory → fragment DataFrame (fast path)."""
-    return map_media_store(spark, store_path, _decode_batches,
+    return map_media_store(spark, store_path,
+                           _make_decode_batches(_broadcast_bundle(spark)),
                            MEDIA_FRAGMENT_SCHEMA, columns=_MEDIA_COLS)
 
 

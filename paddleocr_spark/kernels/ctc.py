@@ -14,8 +14,9 @@ import re
 import numpy as np
 
 __all__ = ["build_charset", "load_charset_file", "ctc_decode",
-           "ctc_decode_batch", "pred_reverse", "DEFAULT_CHARS",
-           "DIGIT_CHARS"]
+           "ctc_decode_batch", "batched_ctc_decode", "wh_ratio_indices",
+           "pred_reverse", "DEFAULT_CHARS", "DIGIT_CHARS",
+           "REC_BATCH_NUM"]
 
 # 95 printable ASCII (space last, mirroring use_space_char=True which
 # appends " " after the dict chars; rec.py:43-44)
@@ -91,3 +92,39 @@ def ctc_decode_batch(logits_batch, charset: list[str],
     """List of (T, C) arrays (ragged T allowed) -> list[(text, conf)]."""
     return [ctc_decode(np.asarray(lg), charset, reverse)
             for lg in logits_batch]
+
+
+REC_BATCH_NUM = 6  # reference rec/cls micro-batch size (config.py:170-171)
+
+
+def wh_ratio_indices(boxes) -> np.ndarray:
+    """argsort of the crops' w/h ratios (``config.py:387-390``): the
+    reference sorts before micro-batching so each batch pads to a
+    similar max width ("Sorting can speed up the cls process")."""
+    ratios = []
+    for b in boxes:
+        q = np.asarray(b, dtype=np.float64).reshape(4, 2)
+        w = np.linalg.norm(q[0] - q[1])
+        h = np.linalg.norm(q[0] - q[3])
+        ratios.append(w / max(h, 1e-6))
+    return np.argsort(np.asarray(ratios), kind="stable")
+
+
+def batched_ctc_decode(logits_list, boxes, charset: list[str],
+                       batch_num: int = REC_BATCH_NUM,
+                       reverse: bool = False):
+    """wh-ratio-sorted micro-batched decode with scatter-back to the
+    ORIGINAL box order — the reference's rec batching mechanism
+    (``config.py:387-416``: ``rec_res[indices[beg + rno]] = ...``).
+    With fixture logits each item decodes independently, so results
+    equal the unsorted per-box decode; the sort/batch/scatter structure
+    is what a real model forward plugs into (batch pads to the chunk's
+    max wh ratio)."""
+    idx = wh_ratio_indices(boxes)
+    out: list = [None] * len(logits_list)
+    for beg in range(0, len(idx), batch_num):
+        chunk = idx[beg:beg + batch_num]
+        for rno, i in enumerate(chunk):
+            out[int(idx[beg + rno])] = ctc_decode(
+                np.asarray(logits_list[int(i)]), charset, reverse)
+    return out

@@ -217,3 +217,33 @@ def test_distance_and_iou_scalars():
     assert distance([0, 0, 10, 10], [0, 0, 10, 10]) == 0
     assert compute_iou([0, 0, 10, 10], [0, 0, 10, 10]) == pytest.approx(1.0)
     assert compute_iou([0, 0, 10, 10], [20, 20, 30, 30]) == 0.0
+
+
+def test_batched_decode_scatter_back_equals_naive():
+    """wh-ratio micro-batched decode must scatter results back to the
+    original box order exactly (config.py:387-416 indices mechanism)."""
+    import numpy as np
+
+    from paddleocr_spark.kernels.ctc import (
+        batched_ctc_decode,
+        build_charset,
+        ctc_decode,
+        wh_ratio_indices,
+    )
+
+    charset = build_charset()
+    rng = np.random.default_rng(17)
+    n = 11
+    logits = [rng.random((20, len(charset))).astype(np.float32)
+              for _ in range(n)]
+    # boxes with varied aspect ratios so the sort actually permutes
+    boxes = []
+    for i in range(n):
+        w, h = float(rng.integers(5, 80)), float(rng.integers(5, 40))
+        boxes.append([[0, 0], [w, 0], [w, h], [0, h]])
+    order = wh_ratio_indices(boxes)
+    assert sorted(map(int, order)) == list(range(n))
+    assert any(int(o) != k for k, o in enumerate(order))  # non-identity
+    got = batched_ctc_decode(logits, boxes, charset, batch_num=4)
+    want = [ctc_decode(lg, charset) for lg in logits]
+    assert got == want
