@@ -12,6 +12,12 @@ inference transforms that sit between decode and the det/rec heads):
 - ``resize_norm_img``      — ``toddleocr/utils/utility.py:195-213``:
   height-normalized keep-ratio resize, (x/255 - 0.5)/0.5, CHW, pad to
   the batch's max wh-ratio width.
+- ``binarize_img`` / ``alpha_to_color`` —
+  ``toddleocr/utils/utility.py:70-90``: the engine's optional input
+  normalizations (``engine.py:371-375``) — Otsu black/white
+  binarization (between-class-variance threshold over the 256-bin
+  histogram, exactly what cv2.THRESH_OTSU computes) and BGRA→BGR
+  compositing over a solid background.
 - ``get_rotate_crop_image`` / ``get_minarea_rect_crop`` —
   ``toddleocr/utils/init_args.py:187-253``: perspective rectification
   of a quad crop (with the h/w ≥ 1.5 rot90) and the minAreaRect corner
@@ -41,6 +47,10 @@ __all__ = [
     "warp_perspective",
     "get_rotate_crop_image",
     "get_minarea_rect_crop",
+    "bgr_to_gray",
+    "otsu_threshold",
+    "binarize_img",
+    "alpha_to_color",
 ]
 
 
@@ -242,3 +252,66 @@ def get_minarea_rect_crop(img: np.ndarray, points: np.ndarray) -> np.ndarray:
         index_b, index_c = 3, 2
     box = np.array([pts[index_a], pts[index_b], pts[index_c], pts[index_d]])
     return get_rotate_crop_image(img, box)
+
+
+def bgr_to_gray(img: np.ndarray) -> np.ndarray:
+    """cv2.COLOR_BGR2GRAY: Y = 0.299 R + 0.587 G + 0.114 B, computed
+    like cv2's fixed-point path (round-half-up on the weighted sum)."""
+    b = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    r = img[..., 2].astype(np.float64)
+    return np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5).astype(np.uint8)
+
+
+def otsu_threshold(gray: np.ndarray) -> int:
+    """Otsu's between-class-variance-maximizing threshold over the
+    256-bin histogram — what cv2.THRESH_OTSU computes. Returns t; the
+    binary rule is ``pixel > t → 255 else 0`` (THRESH_BINARY)."""
+    hist = np.bincount(gray.reshape(-1), minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 0
+    bins = np.arange(256, dtype=np.float64)
+    w0 = np.cumsum(hist)                  # pixels <= t
+    m0 = np.cumsum(hist * bins)           # mass <= t
+    mu_total = m0[-1]
+    w1 = total - w0
+    valid = (w0 > 0) & (w1 > 0)
+    if not valid.any():                   # constant image
+        return 0
+    mean0 = np.where(valid, m0 / np.maximum(w0, 1), 0.0)
+    mean1 = np.where(valid, (mu_total - m0) / np.maximum(w1, 1), 0.0)
+    between = w0 * w1 * (mean0 - mean1) ** 2
+    between[~valid] = -1.0
+    return int(np.argmax(between))
+
+
+def binarize_img(img: np.ndarray) -> np.ndarray:
+    """``utils/utility.py:70-76``: 3-channel BGR → gray → Otsu binary
+    → replicated back to 3 channels; anything else passes through."""
+    if img.ndim == 3 and img.shape[2] == 3:
+        gray = bgr_to_gray(img)
+        t = otsu_threshold(gray)
+        binary = np.where(gray > t, 255, 0).astype(np.uint8)
+        img = np.repeat(binary[:, :, None], 3, axis=2)
+    return img
+
+
+def alpha_to_color(img: np.ndarray,
+                   alpha_color=(255, 255, 255)) -> np.ndarray:
+    """``utils/utility.py:79-90``: composite BGRA over a solid
+    background: C' = bg*(1-a) + C*a, truncated to uint8 exactly as the
+    reference's ``.astype(np.uint8)`` does. alpha_color is (R, G, B)
+    applied to the (R, G, B) channels respectively (the reference
+    blends R with alpha_color[0] etc.)."""
+    if img.ndim == 3 and img.shape[2] == 4:
+        a = img[..., 3].astype(np.float64) / 255.0
+        out = np.empty(img.shape[:2] + (3,), dtype=np.uint8)
+        # channel order BGR; alpha_color indexed RGB as in the reference
+        for ch, bg in ((0, alpha_color[2]), (1, alpha_color[1]),
+                       (2, alpha_color[0])):
+            out[..., ch] = (bg * (1.0 - a)
+                            + img[..., ch].astype(np.float64) * a
+                            ).astype(np.uint8)
+        img = out
+    return img

@@ -21,7 +21,7 @@ explodes to n_pages rows whose page bytes are
 from __future__ import annotations
 
 __all__ = ["read_binary_files", "explode_pages", "decode_image_bytes",
-           "PAGES_SCHEMA"]
+           "check_img", "is_link", "PAGES_SCHEMA"]
 
 PAGES_SCHEMA = ("path string, page int, content binary, is_multipage boolean")
 
@@ -85,3 +85,39 @@ def decode_image_bytes(content: bytes):
     from paddleocr_spark.kernels.imgcodec import decode_image
 
     return decode_image(bytes(content))
+
+
+def is_link(s: str) -> bool:
+    """``toddleocr/utils/network.py`` is_link analogue: http(s) URL."""
+    return isinstance(s, str) and s.startswith(("http://", "https://"))
+
+
+def check_img(img):
+    """Input normalization — ``check_img`` (``toddleocr/engine.py:
+    219-238``): accept raw bytes, a filesystem path, or an ndarray and
+    return a (H, W, 3) uint8 BGR ndarray.
+
+    - bytes → ``decode_image_bytes`` (engine.py:220-221 img_decode)
+    - str path → read + decode; multi-page containers take page 0 via
+      ``_split_pages`` (engine.py:228 check_and_read)
+    - URL strings: the reference downloads to tmp.jpg (engine.py:
+      224-226); no network in this environment → NotImplementedError
+    - 2-D gray ndarray → replicated to 3 channels (engine.py:235-236
+      GRAY2BGR)
+    """
+    import numpy as np
+
+    if isinstance(img, (bytes, bytearray)):
+        img = decode_image_bytes(bytes(img))
+    if isinstance(img, str):
+        if is_link(img):
+            raise NotImplementedError(
+                "URL inputs need network access (reference downloads to "
+                "tmp.jpg, engine.py:224-226); unavailable here")
+        with open(img, "rb") as f:
+            content = f.read()
+        page0 = _split_pages(content)[0][1]
+        img = decode_image_bytes(page0)
+    if isinstance(img, np.ndarray) and img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    return img

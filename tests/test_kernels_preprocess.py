@@ -244,3 +244,77 @@ def test_polygon_mask_mean_rotated_rect(deg):
     bitmap[mask] = 1.0
     got = polygon_mask_mean(bitmap, box)
     assert got == 1.0
+
+
+# --- binarize_img / alpha_to_color / check_img (utility.py:70-90,
+# engine.py:219-238) --------------------------------------------------
+
+def test_otsu_bimodal_threshold_separates_modes():
+    from paddleocr_spark.kernels.preprocess import otsu_threshold
+
+    gray = np.concatenate([np.full((10, 10), 30, np.uint8),
+                           np.full((10, 10), 220, np.uint8)])
+    t = otsu_threshold(gray)
+    assert 30 <= t < 220
+    # invariance to mode balance direction: swapping mode sizes keeps
+    # the threshold strictly between the modes
+    gray2 = np.concatenate([np.full((3, 10), 30, np.uint8),
+                            np.full((17, 10), 220, np.uint8)])
+    assert 30 <= otsu_threshold(gray2) < 220
+
+
+def test_otsu_degenerate_constant_image():
+    from paddleocr_spark.kernels.preprocess import otsu_threshold
+
+    assert otsu_threshold(np.full((5, 5), 7, np.uint8)) in (0, 7)
+    assert otsu_threshold(np.zeros((0,), np.uint8).reshape(0, 0)) == 0
+
+
+def test_binarize_img_bw_and_passthrough():
+    from paddleocr_spark.kernels.preprocess import binarize_img
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+    b = binarize_img(img)
+    assert b.shape == img.shape
+    assert set(np.unique(b)) <= {0, 255}
+    assert (b[..., 0] == b[..., 1]).all() and (b[..., 1] == b[..., 2]).all()
+    # non-3-channel input passes through untouched (utility.py:71 guard)
+    gray = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    assert binarize_img(gray) is gray
+
+
+def test_alpha_to_color_blend_rule():
+    from paddleocr_spark.kernels.preprocess import alpha_to_color
+
+    rng = np.random.default_rng(4)
+    rgba = rng.integers(0, 256, (6, 6, 4), dtype=np.uint8)
+    opaque = rgba.copy(); opaque[..., 3] = 255
+    assert (alpha_to_color(opaque) == opaque[..., :3]).all()
+    transparent = rgba.copy(); transparent[..., 3] = 0
+    # alpha_color is (R,G,B); output channels are BGR
+    out = alpha_to_color(transparent, (10, 20, 30))
+    assert (out == np.array([30, 20, 10], np.uint8)).all()
+    # 3-channel input passes through
+    bgr = rgba[..., :3]
+    assert alpha_to_color(bgr) is bgr
+
+
+def test_check_img_bytes_path_gray(tmp_path):
+    from paddleocr_spark.kernels.imgcodec import decode_image, encode_png
+    from paddleocr_spark.sources.media_files import check_img, is_link
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (8, 5, 3), dtype=np.uint8)
+    png = encode_png(img)
+    want = decode_image(png)
+    assert (check_img(png) == want).all()           # bytes input
+    p = tmp_path / "x.png"
+    p.write_bytes(png)
+    assert (check_img(str(p)) == want).all()        # path input
+    gray = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = check_img(gray)                           # 2-D → GRAY2BGR
+    assert out.shape == (4, 4, 3) and (out[..., 0] == gray).all()
+    assert is_link("https://h/x.png") and not is_link("rel/x.png")
+    with pytest.raises(NotImplementedError):
+        check_img("http://example.com/a.png")
