@@ -157,6 +157,11 @@ def _q_e2e_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.e2e_metric(media_path)
 
 
+def _q_ct_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media_path = corpus_paths(spark, sf_dir)
+    return metrics.ct_metric(media_path)
+
+
 def _q_table_master_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TableMasterMatcher cascade over every table-bearing media item
     (the reference's second table-match algorithm)."""
@@ -195,6 +200,16 @@ def _q_kie_re_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kie.kie_re_metric(decode_media_store(spark, media_path))
 
 
+def _q_ser_token_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media_path = corpus_paths(spark, sf_dir)
+    return kie.ser_token_metric(decode_media_store(spark, media_path))
+
+
+def _q_kie_node_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media_path = corpus_paths(spark, sf_dir)
+    return kie.kie_node_metric(decode_media_store(spark, media_path))
+
+
 def _q_sampled_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimpleDataSet multi-source ratio sampling + union
     (simple.py:31-45): two deterministic hash samples unioned, then a
@@ -231,11 +246,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_metric": _q_sr_metric,
         "can_metric": _q_can_metric,
         "e2e_metric": _q_e2e_metric,
+        "ct_metric": _q_ct_metric,
         "table_master_html": _q_table_master_html,
         # --- SER/RE key-information extraction (oracle-checked) ---
         "ser_entities": _q_ser_entities,
         "re_pairs": _q_re_pairs,
         "kie_re_metric": _q_kie_re_metric,
+        "ser_token_metric": _q_ser_token_metric,
+        "kie_node_metric": _q_kie_node_metric,
         # --- text analysis (oracle-checked) ---
         "filter_lang_length": _q_filter_lang_length,
         "sampled_union": _q_sampled_union,
@@ -372,6 +390,43 @@ def _ser_cte(gdir: str, label_salt: int, pfx: str) -> str:
   FROM {pfx}pick WHERE rk = 1 AND fid <> 0)"""
 
 
+def _bio_span_cte(gdir: str, label_salt: int, pfx: str) -> str:
+    """DuckDB twin of kie._bio_spans: posexplode → BIO tag → seqeval
+    segmentation (lag + running sum) → (typ, s, e) spans."""
+    return f"""
+{pfx}btoks AS (
+  SELECT media_ref, box_idx,
+         unnest(string_split(out_text, ' ')) AS tok,
+         unnest(range(len(string_split(out_text, ' ')))) AS pos
+  FROM read_parquet('{gdir}/golden_fragments.parquet')
+  WHERE out_kind = 'text_block'),
+{pfx}btag AS (
+  SELECT media_ref, box_idx, pos,
+         ({_wh(label_salt, 'tok')} % {kie.N_BIO_IDS})::int AS lab
+  FROM {pfx}btoks),
+{pfx}btyp AS (
+  SELECT media_ref, box_idx, pos, lab,
+         CASE WHEN lab = 0 THEN 0 ELSE (lab + 1) // 2 END::int AS typ
+  FROM {pfx}btag),
+{pfx}bstart AS (
+  SELECT *,
+         (typ <> 0 AND (lab % 2 = 1
+            OR lag(typ) OVER w IS NULL
+            OR lag(typ) OVER w <> typ))::int AS st
+  FROM {pfx}btyp
+  WINDOW w AS (PARTITION BY media_ref, box_idx ORDER BY pos)),
+{pfx}bseg AS (
+  SELECT *,
+         sum(st) OVER (PARTITION BY media_ref, box_idx ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS ent_id
+  FROM {pfx}bstart),
+{pfx}spans AS (
+  SELECT media_ref, box_idx, min(typ)::int AS typ,
+         min(pos)::int AS s, max(pos)::int AS e
+  FROM {pfx}bseg WHERE typ <> 0
+  GROUP BY media_ref, box_idx, ent_id)"""
+
+
 def _re_cte(label_salt: int, link_salt: int, pfx: str) -> str:
     lk = _wh(link_salt,
              "concat(media_ref, ':', head_box::varchar, ':', "
@@ -441,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
         "sr_metric": f"SELECT * FROM {g('golden_sr_metric')}",
         "can_metric": f"SELECT * FROM {g('golden_can_metric')}",
         "e2e_metric": f"SELECT * FROM {g('golden_e2e_metric')}",
+        "ct_metric": f"SELECT * FROM {g('golden_ct_metric')}",
         "ser_entities": (
             "WITH " + _ser_cte(gdir, kie.LABEL_SALT, "p") +
             "\nSELECT media_ref, box_idx, label FROM pent"),
@@ -480,6 +536,70 @@ def oracle_sql() -> dict[str, str]:
                                       + tp::double / n_gt)
                               ELSE 0 END, 6) AS hmean
             FROM t"""),
+        "ser_token_metric": (
+            "WITH " + _bio_span_cte(gdir, kie.LABEL_SALT, "p") + "," +
+            _bio_span_cte(gdir, kie.GT_LABEL_SALT, "g") + f"""
+            , j AS (
+              SELECT coalesce(p.one, 0) AS in_pred,
+                     coalesce(q.one, 0) AS in_gt
+              FROM (SELECT *, 1 AS one FROM pspans) p
+              FULL JOIN (SELECT *, 1 AS one FROM gspans) q
+              USING (media_ref, box_idx, typ, s, e)),
+            t AS (SELECT sum(in_pred * in_gt)::bigint AS tp,
+                         sum(in_pred)::bigint AS n_pred,
+                         sum(in_gt)::bigint AS n_gt FROM j)
+            SELECT coalesce(tp, 0) AS tp,
+                   coalesce(n_pred, 0) AS n_pred,
+                   coalesce(n_gt, 0) AS n_gt,
+                   round(CASE WHEN n_pred > 0
+                              THEN tp::double / n_pred ELSE 0 END, 6)
+                       AS precision,
+                   round(CASE WHEN n_gt > 0
+                              THEN tp::double / n_gt ELSE 0 END, 6)
+                       AS recall,
+                   round(CASE WHEN n_pred > 0 AND n_gt > 0
+                               AND tp::double / n_pred
+                                   + tp::double / n_gt > 0
+                              THEN 2 * (tp::double / n_pred)
+                                   * (tp::double / n_gt)
+                                   / (tp::double / n_pred
+                                      + tp::double / n_gt)
+                              ELSE 0 END, 6) AS hmean
+            FROM t"""),
+        "kie_node_metric": f"""
+            WITH nodes AS (
+              SELECT
+                ({_wh(kie.GT_NODE_SALT,
+                      "concat(media_ref, ':', box_idx::varchar)")}
+                 % {kie.NODE_C})::int AS gt,
+                ({_wh(kie.NODE_SALT,
+                      "concat(media_ref, ':', box_idx::varchar)")}
+                 % {kie.NODE_C})::int AS pred
+              FROM read_parquet('{gdir}/golden_fragments.parquet')
+              WHERE out_kind = 'text_block'),
+            hist AS (SELECT gt, pred, count(*) AS n
+                     FROM nodes GROUP BY ALL),
+            cls AS (SELECT unnest(range({kie.NODE_C}))::int AS cls),
+            per AS (
+              SELECT c.cls,
+                     coalesce((SELECT n FROM hist
+                               WHERE gt = c.cls AND pred = c.cls), 0)
+                         AS tp,
+                     greatest(coalesce((SELECT sum(n) FROM hist
+                                        WHERE gt = c.cls), 0), 1)
+                         AS row_n,
+                     greatest(coalesce((SELECT sum(n) FROM hist
+                                        WHERE pred = c.cls), 0), 1)
+                         AS col_n
+              FROM cls c),
+            f AS (SELECT cls,
+                         2 * (tp::double / row_n) * (tp::double / col_n)
+                         / greatest(tp::double / row_n
+                                    + tp::double / col_n, 1e-8) AS f1
+                  FROM per
+                  WHERE cls NOT IN ({','.join(map(str, kie.NODE_IGNORES))}))
+            SELECT count(*)::bigint AS n_classes,
+                   round(avg(f1), 6) AS hmean FROM f""",
         "filter_lang_length": """
             SELECT lang, source,
                    count(*)::bigint AS n_docs,

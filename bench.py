@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "table_master_html",
     "ser_entities",
     "re_pairs",
+    "ser_token_metric",
+    "kie_node_metric",
+    "ct_metric",
     "exact_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",

@@ -42,6 +42,7 @@ GOLDEN_FILES = [
     "golden_sr_metric.parquet",
     "golden_can_metric.parquet",
     "golden_e2e_metric.parquet",
+    "golden_ct_metric.parquet",
 ]
 
 _FRAG_COLS = ["frag_idx", "box_idx", "out_kind", "out_text", "conf",
@@ -216,6 +217,28 @@ def compute_goldens(n_docs: int, seed: int = 42, heavy_frac: float = 0.01):
             "f_score_e2e": round(2 * e_m / (e_d + e_g), 6)
             if (e_d + e_g) else 0.0}]
 
+    # --- ct_metric (DetEval protocol, sequential twin) ---
+    from .kernels.det_eval import deteval_sample, sigma_tau_tables
+
+    ct_parts = []
+    for m in media.values():
+        pm = dequantize_map(m["det_map"], int(m["det_h"]), int(m["det_w"]))
+        pred = db_postprocess(pm, [float(x) for x in m["shape_list"]])
+        gt_polys = [np.asarray(b, dtype=np.float64).reshape(4, 2)
+                    for b in m["gt_boxes"]]
+        sigma, tau = sigma_tau_tables(gt_polys, list(m["gt_texts"]), pred)
+        ct_parts.append(deteval_sample(sigma, tau))
+    ct_ra = sum(p[0] for p in ct_parts)
+    ct_pa = sum(p[1] for p in ct_parts)
+    ct_g = sum(p[2] for p in ct_parts)
+    ct_d = sum(p[3] for p in ct_parts)
+    ct_r = ct_ra / ct_g if ct_g else 0.0
+    ct_p = ct_pa / ct_d if ct_d else 0.0
+    ct = [{"total_num_gt": ct_g, "total_num_det": ct_d,
+           "recall": round(ct_r, 6), "precision": round(ct_p, 6),
+           "f_score": round(2 * ct_p * ct_r / (ct_p + ct_r), 6)
+           if (ct_p + ct_r) else 0.0}]
+
     # --- TableMaster-variant HTML per table media ---
     master = []
     for ref in sorted(media):
@@ -230,6 +253,7 @@ def compute_goldens(n_docs: int, seed: int = 42, heavy_frac: float = 0.01):
         "golden_sr_metric": sr,
         "golden_can_metric": can,
         "golden_e2e_metric": e2e,
+        "golden_ct_metric": ct,
         "golden_rec_metric": rec_metric,
         "golden_det_metric": det_metric,
         "golden_det_iou_metric": det_iou,

@@ -15,6 +15,7 @@ import numpy as np
 
 __all__ = ["build_charset", "load_charset_file", "ctc_decode",
            "ctc_decode_batch", "batched_ctc_decode", "wh_ratio_indices",
+           "encode_text", "encode_pad",
            "pred_reverse", "DEFAULT_CHARS", "DIGIT_CHARS",
            "REC_BATCH_NUM"]
 
@@ -128,3 +129,35 @@ def batched_ctc_decode(logits_list, boxes, charset: list[str],
             out[int(idx[beg + rno])] = ctc_decode(
                 np.asarray(logits_list[int(i)]), charset, reverse)
     return out
+
+
+def encode_text(text: str, charset: list[str], max_text_len: int = 25,
+                lower: bool = False):
+    """char → id encode (``BaseRecLabelEncode.encode``,
+    ``toddleocr/transforms/custom/label_ops.py:119-142``): reject
+    empty/overlong labels, skip out-of-dict chars, None if nothing
+    survives. ``charset`` is the ``build_charset`` list (blank at 0),
+    so ids index it directly."""
+    if len(text) == 0 or len(text) > max_text_len:
+        return None
+    if lower:
+        text = text.lower()
+    lut = {c: i for i, c in enumerate(charset[1:], start=1)}
+    ids = [lut[c] for c in text if c in lut]
+    return ids or None
+
+
+def encode_pad(text: str, charset: list[str], max_text_len: int = 25,
+               lower: bool = False):
+    """``CTCLabelEncode.__call__`` (``label_ops.py:153-166``):
+    encode + 0-pad to max_text_len + the ACE per-class count vector.
+    Returns (padded_ids, length, ace_counts) or None."""
+    ids = encode_text(text, charset, max_text_len, lower)
+    if ids is None:
+        return None
+    length = len(ids)
+    padded = ids + [0] * (max_text_len - length)
+    ace = [0] * len(charset)
+    for x in padded:
+        ace[x] += 1
+    return padded, length, ace

@@ -32,8 +32,9 @@ from __future__ import annotations
 from .dedup import _word_hash
 
 __all__ = ["ser_entities", "re_pairs", "kie_re_metric",
+           "ser_token_metric", "kie_node_metric",
            "N_BIO_IDS", "LABEL_SALT", "LINK_SALT", "GT_LABEL_SALT",
-           "GT_LINK_SALT", "LINK_PCT"]
+           "GT_LINK_SALT", "LINK_PCT", "NODE_C", "NODE_IGNORES"]
 
 N_BIO_IDS = 7          # O + B/I x {QUESTION, ANSWER, HEADER}
 LABEL_SALT = 7         # token -> BIO id hash salt (the "model")
@@ -120,3 +121,127 @@ def kie_re_metric(fragments_df):
         F.round(r, 6).alias("recall"),
         F.round(F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(0.0), 6)
         .alias("hmean"))
+
+
+def _bio_spans(fragments_df, label_salt: int):
+    """Per-token BIO tags → entity spans, the seqeval ``get_entities``
+    segmentation that ``VQASerTokenMetric`` scores
+    (``toddleocr/metrics/vqa.py:138-161``): an entity starts at B-X,
+    or at I-X whose predecessor is not the same type; it spans maximal
+    same-type continuation. Pure Catalyst: posexplode + lag window +
+    running-sum segment ids + groupBy."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    toks = (fragments_df
+            .where(F.col("out_kind") == "text_block")
+            .select("media_ref", "box_idx",
+                    F.posexplode(F.split("out_text", " "))
+                    .alias("pos", "tok")))
+    lab = (_word_hash(F, F.col("tok"), label_salt) % N_BIO_IDS).cast("int")
+    # 0 = O; odd = B-{Q,A,H}; even = I-{Q,A,H}; typ collapses B/I
+    typ = F.when(lab == 0, 0).otherwise(F.floor((lab + 1) / 2)).cast("int")
+    tagged = toks.select("media_ref", "box_idx", "pos",
+                         lab.alias("lab"), typ.alias("typ"))
+    w = Window.partitionBy("media_ref", "box_idx").orderBy("pos")
+    prev_typ = F.lag("typ").over(w)
+    start = ((F.col("typ") != 0)
+             & ((F.col("lab") % 2 == 1)
+                | prev_typ.isNull() | (prev_typ != F.col("typ"))))
+    seg = tagged.withColumn(
+        "ent_id", F.sum(start.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (seg.where(F.col("typ") != 0)
+            .groupBy("media_ref", "box_idx", "ent_id")
+            .agg(F.min("typ").alias("typ"),  # constant within a segment
+                 F.min("pos").alias("s"), F.max("pos").alias("e"))
+            .drop("ent_id"))
+
+
+def ser_token_metric(fragments_df):
+    """VQASerTokenMetric (``toddleocr/metrics/vqa.py:138-161``):
+    seqeval entity-level precision/recall/f1 — exact (type, start,
+    end) span matches between the pred-salt and gt-salt tag families,
+    as one full-outer join + one aggregation."""
+    from pyspark.sql import functions as F
+
+    keys = ["media_ref", "box_idx", "typ", "s", "e"]
+    pred = _bio_spans(fragments_df, LABEL_SALT).withColumn(
+        "in_pred", F.lit(1))
+    gt = _bio_spans(fragments_df, GT_LABEL_SALT).withColumn(
+        "in_gt", F.lit(1))
+    joined = pred.join(gt, keys, "full")
+    totals = joined.agg(
+        F.sum(F.col("in_pred") * F.col("in_gt")).alias("tp"),
+        F.sum("in_pred").alias("n_pred"),
+        F.sum("in_gt").alias("n_gt"))
+    p = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")) \
+        .otherwise(0.0)
+    r = F.when(F.col("n_gt") > 0, F.col("tp") / F.col("n_gt")) \
+        .otherwise(0.0)
+    return totals.select(
+        F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+        F.coalesce(F.col("n_pred"), F.lit(0)).cast("long").alias("n_pred"),
+        F.coalesce(F.col("n_gt"), F.lit(0)).cast("long").alias("n_gt"),
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(0.0), 6)
+        .alias("hmean"))
+
+
+# KIEMetric (toddleocr/metrics/kie.py:9-54, from mmocr): node
+# classification over C=26 classes, macro-F1 over the non-ignored ones.
+NODE_C = 26
+NODE_IGNORES = [0, 2, 4, 6, 8, 10, 12, 14, 16, 18, 20, 22, 24, 25]
+NODE_SALT = 19          # pred-class hash family (the "model" nodes)
+GT_NODE_SALT = 23       # gt-class hash family
+
+
+def kie_node_metric(fragments_df):
+    """KIEMetric ``compute_f1_score`` (``toddleocr/metrics/kie.py:
+    23-44``): confusion matrix over node classes → per-class recall
+    (diag/rowsum, rowsum clipped to >=1), precision (diag/colsum),
+    f1 = 2pr/(p+r).clip(1e-8); hmean = mean f1 over the non-ignored
+    classes (absent classes contribute 0, as in the reference's dense
+    C x C histogram). Nodes are text_block fragments; the class
+    assignments are the fixture world's salted hashes. Distributed as
+    one groupBy (the confusion matrix is at most C^2 = 676 rows) +
+    per-class conditional aggs; the class axis is densified with a
+    literal range so empty classes count."""
+    from pyspark.sql import functions as F
+
+    spark = fragments_df.sparkSession
+    key = F.concat(F.col("media_ref"), F.lit(":"),
+                   F.col("box_idx").cast("string"))
+    nodes = (fragments_df.where(F.col("out_kind") == "text_block")
+             .select("media_ref", "box_idx")
+             .select(
+                 (_word_hash(F, key, GT_NODE_SALT) % NODE_C)
+                 .cast("int").alias("gt"),
+                 (_word_hash(F, key, NODE_SALT) % NODE_C)
+                 .cast("int").alias("pred")))
+    hist = nodes.groupBy("gt", "pred").agg(F.count("*").alias("n"))
+    diag = (hist.where(F.col("gt") == F.col("pred"))
+            .select(F.col("gt").alias("cls"), F.col("n").alias("tp")))
+    rows = hist.groupBy(F.col("gt").alias("cls")) \
+        .agg(F.sum("n").alias("row_n"))
+    cols = hist.groupBy(F.col("pred").alias("cls")) \
+        .agg(F.sum("n").alias("col_n"))
+    classes = sorted(set(range(NODE_C)) - set(NODE_IGNORES))
+    cls_df = spark.range(NODE_C).select(
+        F.col("id").cast("int").alias("cls"))
+    per = (cls_df.join(diag, "cls", "left")
+           .join(rows, "cls", "left").join(cols, "cls", "left")
+           .select(
+               "cls",
+               F.coalesce("tp", F.lit(0)).alias("tp"),
+               F.greatest(F.coalesce("row_n", F.lit(0)), F.lit(1))
+               .alias("row_n"),
+               F.greatest(F.coalesce("col_n", F.lit(0)), F.lit(1))
+               .alias("col_n")))
+    rec = F.col("tp") / F.col("row_n")
+    prc = F.col("tp") / F.col("col_n")
+    f1 = 2 * rec * prc / F.greatest(rec + prc, F.lit(1e-8))
+    return (per.where(F.col("cls").isin(classes))
+            .agg(F.count("*").cast("long").alias("n_classes"),
+                 F.round(F.avg(f1), 6).alias("hmean")))

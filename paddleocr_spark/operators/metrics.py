@@ -20,7 +20,7 @@ from __future__ import annotations
 
 __all__ = ["rec_metric_pairs", "cls_cnt_metric_pairs", "corpus_rec_metric",
            "corpus_det_metric", "det_iou_metric", "table_structure_metric",
-           "sr_metric", "can_metric", "e2e_metric"]
+           "sr_metric", "can_metric", "e2e_metric", "ct_metric"]
 
 
 def rec_metric_pairs(spark, sf_dir: str):
@@ -390,6 +390,69 @@ def e2e_metric(media):
         F.round(F.when((F.col("d") + F.col("g")) > 0,
                        2 * F.col("m") / (F.col("d") + F.col("g")))
                 .otherwise(0.0), 6).alias("f_score_e2e"))
+
+
+def ct_metric(media):
+    """CTMetric (``toddleocr/metrics/ct.py:6-28``): DetEval-protocol
+    scoring of detections — per-media sigma/tau coverage tables +
+    one-to-one/one-to-many/many-to-one matching
+    (``metrics/_det_eval.py:293-834``, rec_flag=False), distributed as
+    mapInPandas partials (recall_accum, precision_accum, n_gt, n_det)
+    + a global sum/ratio finalize. Unlike the greedy IoU metric, this
+    credits split (one gt → many dets) and merged (many gts → one det)
+    detections at the fsc_k=0.8 discount."""
+    from pyspark.sql import functions as F
+
+    def eval_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from paddleocr_spark.corpus import dequantize_map
+        from paddleocr_spark.kernels.db import db_postprocess
+        from paddleocr_spark.kernels.det_eval import (
+            deteval_sample,
+            sigma_tau_tables,
+        )
+
+        for pdf in batches:
+            out = {"media_ref": [], "recall_accum": [],
+                   "precision_accum": [], "n_gt": [], "n_det": []}
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                pm = dequantize_map(d["det_map"], int(d["det_h"]),
+                                    int(d["det_w"]))
+                pred = db_postprocess(pm, [float(x) for x in d["shape_list"]])
+                gt_polys = [np.asarray(b, dtype=np.float64).reshape(4, 2)
+                            for b in d["gt_boxes"]]
+                sigma, tau = sigma_tau_tables(gt_polys, list(d["gt_texts"]),
+                                              pred)
+                r, p, ng, nd = deteval_sample(sigma, tau)
+                out["media_ref"].append(d["media_ref"])
+                out["recall_accum"].append(r)
+                out["precision_accum"].append(p)
+                out["n_gt"].append(ng)
+                out["n_det"].append(nd)
+            yield pd.DataFrame(out)
+
+    partials = _map_media(
+        media, eval_batches,
+        "media_ref string, recall_accum double, precision_accum double, "
+        "n_gt long, n_det long",
+        ["media_ref", "det_map", "det_h", "det_w", "shape_list",
+         "gt_boxes", "gt_texts"])
+    totals = partials.agg(F.sum("recall_accum").alias("ra"),
+                          F.sum("precision_accum").alias("pa"),
+                          F.sum("n_gt").alias("g"),
+                          F.sum("n_det").alias("d"))
+    r = F.when(F.col("g") > 0, F.col("ra") / F.col("g")).otherwise(0.0)
+    p = F.when(F.col("d") > 0, F.col("pa") / F.col("d")).otherwise(0.0)
+    return totals.select(
+        F.col("g").cast("long").alias("total_num_gt"),
+        F.col("d").cast("long").alias("total_num_det"),
+        F.round(r, 6).alias("recall"),
+        F.round(p, 6).alias("precision"),
+        F.round(F.when((p + r) > 0, 2 * p * r / (p + r)).otherwise(0.0),
+                6).alias("f_score"))
 
 
 def table_structure_metric(media_df, fragments_df):

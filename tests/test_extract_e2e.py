@@ -87,3 +87,19 @@ def test_fast_path_equals_generic_path(spark, tmp_path):
     k2 = lambda rows: sorted((r.doc_id, r.order, r.kind, r.text,
                               r.media_ref) for r in rows)
     assert k2(ra) == k2(rb)
+
+
+def test_model_bundle_roundtrip():
+    """The broadcast model bundle must resolve to exactly the module
+    defaults — otherwise the Spark decode (bundle path) and the
+    sequential golden (None path) silently diverge."""
+    from paddleocr_spark.extract_core import (
+        _CHARSET,
+        DROP_SCORE,
+        MODEL_BUNDLE,
+        resolve_bundle,
+    )
+
+    cs, ds = resolve_bundle(MODEL_BUNDLE)
+    assert cs == _CHARSET and ds == DROP_SCORE
+    assert resolve_bundle(None) == (_CHARSET, DROP_SCORE)

@@ -247,3 +247,28 @@ def test_batched_decode_scatter_back_equals_naive():
     got = batched_ctc_decode(logits, boxes, charset, batch_num=4)
     want = [ctc_decode(lg, charset) for lg in logits]
     assert got == want
+
+
+def test_encode_text_and_pad_reference_semantics():
+    """BaseRecLabelEncode.encode + CTCLabelEncode.__call__
+    (label_ops.py:119-166): skip-not-reject OOV chars, None on
+    empty/overlong/all-OOV, 0-pad + ACE counts."""
+    from paddleocr_spark.kernels.ctc import (
+        build_charset,
+        encode_pad,
+        encode_text,
+    )
+
+    cs = build_charset()
+    assert encode_text("", cs) is None
+    assert encode_text("x" * 26, cs) is None          # > max_text_len
+    assert encode_text("éé", cs) is None    # all out-of-dict
+    ids = encode_text("aéb", cs)                 # OOV skipped
+    assert ids == [cs.index("a"), cs.index("b")]
+    assert encode_text("AB", cs, lower=True) == \
+        [cs.index("a"), cs.index("b")]
+    padded, length, ace = encode_pad("ab", cs, max_text_len=5)
+    assert padded == [cs.index("a"), cs.index("b"), 0, 0, 0]
+    assert length == 2
+    assert ace[0] == 3 and sum(ace) == 5
+    assert encode_pad("", cs) is None

@@ -165,3 +165,55 @@ def test_real_image_ingest_pipeline(spark, tmp_path):
     for r in rows.values():
         assert r.det_h % 32 == 0 and r.det_w % 32 == 0
         assert min(r.det_h, r.det_w) >= 64
+
+
+def test_pgnet_label_source(spark, tmp_path):
+    """PGDataSet re-creation (datasets/pgnet.py:8-60): delimiter parse,
+    E2E label JSON → polys/texts/ignore_tags, per-source ratio
+    sampling determinism, multi-file union, malformed-line handling."""
+    import json
+
+    from paddleocr_spark.sources.pgnet import (
+        read_pgnet_labels,
+        read_pgnet_sources,
+    )
+
+    def label(boxes):
+        return json.dumps([
+            {"transcription": t, "points": p} for t, p in boxes])
+
+    f1 = tmp_path / "a.txt"
+    f1.write_text("\n".join([
+        "img1.jpg\t" + label([("hello", [[0, 0], [9, 0], [9, 4], [0, 4]]),
+                              ("###", [[1, 1], [2, 1], [2, 2], [1, 2]])]),
+        "img2.jpg\t" + label([("*", [[3, 3], [6, 3], [6, 6], [3, 6]])]),
+        "no_tab_malformed_line",
+        "img3.jpg\tnot-json",
+    ]))
+    f2 = tmp_path / "b.txt"
+    f2.write_text("img9.jpg\t" + label([("x", [[0, 0], [1, 0], [1, 1],
+                                               [0, 1]])]) + "\n")
+
+    rows = {r["img_path"]: r for r in
+            read_pgnet_labels(spark, str(f1)).collect()}
+    # the tab-less line is dropped; the bad-JSON line surfaces as null
+    assert set(rows) == {"img1.jpg", "img2.jpg", "img3.jpg"}
+    r1 = rows["img1.jpg"]
+    assert r1["texts"] == ["hello", "###"]
+    assert r1["ignore_tags"] == [False, True]
+    assert r1["polys"][0] == [[0.0, 0.0], [9.0, 0.0], [9.0, 4.0],
+                              [0.0, 4.0]]
+    assert rows["img2.jpg"]["ignore_tags"] == [True]
+    assert rows["img3.jpg"]["polys"] is None
+
+    # union of both sources at ratio 1.0 has all parseable rows
+    full = read_pgnet_sources(spark, [str(f1), str(f2)])
+    assert full.count() == 4
+    assert {r["source_file"] for r in full.collect()} == {str(f1), str(f2)}
+
+    # ratio sampling is deterministic and a subset
+    s1 = read_pgnet_sources(spark, [str(f1)], ratio_list=[0.5])
+    s2 = read_pgnet_sources(spark, [str(f1)], ratio_list=[0.5])
+    got1 = sorted(r["img_path"] for r in s1.collect())
+    assert got1 == sorted(r["img_path"] for r in s2.collect())
+    assert set(got1) <= {"img1.jpg", "img2.jpg", "img3.jpg"}
