@@ -7,6 +7,10 @@ BGR uint8 HxWx3) without cv2:
   RGBA, non-interlaced. Encoder included (filter 0) for round-trips.
 - BMP: BITMAPINFOHEADER, 24/32-bit uncompressed, bottom-up or top-down.
 - PPM/PGM: binary P6/P5, maxval 255.
+- GIF 87a/89a: pure-Python variable-width LZW, global/local color
+  tables, interlace, GCE transparency; first frame, as the reference's
+  ``check_and_read`` GIF branch (``utils/utility.py:93-104``).
+  Minimal single-frame encoder for tests.
 
 IMREAD_COLOR semantics are reproduced: gray expands to 3 channels,
 alpha is dropped, channel order is BGR.
@@ -20,6 +24,7 @@ import zlib
 import numpy as np
 
 __all__ = ["decode_png", "encode_png", "decode_bmp", "decode_ppm",
+           "decode_gif", "encode_gif",
            "decode_image", "sniff_format"]
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -191,6 +196,8 @@ def sniff_format(data: bytes) -> str | None:
         return "bmp"
     if data[:2] in (b"P5", b"P6"):
         return "ppm"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -213,6 +220,184 @@ def decode_image(data: bytes) -> np.ndarray:
         if img.shape[2] == 1:
             return np.repeat(img, 3, axis=2)
         return img[:, :, [2, 1, 0]]  # RGB → BGR
-    raise ValueError("unsupported image format (PNG/BMP/PPM supported; "
-                     "JPEG/GIF need external codecs absent from this "
-                     "environment)")
+    if fmt == "gif":
+        return decode_gif(data)  # first frame, already BGR
+    raise ValueError("unsupported image format (PNG/BMP/PPM/GIF "
+                     "supported; JPEG needs external codecs absent "
+                     "from this environment)")
+
+
+# --- GIF (87a/89a) — pure-Python LZW, first frame ---------------------
+# check_and_read's GIF branch (toddleocr/utils/utility.py:93-104) takes
+# frame 0 of the animation and BGR-ifies it; this decoder does the
+# same from the spec: logical screen + color tables + GIF-variant LZW
+# (variable code width 3..12 bits, clear/end codes), interlace
+# de-weave, GCE transparency (transparent pixels keep the canvas
+# background). Encoder writes a minimal single-frame GIF for tests.
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    dictionary: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            bits -= code_size
+            if code == clear:
+                dictionary = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out[:n_pixels])
+            if prev is None:  # first code after clear: no table add
+                entry = dictionary[code]
+            else:
+                entry = dictionary[code] if code < len(dictionary) \
+                    else prev + prev[:1]  # the KwKwK case
+                dictionary.append(prev + entry[:1])
+                if len(dictionary) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            out += entry
+            prev = entry
+            if len(out) >= n_pixels:
+                return bytes(out[:n_pixels])
+    return bytes(out[:n_pixels])
+
+
+def _deinterlace(idx: np.ndarray) -> np.ndarray:
+    h = idx.shape[0]
+    order = [r for r in range(0, h, 8)] + [r for r in range(4, h, 8)] \
+        + [r for r in range(2, h, 4)] + [r for r in range(1, h, 2)]
+    out = np.empty_like(idx)
+    out[order] = idx
+    return out
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a stream → (H, W, 3) uint8 BGR on the
+    logical screen (background-filled; transparent pixels keep it)."""
+    data = bytes(data)
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    sw = int.from_bytes(data[6:8], "little")
+    sh = int.from_bytes(data[8:10], "little")
+    packed, bg_idx = data[10], data[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos:pos + 3 * n],
+                            dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    transparent = None
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] >= 4:  # GCE
+                if data[pos + 1] & 0x01:
+                    transparent = data[pos + 4]
+            while data[pos]:  # skip sub-blocks
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"gif: unknown block 0x{b:02x} at {pos}")
+        left = int.from_bytes(data[pos + 1:pos + 3], "little")
+        top = int.from_bytes(data[pos + 3:pos + 5], "little")
+        w = int.from_bytes(data[pos + 5:pos + 7], "little")
+        h = int.from_bytes(data[pos + 7:pos + 9], "little")
+        ipacked = data[pos + 9]
+        pos += 10
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(data[pos:pos + 3 * n],
+                                  dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("gif: no color table")
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _gif_lzw_decode(bytes(lzw), mcs, w * h), dtype=np.uint8)
+        if idx.size < w * h:
+            raise ValueError("gif: truncated image data")
+        idx = idx.reshape(h, w)
+        if ipacked & 0x40:
+            idx = _deinterlace(idx)
+        bg = table[bg_idx] if (gct is not None and bg_idx < len(table)) \
+            else np.zeros(3, np.uint8)
+        canvas = np.tile(bg.astype(np.uint8), (sh, sw, 1))
+        paint = np.ones((h, w), dtype=bool) if transparent is None \
+            else (idx != transparent)
+        region = canvas[top:top + h, left:left + w]
+        region[paint] = table[np.minimum(idx, len(table) - 1)][paint]
+        return canvas[:, :, ::-1].copy()  # RGB palette → BGR
+    raise ValueError("gif: no image descriptor")
+
+
+def encode_gif(img_rgb: np.ndarray) -> bytes:
+    """Minimal single-frame GIF89a encoder (tests): 256-entry color
+    table built from the image's unique colors (must be <= 256),
+    uncompressed-style LZW (emit clear before each code so the code
+    width never grows)."""
+    h, w = img_rgb.shape[:2]
+    flat = img_rgb.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif: > 256 unique colors")
+    n = max(2, int(np.ceil(np.log2(max(len(colors), 2)))))
+    table = np.zeros((1 << n, 3), np.uint8)
+    table[:len(colors)] = colors
+    mcs = max(2, n)
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    code_size = mcs + 1
+    bits = acc = 0
+    payload = bytearray()
+
+    def emit(code):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += code_size
+        while bits >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    for v in idx:
+        emit(int(v))
+        emit(clear)  # reset dictionary: fixed code width
+    emit(end)
+    if bits:
+        payload.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (n - 1), 0, 0])
+    out += table.tobytes()
+    out += bytes([0x2C]) + (0).to_bytes(2, "little") * 2
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    out += bytes([mcs])
+    for i in range(0, len(payload), 255):
+        chunk = payload[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3B"
+    return bytes(out)

@@ -4,9 +4,10 @@ utility.py:92-123``: GIF → first frame, PDF → one image per rendered
 page; ``img_decode`` / ``DecodeImage`` at ``toddleocr/transforms/
 operators.py:9-46``).
 
-``decode_image_bytes`` REALLY decodes PNG/BMP/PPM via the repo's
-pure-NumPy codecs (``kernels/imgcodec.py``, stdlib zlib for PNG) with
-cv2 IMREAD_COLOR semantics; JPEG/GIF/PDF rendering would need codec
+``decode_image_bytes`` REALLY decodes PNG/BMP/PPM/GIF via the repo's
+pure-NumPy codecs (``kernels/imgcodec.py``, stdlib zlib for PNG,
+pure-Python LZW for GIF → first frame per check_and_read) with cv2
+IMREAD_COLOR semantics; JPEG/PDF rendering would need codec
 libraries absent from this container and stay stubbed. The Spark-side
 plumbing — binaryFile scan, page explode (1 file → N page rows, a
 UDTF like det's 1-image→N-boxes), schema, Arrow batching — is real
@@ -79,9 +80,9 @@ def explode_pages(files_df):
 def decode_image_bytes(content: bytes):
     """bytes → (H, W, 3) uint8 BGR ndarray — ``img_decode``
     (``toddleocr/engine.py:214-216``) with IMREAD_COLOR semantics,
-    via the repo's pure-NumPy codecs (PNG/BMP/PPM;
-    ``kernels/imgcodec.py``). JPEG/GIF would need external codec
-    libraries absent from this environment and raise ValueError."""
+    via the repo's pure-NumPy codecs (PNG/BMP/PPM/GIF first-frame;
+    ``kernels/imgcodec.py``). JPEG would need external codec
+    libraries absent from this environment and raises ValueError."""
     from paddleocr_spark.kernels.imgcodec import decode_image
 
     return decode_image(bytes(content))

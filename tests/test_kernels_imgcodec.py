@@ -130,3 +130,138 @@ def test_sniff_and_source_dispatch():
     assert np.array_equal(out, img)
     with pytest.raises(ValueError):
         decode_image_bytes(b"\xff\xd8\xffJPEG")
+
+
+# --- GIF (utility.py:93-104 check_and_read first-frame semantics) ----
+
+def _lzw_compress(indices, mcs):
+    """Independent, spec-faithful GIF LZW COMPRESSOR (forward string
+    table, growing code width) — cross-checks the decoder's dictionary
+    reconstruction, width growth, and KwKwK handling, which the
+    library's minimal clear-per-code encoder never exercises."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = mcs + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += code_size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    w = b""
+    for k in bytes(indices):
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        # decoder adds its twin entry one code LATER (no add on the
+        # first code after clear), so the encoder bumps width after
+        # assigning value 1<<cs — then both switch at the same stream
+        # position
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        w = bytes([k])
+    if w:
+        emit(table[w])
+    emit(end)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _wrap_gif(w, h, palette, lzw, mcs, interlace=False):
+    n_bits = max(1, (len(palette) - 1).bit_length())
+    table = np.zeros((1 << n_bits, 3), np.uint8)
+    table[:len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (n_bits - 1), 0, 0]) + table.tobytes()
+    out += bytes([0x2C]) + (0).to_bytes(2, "little") * 2
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0x00, mcs])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    return bytes(out + b"\x00\x3B")
+
+
+def test_gif_roundtrip_simple_encoder():
+    from paddleocr_spark.kernels.imgcodec import (
+        decode_gif,
+        decode_image,
+        encode_gif,
+        sniff_format,
+    )
+
+    rng = np.random.default_rng(7)
+    img = (rng.integers(0, 4, (13, 9, 1)) * 80).astype(np.uint8) \
+        .repeat(3, axis=2)
+    img[:, :, 1] //= 2
+    gif = encode_gif(img)
+    assert sniff_format(gif) == "gif"
+    out = decode_gif(gif)
+    assert out.shape == (13, 9, 3)
+    assert (out == img[:, :, ::-1]).all()      # palette RGB → BGR
+    assert (decode_image(gif) == out).all()    # dispatch wired
+
+
+def test_gif_growing_lzw_and_interlace():
+    from paddleocr_spark.kernels.imgcodec import decode_gif
+
+    rng = np.random.default_rng(11)
+    w, h = 31, 17
+    palette = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0],
+                        [0, 0, 255]], np.uint8)
+    idx = rng.integers(0, 4, h * w).astype(np.uint8)
+    # repeated runs force dictionary growth past several width bumps
+    idx[: h * w // 2] = np.tile(np.array([0, 1, 2, 3, 3, 2, 1, 0],
+                                         np.uint8),
+                                (h * w // 2) // 8 + 1)[: h * w // 2]
+    lzw = _lzw_compress(idx, mcs=2)
+    out = decode_gif(_wrap_gif(w, h, palette, lzw, 2))
+    want = palette[idx.reshape(h, w)][:, :, ::-1]
+    assert (out == want).all()
+    # interlaced variant: rows stored in 8/8/4/2 pass order
+    order = [r for r in range(0, h, 8)] + [r for r in range(4, h, 8)] \
+        + [r for r in range(2, h, 4)] + [r for r in range(1, h, 2)]
+    woven = idx.reshape(h, w)[order].reshape(-1)
+    out_i = decode_gif(_wrap_gif(w, h, palette,
+                                 _lzw_compress(woven, 2), 2,
+                                 interlace=True))
+    assert (out_i == want).all()
+
+
+def test_gif_transparency_keeps_background():
+    from paddleocr_spark.kernels.imgcodec import decode_gif
+
+    palette = np.array([[10, 20, 30], [200, 0, 0]], np.uint8)
+    idx = np.array([0, 1, 1, 0], np.uint8)  # 2x2
+    lzw = _lzw_compress(idx, mcs=2)
+    # GCE marking index 1 transparent; background = palette[0]
+    gce = bytes([0x21, 0xF9, 4, 0x01, 0, 0, 1, 0])
+    raw = _wrap_gif(2, 2, palette, lzw, 2)
+    n_bits = max(1, (len(palette) - 1).bit_length())
+    tbl_end = 13 + 3 * (1 << n_bits)  # header+LSD+global color table
+    gif = raw[:tbl_end] + gce + raw[tbl_end:]
+    out = decode_gif(gif)
+    assert (out == np.array([30, 20, 10], np.uint8)).all()  # bg BGR
+
+
+def test_gif_malformed():
+    from paddleocr_spark.kernels.imgcodec import decode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 7)  # no blocks
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF")
