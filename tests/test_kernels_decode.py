@@ -272,3 +272,55 @@ def test_encode_text_and_pad_reference_semantics():
     assert length == 2
     assert ace[0] == 3 and sum(ace) == 5
     assert encode_pad("", cs) is None
+
+
+def test_east_nms_family():
+    """locality_aware_nms.py re-creations: weighted merge, locality
+    pass, standard NMS, soft-NMS decay modes."""
+    import numpy as np
+
+    from paddleocr_spark.kernels.nms import (
+        nms_locality,
+        quad_iou,
+        soft_nms,
+        standard_nms,
+        weighted_merge,
+    )
+
+    def quad(x, y, w, h, s):
+        return np.array([x, y, x + w, y, x + w, y + h, x, y + h, s],
+                        float)
+
+    a, b = quad(0, 0, 10, 10, 1.0), quad(0, 0, 10, 10, 3.0)
+    assert quad_iou(a, b) == pytest.approx(1.0)
+    m = weighted_merge(a.copy(), b)
+    assert m[8] == 4.0
+    # coords are score-weighted: identical quads stay put
+    assert np.allclose(m[:8], a[:8])
+    # shifted merge lands 3/4 of the way toward the heavier quad
+    c = quad(4, 0, 10, 10, 3.0)
+    m2 = weighted_merge(a.copy(), c)
+    assert m2[0] == pytest.approx(3.0)
+
+    # locality pass merges CONSECUTIVE overlapping rows, then NMS
+    rows = np.stack([quad(0, 0, 10, 4, 1.0), quad(1, 0, 10, 4, 1.0),
+                     quad(50, 50, 10, 4, 0.9)])
+    out = nms_locality(rows, thres=0.3)
+    assert out.shape[0] == 2          # first two merged, third kept
+    assert out[:, 8].max() == 2.0     # merged score
+    assert nms_locality(np.empty((0, 9))).size == 0
+
+    # standard NMS keeps the higher-score of two near-identical quads
+    s = np.stack([quad(0, 0, 10, 10, 0.5), quad(0.5, 0, 10, 10, 0.9),
+                  quad(40, 40, 5, 5, 0.8)])
+    kept = standard_nms(s, 0.3)
+    assert kept.shape[0] == 2 and kept[0, 8] == 0.9
+
+    # soft-NMS: gaussian decay drops the overlapped low scorer below
+    # threshold; the far box survives untouched
+    soft = soft_nms(s, threshold=0.6, method=2)
+    assert soft.shape[0] == 2
+    assert sorted(soft[:, 8].round(6)) == [0.8, 0.9]
+    # linear mode (method=1) and hard mode (else) also run
+    assert soft_nms(s, threshold=0.45, method=1).shape[0] >= 2
+    assert soft_nms(s, threshold=0.5, method=0).shape[0] == 2
