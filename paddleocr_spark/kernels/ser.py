@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["BIO_CLASSES", "load_bio_label_maps", "fold_to_b",
-           "ser_majority_decode", "re_dedup_by_tail"]
+           "ser_majority_decode", "re_dedup_by_tail", "split_bbox"]
 
 # XFUND-style class set (train_data/XFUND class_list per reference docs)
 BIO_CLASSES = ["QUESTION", "ANSWER", "HEADER"]
@@ -77,4 +77,25 @@ def re_dedup_by_tail(relations):
             continue
         seen.add(rel["tail_id"])
         out.append(rel)
+    return out
+
+
+def split_bbox(bbox, text: str, tokenize=None):
+    """Proportional per-token sub-boxes of a text-line bbox —
+    ``VQATokenLabelEncode.split_bbox`` (``toddleocr/transforms/custom/
+    label_ops.py:987-999``): character-width units, one bbox per
+    subword token (repeated per word's token count), inter-word gap of
+    one unit. ``tokenize`` maps a word to its subword tokens; default
+    is the whitespace stand-in (1 token per word)."""
+    words = text.split()
+    if tokenize is None:
+        tokenize = lambda w: [w]
+    x1, y1, x2, y2 = (float(v) for v in bbox)
+    unit_w = (x2 - x1) / len(text) if text else 0.0
+    out = []
+    for word in words:
+        curr_w = len(word) * unit_w
+        word_bbox = [x1, y1, x1 + curr_w, y2]
+        out.extend([list(word_bbox)] * len(tokenize(word)))
+        x1 += (len(word) + 1) * unit_w
     return out

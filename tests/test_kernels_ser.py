@@ -44,3 +44,19 @@ def test_re_dedup_first_head_per_tail():
     out = re_dedup_by_tail(rels)
     assert out == [{"head_id": 0, "tail_id": 9},
                    {"head_id": 2, "tail_id": 5}]
+
+
+def test_split_bbox_proportional_units():
+    """label_ops.py:987-999: char-width units, per-word advance of
+    len+1 units, one bbox per subword token."""
+    from paddleocr_spark.kernels.ser import split_bbox
+
+    # "ab cde" over x:[0, 12]: 6 chars -> unit 2; "ab" -> [0,?,4,?],
+    # advance 3 units = 6; "cde" -> [6,?,12,?]
+    out = split_bbox([0, 1, 12, 5], "ab cde")
+    assert out == [[0.0, 1.0, 4.0, 5.0], [6.0, 1.0, 12.0, 5.0]]
+    # subword tokenizer repeats the word bbox per token
+    out2 = split_bbox([0, 0, 12, 2], "ab cde",
+                      tokenize=lambda w: list(w[:2]))
+    assert len(out2) == 4 and out2[0] == out2[1]
+    assert split_bbox([0, 0, 10, 2], "") == []
