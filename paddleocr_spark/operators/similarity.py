@@ -31,6 +31,7 @@ the operator is observed producing output.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 
 __all__ = ["N_QUERIES", "TOP_K", "SIGN_BANDS", "SIGN_BITS", "EMB_DIM",
            "PLANES", "PLANT_N", "PLANT_OFFSET",
@@ -54,14 +55,18 @@ PLANES = [[float(v) for v in row]
 del _rng
 
 
+def _dot(F, a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def _norm(F, a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"),
+                              lambda acc, v: acc + v * v))
+
+
 def _cosine(F, a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                      F.lit(0.0).cast("double"), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"),
-                            lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0).cast("double"),
-                            lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+    return _dot(F, a, b) / (_norm(F, a) * _norm(F, b))
 
 
 def _load(spark, sf_dir):
@@ -91,14 +96,16 @@ def cosine_topk_bruteforce(spark, sf_dir: str, n_queries: int = N_QUERIES,
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    emb = _load(spark, sf_dir)
+    emb = _load(spark, sf_dir).withColumn("nrm", _norm(F, F.col("emb")))
     queries = (emb.where(F.col("vec_id") < n_queries)
                .select(F.col("vec_id").alias("query_id"),
-                       F.col("emb").alias("qemb")))
+                       F.col("emb").alias("qemb"),
+                       F.col("nrm").alias("qnrm")))
     scored = (emb.crossJoin(F.broadcast(queries))
               .where(F.col("vec_id") != F.col("query_id"))
               .select("query_id", "vec_id",
-                      F.round(_cosine(F, F.col("qemb"), F.col("emb")), 6)
+                      F.round(_dot(F, F.col("qemb"), F.col("emb"))
+                              / (F.col("qnrm") * F.col("nrm")), 6)
                       .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id"))
@@ -108,21 +115,39 @@ def cosine_topk_bruteforce(spark, sf_dir: str, n_queries: int = N_QUERIES,
 
 
 def _band_buckets(F, df, emb_col: str = "emb"):
-    """vec rows → (…, band, bucket): one posexplode over the per-band
-    sign-bitmask expressions (all JVM-side fold arithmetic)."""
-    band_exprs = []
-    for band in range(SIGN_BANDS):
-        bucket = F.lit(0)
-        for bit in range(SIGN_BITS):
-            plane = PLANES[band * SIGN_BITS + bit]
-            dot = F.aggregate(
-                F.zip_with(F.col(emb_col), F.lit(plane),
-                           lambda x, y: x * y),
-                F.lit(0.0).cast("double"), lambda acc, v: acc + v)
-            bucket = bucket + F.when(dot >= 0,
-                                     F.lit(1 << bit)).otherwise(F.lit(0))
-        band_exprs.append(bucket.cast("int"))
-    return df.select("*", F.posexplode(F.array(*band_exprs))
+    """vec rows → (…, band, bucket) via ONE vectorized pandas_udf.
+
+    The naive Catalyst form — SIGN_BANDS*SIGN_BITS = 64
+    ``aggregate(zip_with(...))`` folds per row — is interpreted
+    per-element (higher-order functions don't codegen), costing
+    dim*planes = 4096 expression-tree steps per row, and the
+    near-dups self-join evaluates it twice. The Arrow batch form does
+    the same arithmetic as NumPy row-vector ops. Bit-exactness with
+    the DuckDB oracle is preserved by accumulating dims LEFT-TO-RIGHT
+    (one vectorized add per dim), the exact fold order of the previous
+    Catalyst ``aggregate`` and of the oracle's SQL fold — no matmul,
+    whose pairwise summation could flip a near-zero sign."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.asarray(PLANES, dtype=np.float64)  # (bands*bits, dim)
+
+    @pandas_udf("array<int>")
+    def _buckets(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        dots = np.empty((m.shape[0], planes.shape[0]))
+        for p in range(planes.shape[0]):
+            acc = np.zeros(m.shape[0])
+            for d in range(m.shape[1]):
+                acc = acc + m[:, d] * planes[p, d]
+            dots[:, p] = acc
+        bits = (dots >= 0).astype(np.int32)
+        res = np.zeros((m.shape[0], SIGN_BANDS), dtype=np.int32)
+        for band in range(SIGN_BANDS):
+            for bit in range(SIGN_BITS):
+                res[:, band] |= bits[:, band * SIGN_BITS + bit] << bit
+        return pd.Series([row.tolist() for row in res])
+
+    return df.select("*", F.posexplode(_buckets(F.col(emb_col)))
                      .alias("band", "bucket"))
 
 
@@ -134,14 +159,16 @@ def cosine_topk_lsh(spark, sf_dir: str, n_queries: int = N_QUERIES,
     from pyspark.sql import functions as F
 
     emb = _load(spark, sf_dir)
-    bands = _band_buckets(F, emb)
+    bands = _band_buckets(F, emb).withColumn("nrm", _norm(F, F.col("emb")))
     qbands = (bands.where(F.col("vec_id") < n_queries)
               .select(F.col("vec_id").alias("query_id"),
-                      F.col("emb").alias("qemb"), "band", "bucket"))
+                      F.col("emb").alias("qemb"),
+                      F.col("nrm").alias("qnrm"), "band", "bucket"))
     scored = (bands.join(F.broadcast(qbands), ["band", "bucket"])
               .where(F.col("vec_id") != F.col("query_id"))
               .select("query_id", "vec_id",
-                      F.round(_cosine(F, F.col("qemb"), F.col("emb")), 6)
+                      F.round(_dot(F, F.col("qemb"), F.col("emb"))
+                              / (F.col("qnrm") * F.col("nrm")), 6)
                       .alias("cosine"))
               # a pair colliding in several bands scores identically in
               # each; dedup the small (id, id, score) rows, not the embs
@@ -159,15 +186,24 @@ def embedding_near_dups(spark, sf_dir: str, threshold: float = 0.9):
     pairs, so cost follows bucket occupancy (N/2^SIGN_BITS per band)."""
     from pyspark.sql import functions as F
 
-    bands = _band_buckets(F, _augmented(spark, sf_dir))
+    # norm computed ONCE per (vec, band) row — not per candidate pair
+    # (bucket occupancy makes pairs ~occupancy× more numerous)
+    bands = _band_buckets(F, _augmented(spark, sf_dir)) \
+        .withColumn("nrm", _norm(F, F.col("emb")))
     a = bands.select(F.col("vec_id").alias("vec_a"),
-                     F.col("emb").alias("ea"), "band", "bucket")
+                     F.col("emb").alias("ea"), F.col("nrm").alias("na"),
+                     "band", "bucket")
     b = bands.select(F.col("vec_id").alias("vec_b"),
-                     F.col("emb").alias("eb"), "band", "bucket")
+                     F.col("emb").alias("eb"), F.col("nrm").alias("nb"),
+                     "band", "bucket")
     return (a.join(b, ["band", "bucket"])
             .where(F.col("vec_a") < F.col("vec_b"))
             .select("vec_a", "vec_b",
-                    F.round(_cosine(F, F.col("ea"), F.col("eb")), 6)
+                    F.round(_dot(F, F.col("ea"), F.col("eb"))
+                            / (F.col("na") * F.col("nb")), 6)
                     .alias("cosine"))
-            .dropDuplicates(["vec_a", "vec_b"])
-            .where(F.col("cosine") >= threshold))
+            # threshold BEFORE the dedup shuffle: a pair scores the
+            # same in every colliding band, so filtering first is
+            # equivalent and the distinct only sees the few survivors
+            .where(F.col("cosine") >= threshold)
+            .dropDuplicates(["vec_a", "vec_b"]))
