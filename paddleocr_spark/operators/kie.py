@@ -232,6 +232,11 @@ def kie_node_metric(fragments_df):
                  (_word_hash(F, key, NODE_SALT) % NODE_C)
                  .cast("int").alias("pred")))
     hist = nodes.groupBy("gt", "pred").agg(F.count("*").alias("n"))
+    # diag/rows/cols are three consumers of hist; without this the
+    # media decode upstream of nodes runs three times (see
+    # kie_re_metric). The matrix is at most C^2 = 676 rows.
+    hist = hist.persist()
+    hist.count()
     diag = (hist.where(F.col("gt") == F.col("pred"))
             .select(F.col("gt").alias("cls"), F.col("n").alias("tp")))
     rows = hist.groupBy(F.col("gt").alias("cls")) \
