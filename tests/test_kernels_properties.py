@@ -105,3 +105,74 @@ def test_ser_majority_ids_are_b_or_o(seed):
         assert pid in seg_folded or (pid == 0 and not seg_folded)
         assert pid == 0 or pid % 2 == 1
         start = end
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 40), st.integers(1, 40),
+       st.integers(2, 8))
+@settings(max_examples=25, deadline=None)
+def test_gif_lzw_roundtrip_random_images(seed, w, h, ncolors):
+    """ANY palette image round-trips through the independent
+    spec-faithful LZW compressor and the library decoder — exercises
+    dictionary growth, width bumps, and KwKwK on random data."""
+    from paddleocr_spark.kernels.imgcodec import decode_gif
+    from tests.test_kernels_imgcodec import _lzw_compress, _wrap_gif
+
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, (ncolors, 3)).astype(np.uint8)
+    idx = rng.integers(0, ncolors, h * w).astype(np.uint8)
+    mcs = max(2, int(np.ceil(np.log2(max(ncolors, 2)))))
+    out = decode_gif(_wrap_gif(w, h, palette, _lzw_compress(idx, mcs), mcs))
+    want = palette[idx.reshape(h, w)][:, :, ::-1]
+    assert (out == want).all()
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 6),
+       st.sampled_from(["420", "444", "mono"]))
+@settings(max_examples=25, deadline=None)
+def test_y4m_roundtrip_any_frames(seed, n_frames, cs):
+    from paddleocr_spark.kernels.video import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(seed)
+    h, w = 2 * int(rng.integers(1, 8)), 2 * int(rng.integers(1, 8))
+    frames = []
+    for _ in range(n_frames):
+        f = {"y": rng.integers(0, 256, (h, w), dtype=np.uint8)}
+        if cs == "444":
+            f["u"] = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            f["v"] = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        elif cs == "420":
+            f["u"] = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+            f["v"] = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+        frames.append(f)
+    got, meta = decode_y4m(encode_y4m(frames, cs=cs))
+    assert meta["n_frames"] == n_frames
+    for a, b in zip(frames, got):
+        for k in a:
+            assert (a[k] == b[k]).all()
+
+
+@given(st.integers(1, 500), st.integers(1, 50))
+@settings(max_examples=50, deadline=None)
+def test_frame_sampling_properties(n_frames, n_samples):
+    from paddleocr_spark.kernels.video import sample_frame_indices
+
+    idx = sample_frame_indices(n_frames, n_samples)
+    assert len(idx) == min(n_samples, n_frames)
+    assert idx == sorted(set(idx))            # strictly increasing
+    assert all(0 <= i < n_frames for i in idx)
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_otsu_threshold_bounds_and_shift_invariance(seed):
+    """t lies in [min, max); shifting all pixels by +c shifts t by c
+    (between-class variance is translation-invariant over the
+    histogram)."""
+    from paddleocr_spark.kernels.preprocess import otsu_threshold
+
+    rng = np.random.default_rng(seed)
+    gray = rng.integers(0, 200, (20, 20)).astype(np.uint8)
+    t = otsu_threshold(gray)
+    assert int(gray.min()) <= t <= int(gray.max())
+    shifted = (gray + 50).astype(np.uint8)
+    assert otsu_threshold(shifted) == t + 50
