@@ -17,7 +17,12 @@ only small string fragments leave this stage.
 
 from __future__ import annotations
 
-__all__ = ["MEDIA_FRAGMENT_SCHEMA", "decode_media"]
+__all__ = ["MEDIA_FRAGMENT_SCHEMA", "ERROR_KIND", "decode_media",
+           "decode_errors"]
+
+# out_kind of quarantined poison rows (decode raised); never a real
+# layout label, filtered out of span assembly
+ERROR_KIND = "__error__"
 
 MEDIA_FRAGMENT_SCHEMA = (
     "media_ref string, frag_idx int, box_idx int, out_kind string, "
@@ -54,7 +59,21 @@ def _make_decode_batches(bundle_bc=None):
             out = {c: [] for c in ["media_ref", *_FRAG_COLS]}
             for row in pdf.itertuples(index=False):
                 d = row._asdict()
-                for frag in decode_media_row(d, bundle):
+                try:
+                    frags = decode_media_row(d, bundle)
+                except Exception as exc:  # poison-row quarantine:
+                    # at 10^12 docs one corrupt media row must not
+                    # kill the job (the reference resamples on parse
+                    # error, simple.py:78-84); it becomes an ERROR_KIND
+                    # fragment — excluded from spans, countable via
+                    # decode_errors()
+                    frags = [{
+                        "frag_idx": -1, "box_idx": -1,
+                        "out_kind": ERROR_KIND, "out_text": "",
+                        "conf": 0.0, "cls_label": "", "cls_score": 0.0,
+                        "aux": f"{type(exc).__name__}: {exc}"[:200],
+                    }]
+                for frag in frags:
                     out["media_ref"].append(d["media_ref"])
                     for c in _FRAG_COLS:
                         out[c].append(frag[c])
@@ -180,3 +199,13 @@ def master_html_store(spark, store_path: str):
     return map_media_store(spark, store_path, _master_html_batches,
                            "media_ref string, master_html string",
                            columns=_MASTER_COLS)
+
+
+def decode_errors(fragments_df):
+    """Quarantined decode failures: (media_ref, error). Zero rows on a
+    healthy corpus; at scale this is the per-run data-quality report
+    the lineage/checkpoint rows point at."""
+    from pyspark.sql import functions as F
+
+    return (fragments_df.where(F.col("out_kind") == ERROR_KIND)
+            .select("media_ref", F.col("aux").alias("error")))

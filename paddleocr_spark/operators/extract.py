@@ -98,7 +98,11 @@ def extract_spans(docs_df, media, decode_partitions: int | None = None,
                .where(((F.col("kind") == "text")
                        & (F.length("clean") > 0))
                       | ((F.col("kind") == "media")
-                         & F.col("f_kind").isNotNull()))
+                         & F.col("f_kind").isNotNull()
+                         # quarantined decode failures never become
+                         # spans (functions/udfs.ERROR_KIND; surfaced
+                         # via decode_errors instead)
+                         & (F.col("f_kind") != "__error__")))
                .select("doc_id", "offset",
                        F.coalesce("frag_idx", F.lit(0)).alias("frag_idx"),
                        F.when(F.col("kind") == "text", F.lit("text"))

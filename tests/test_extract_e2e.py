@@ -103,3 +103,44 @@ def test_model_bundle_roundtrip():
     cs, ds = resolve_bundle(MODEL_BUNDLE)
     assert cs == _CHARSET and ds == DROP_SCORE
     assert resolve_bundle(None) == (_CHARSET, DROP_SCORE)
+
+
+def test_poison_media_row_quarantined(spark):
+    """A corrupt media row must not kill the decode job: it becomes an
+    ERROR_KIND fragment (countable via decode_errors), is excluded
+    from span assembly, and every other row decodes unchanged."""
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.functions.udfs import (
+        ERROR_KIND,
+        decode_errors,
+        decode_media,
+    )
+
+    docs = synthesize_docs(spark, 8, seed=33, heavy_frac=0.0)
+    media = synthesize_media(spark, docs, seed=33, partitions=2)
+    victim = media.select("media_ref").orderBy("media_ref").first()[0]
+    # truncate the victim's det_map so dequantize/reshape raises
+    poisoned = media.withColumn(
+        "det_map",
+        F.when(F.col("media_ref") == victim,
+               F.substring(F.col("det_map"), 1, 3))
+        .otherwise(F.col("det_map")))
+
+    frags = decode_media(poisoned)
+    errs = decode_errors(frags).collect()
+    assert [e["media_ref"] for e in errs] == [victim]
+    assert errs[0]["error"]  # non-empty reason string
+
+    # all other media decode exactly as before
+    key = lambda rows: sorted((r.media_ref, r.box_idx, r.out_kind,
+                               r.out_text, round(r.conf, 9))
+                              for r in rows if r.media_ref != victim)
+    clean = decode_media(media).collect()
+    assert key([r for r in frags.collect()
+                if r.out_kind != ERROR_KIND]) == key(clean)
+
+    # span assembly drops the quarantined media silently
+    spans = extract_spans(docs, poisoned).collect()
+    assert all(r.media_ref != victim for r in spans)
+    assert not any(r.kind == ERROR_KIND for r in spans)
