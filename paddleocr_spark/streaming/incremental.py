@@ -14,7 +14,8 @@ from __future__ import annotations
 from paddleocr_spark.corpus import docs_schema
 from paddleocr_spark.operators.extract import extract_spans
 
-__all__ = ["incremental_extract", "windowed_event_counts"]
+__all__ = ["incremental_extract", "windowed_event_counts",
+           "streaming_exact_dedup"]
 
 
 def incremental_extract(spark, docs_dir: str, media_df, out_dir: str,
@@ -51,3 +52,31 @@ def windowed_event_counts(spark, events_stream_df, watermark: str = "1 hour",
             .groupBy(F.window("ts", window), "event_type")
             .agg(F.count("*").alias("n"),
                  F.sum("value").alias("sum_value")))
+
+
+def streaming_exact_dedup(spark, docs_dir: str, watermark: str = "1 hour"):
+    """Streaming exact deduplication — the training-data pipeline's
+    "never emit the same content twice" guard as NATIVE Structured
+    Streaming state: ``dropDuplicates`` on the normalized-content md5
+    keeps first-seen rows across micro-batches (state-store backed,
+    exactly-once under the streaming checkpoint). The watermark bounds
+    state: arrival times older than it are eligible for state
+    eviction, the scale knob for an unbounded stream.
+
+    Batch twin: ``operators.dedup.exact_dedup`` keepers (min doc_id =
+    first in arrival order here, since the synthetic stream arrives in
+    doc_id order). Returns the deduped streaming DataFrame."""
+    from pyspark.sql import functions as F
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string, "
+                      "source string, n_chars long")
+              .option("maxFilesPerTrigger", 4)
+              .parquet(docs_dir))
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (stream
+            .withColumn("content_md5", F.md5(norm))
+            .withColumn("arrival", F.current_timestamp())
+            .withWatermark("arrival", watermark)
+            .dropDuplicates(["content_md5"])
+            .select("doc_id", "content_md5"))

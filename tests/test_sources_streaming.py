@@ -217,3 +217,43 @@ def test_pgnet_label_source(spark, tmp_path):
     got1 = sorted(r["img_path"] for r in s1.collect())
     assert got1 == sorted(r["img_path"] for r in s2.collect())
     assert set(got1) <= {"img1.jpg", "img2.jpg", "img3.jpg"}
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming dropDuplicates state must keep exactly one row per
+    content hash across micro-batches, equal to the batch dedup's
+    group count — with duplicates split ACROSS files so the state
+    store (not per-batch dedup) does the work."""
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.streaming.incremental import streaming_exact_dedup
+
+    docs_dir = tmp_path / "docs_stream"
+    docs_dir.mkdir()
+    rows1 = [(1, "alpha beta", "en", "s", 10),
+             (2, "gamma  delta", "en", "s", 12),
+             (3, "alpha beta", "en", "s", 10)]       # dup of 1, same file
+    rows2 = [(4, "ALPHA   beta", "en", "s", 12),      # dup of 1 after norm
+             (5, "epsilon", "en", "s", 7)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.parquet(str(docs_dir / "f1"))
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.parquet(str(docs_dir / "f2"))
+
+    out = tmp_path / "deduped"
+    q = (streaming_exact_dedup(spark, str(docs_dir) + "/*")
+         .writeStream.format("parquet")
+         .option("path", str(out))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(out)).collect()
+    # one row per distinct normalized content: {alpha beta},
+    # {gamma delta}, {epsilon}
+    hashes = [r["content_md5"] for r in got]
+    assert len(hashes) == len(set(hashes)) == 3
+    kept_docs = {r["doc_id"] for r in got}
+    assert 2 in kept_docs and 5 in kept_docs
+    assert len(kept_docs & {1, 3, 4}) == 1  # exactly one of the dups
