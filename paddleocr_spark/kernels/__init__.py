@@ -1,3 +1,21 @@
 """Pure-NumPy kernels (no Spark imports) — safe to ship to executors."""
 
-from . import cls, ctc, db, geometry, matcher, nms, reading_order, table  # noqa: F401
+from . import (  # noqa: F401
+    audio,
+    cls,
+    ctc,
+    db,
+    det_eval,
+    eval_det_iou,
+    geometry,
+    imgcodec,
+    master_match,
+    matcher,
+    nms,
+    preprocess,
+    reading_order,
+    ser,
+    sr,
+    table,
+    video,
+)
