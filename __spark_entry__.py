@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search (oracle-checked) ---
         "cosine_topk_bruteforce": similarity.cosine_topk_bruteforce,
         "cosine_topk_lsh": similarity.cosine_topk_lsh,
+        "cosine_topk_ivf": similarity.cosine_topk_ivf,
         "embedding_near_dups": similarity.embedding_near_dups,
         # --- metric aggregations (oracle-checked) ---
         "rec_metric_pairs": metrics.rec_metric_pairs,
@@ -734,6 +735,51 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cosine DESC, vec_id ASC)::int
                          AS rank
               FROM scored)
+            SELECT query_id, rank, vec_id, cosine FROM ranked
+            WHERE rank <= {k}
+        """,
+        "cosine_topk_ivf": f"""
+            WITH e AS (SELECT vec_id::bigint AS vec_id,
+                              list_transform(embedding, x -> x::double) AS emb
+                       FROM embeddings),
+            cent AS (SELECT vec_id AS cid, emb AS cemb FROM e
+                     WHERE vec_id < {similarity.N_CENTROIDS}),
+            ascore AS (
+              SELECT e.vec_id, cid,
+                     round(list_dot_product(emb, cemb)
+                           / (sqrt(list_dot_product(emb, emb))
+                              * sqrt(list_dot_product(cemb, cemb))), 9)
+                         AS ccos
+              FROM e CROSS JOIN cent),
+            assign AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccos DESC, cid ASC) AS crk
+                FROM ascore) WHERE crk = 1),
+            q AS (SELECT vec_id AS query_id, emb AS qemb FROM e
+                  WHERE vec_id < {nq}),
+            probes AS (
+              SELECT query_id, cid FROM (
+                SELECT query_id, cid,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY ccos DESC, cid ASC) AS crk
+                FROM ascore JOIN q ON ascore.vec_id = q.query_id)
+              WHERE crk <= {similarity.NPROBE}),
+            cand AS (
+              SELECT DISTINCT query_id, m.vec_id,
+                     {_cos_sql('qemb', 'emb')} AS cosine
+              FROM probes
+              JOIN q USING (query_id)
+              JOIN assign a USING (cid)
+              JOIN e m ON m.vec_id = a.vec_id
+              WHERE m.vec_id <> query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id ASC)::int
+                         AS rank
+              FROM cand)
             SELECT query_id, rank, vec_id, cosine FROM ranked
             WHERE rank <= {k}
         """,

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "simhash32",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
+    "cosine_topk_ivf",
     "embedding_near_dups",
     "rec_metric_pairs",
     "pricing_summary",

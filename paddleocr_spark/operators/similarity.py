@@ -34,9 +34,9 @@ import numpy as np
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 
 __all__ = ["N_QUERIES", "TOP_K", "SIGN_BANDS", "SIGN_BITS", "EMB_DIM",
-           "PLANES", "PLANT_N", "PLANT_OFFSET",
+           "PLANES", "PLANT_N", "PLANT_OFFSET", "N_CENTROIDS", "NPROBE",
            "cosine_topk_bruteforce", "cosine_topk_lsh",
-           "embedding_near_dups"]
+           "cosine_topk_ivf", "embedding_near_dups"]
 
 N_QUERIES = 8
 TOP_K = 5
@@ -207,3 +207,82 @@ def embedding_near_dups(spark, sf_dir: str, threshold: float = 0.9):
             # equivalent and the distinct only sees the few survivors
             .where(F.col("cosine") >= threshold)
             .dropDuplicates(["vec_a", "vec_b"]))
+
+
+# --- IVF (inverted-file) ANN variant ---------------------------------
+# Coarse quantizer = the first N_CENTROIDS corpus vectors (the classic
+# sample-init; deterministic, so the DuckDB oracle reproduces the cell
+# assignment exactly). Every vector lands in its best cell (one
+# broadcast-scored argmax — cost N x N_CENTROIDS, linear in N); a query
+# probes its NPROBE nearest cells and reranks ONLY those cells'
+# members with the exact cosine. At 10^12 rows the assignment is a
+# one-off index build (written as its own table) and query cost follows
+# probed-cell occupancy ~ NPROBE * N / N_CENTROIDS — the
+# occupancy-not-corpus scaling of the LSH path with tunable recall
+# (raise NPROBE) independent of the hash-family geometry.
+
+N_CENTROIDS = 32
+NPROBE = 4
+
+
+def _centroids(F, emb):
+    return (emb.where(F.col("vec_id") < N_CENTROIDS)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("emb").alias("cemb"),
+                    F.col("nrm").alias("cnrm")))
+
+
+def _best_cells(F, Window, df, cent, id_col: str, k: int):
+    """Per id: top-k centroids by cosine (rank window, ties to the
+    smaller cid — deterministic in both engines)."""
+    scored = (df.crossJoin(F.broadcast(cent))
+              .select(id_col, "cid",
+                      # 9-dp round before ranking: keeps the cell
+                      # choice identical across engines whose dot
+                      # folds differ in the last float bit
+                      F.round(_dot(F, F.col("emb"), F.col("cemb"))
+                              / (F.col("nrm") * F.col("cnrm")), 9)
+                      .alias("ccos")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cid"))
+    return (scored.withColumn("crk", F.row_number().over(w))
+            .where(F.col("crk") <= k))
+
+
+def cosine_topk_ivf(spark, sf_dir: str, n_queries: int = N_QUERIES,
+                    k: int = TOP_K, nprobe: int = NPROBE):
+    """IVF approximate top-k: assign every vector to its nearest
+    centroid cell, probe each query's ``nprobe`` nearest cells, exact
+    cosine rerank over the probed cells only."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = _load(spark, sf_dir).withColumn("nrm", _norm(F, F.col("emb")))
+    cent = _centroids(F, emb)
+    assign = (_best_cells(F, Window, emb, cent, "vec_id", 1)
+              .select("vec_id", "cid"))
+    members = (emb.join(assign, "vec_id")
+               .select("cid", "vec_id", "emb", "nrm"))
+
+    queries = (emb.where(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("emb").alias("qemb"),
+                       F.col("nrm").alias("qnrm")))
+    probes = (_best_cells(
+        F, Window,
+        queries.select(F.col("query_id"), F.col("qemb").alias("emb"),
+                       F.col("qnrm").alias("nrm")),
+        cent, "query_id", nprobe)
+        .select("query_id", "cid"))
+    cand = (probes.join(queries, "query_id")
+            .join(members, "cid")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id",
+                    F.round(_dot(F, F.col("qemb"), F.col("emb"))
+                            / (F.col("qnrm") * F.col("nrm")), 6)
+                    .alias("cosine"))
+            .dropDuplicates(["query_id", "vec_id"]))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (cand.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cosine"))
