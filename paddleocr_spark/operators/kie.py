@@ -167,20 +167,73 @@ def _bio_spans(fragments_df, label_salt: int):
             .drop("ent_id"))
 
 
+def _bio_spans_both(fragments_df, salt_a: int, salt_b: int):
+    """Both salt families' entity spans in ONE token pass and ONE
+    window sort: the four window expressions (two lags, two running
+    sums) share a single (media_ref, box_idx) ORDER BY pos exchange,
+    then a per-row 2-element explode splits the families. Returns
+    spans with a ``fam`` column ('a' | 'b'). Segmentation semantics
+    identical to _bio_spans per family."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    toks = (fragments_df
+            .where(F.col("out_kind") == "text_block")
+            .select("media_ref", "box_idx",
+                    F.posexplode(F.split("out_text", " "))
+                    .alias("pos", "tok")))
+    cols = {}
+    for fam, salt in (("a", salt_a), ("b", salt_b)):
+        lab = (_word_hash(F, F.col("tok"), salt) % N_BIO_IDS).cast("int")
+        cols[f"lab_{fam}"] = lab
+        cols[f"typ_{fam}"] = F.when(lab == 0, 0) \
+            .otherwise(F.floor((lab + 1) / 2)).cast("int")
+    tagged = toks.select("media_ref", "box_idx", "pos",
+                         *[c.alias(n) for n, c in cols.items()])
+    w = Window.partitionBy("media_ref", "box_idx").orderBy("pos")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    seg = tagged
+    for fam in ("a", "b"):
+        typ = F.col(f"typ_{fam}")
+        prev = F.lag(f"typ_{fam}").over(w)
+        start = ((typ != 0)
+                 & ((F.col(f"lab_{fam}") % 2 == 1)
+                    | prev.isNull() | (prev != typ)))
+        seg = seg.withColumn(f"ent_{fam}",
+                             F.sum(start.cast("int")).over(run))
+    fams = F.array(*[
+        F.struct(F.lit(fam).alias("fam"),
+                 F.col(f"typ_{fam}").alias("typ"),
+                 F.col(f"ent_{fam}").alias("ent_id"))
+        for fam in ("a", "b")])
+    return (seg.select("media_ref", "box_idx", "pos",
+                       F.explode(fams).alias("f"))
+            .select("media_ref", "box_idx", "pos",
+                    "f.fam", "f.typ", "f.ent_id")
+            .where(F.col("typ") != 0)
+            .groupBy("media_ref", "box_idx", "fam", "ent_id")
+            .agg(F.min("typ").alias("typ"),
+                 F.min("pos").alias("s"), F.max("pos").alias("e"))
+            .drop("ent_id"))
+
+
 def ser_token_metric(fragments_df):
     """VQASerTokenMetric (``toddleocr/metrics/vqa.py:138-161``):
     seqeval entity-level precision/recall/f1 — exact (type, start,
     end) span matches between the pred-salt and gt-salt tag families,
-    as one full-outer join + one aggregation."""
+    as one full-outer join + one aggregation. Both families come from
+    a single token pass (_bio_spans_both); the small span rows are
+    cached so pred/gt filtering doesn't recompute the decode."""
     from pyspark.sql import functions as F
 
     keys = ["media_ref", "box_idx", "typ", "s", "e"]
-    fragments_df = fragments_df.persist()  # decode once, not per salt
-    fragments_df.count()  # eager: see kie_re_metric
-    pred = _bio_spans(fragments_df, LABEL_SALT).withColumn(
-        "in_pred", F.lit(1))
-    gt = _bio_spans(fragments_df, GT_LABEL_SALT).withColumn(
-        "in_gt", F.lit(1))
+    spans = _bio_spans_both(fragments_df, LABEL_SALT, GT_LABEL_SALT) \
+        .persist()
+    spans.count()  # eager: see kie_re_metric
+    pred = (spans.where(F.col("fam") == "a").drop("fam")
+            .withColumn("in_pred", F.lit(1)))
+    gt = (spans.where(F.col("fam") == "b").drop("fam")
+          .withColumn("in_gt", F.lit(1)))
     joined = pred.join(gt, keys, "full")
     totals = joined.agg(
         F.sum(F.col("in_pred") * F.col("in_gt")).alias("tp"),
