@@ -392,7 +392,8 @@ def _ser_cte(gdir: str, label_salt: int, pfx: str) -> str:
 
 
 def _bio_span_cte(gdir: str, label_salt: int, pfx: str) -> str:
-    """DuckDB twin of kie._bio_spans: posexplode → BIO tag → seqeval
+    """DuckDB twin of one kie._bio_spans_both family: posexplode →
+    BIO tag → seqeval
     segmentation (lag + running sum) → (typ, s, e) spans."""
     return f"""
 {pfx}btoks AS (

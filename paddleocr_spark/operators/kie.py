@@ -132,48 +132,16 @@ def kie_re_metric(fragments_df):
         .alias("hmean"))
 
 
-def _bio_spans(fragments_df, label_salt: int):
-    """Per-token BIO tags → entity spans, the seqeval ``get_entities``
-    segmentation that ``VQASerTokenMetric`` scores
-    (``toddleocr/metrics/vqa.py:138-161``): an entity starts at B-X,
-    or at I-X whose predecessor is not the same type; it spans maximal
-    same-type continuation. Pure Catalyst: posexplode + lag window +
-    running-sum segment ids + groupBy."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    toks = (fragments_df
-            .where(F.col("out_kind") == "text_block")
-            .select("media_ref", "box_idx",
-                    F.posexplode(F.split("out_text", " "))
-                    .alias("pos", "tok")))
-    lab = (_word_hash(F, F.col("tok"), label_salt) % N_BIO_IDS).cast("int")
-    # 0 = O; odd = B-{Q,A,H}; even = I-{Q,A,H}; typ collapses B/I
-    typ = F.when(lab == 0, 0).otherwise(F.floor((lab + 1) / 2)).cast("int")
-    tagged = toks.select("media_ref", "box_idx", "pos",
-                         lab.alias("lab"), typ.alias("typ"))
-    w = Window.partitionBy("media_ref", "box_idx").orderBy("pos")
-    prev_typ = F.lag("typ").over(w)
-    start = ((F.col("typ") != 0)
-             & ((F.col("lab") % 2 == 1)
-                | prev_typ.isNull() | (prev_typ != F.col("typ"))))
-    seg = tagged.withColumn(
-        "ent_id", F.sum(start.cast("int")).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)))
-    return (seg.where(F.col("typ") != 0)
-            .groupBy("media_ref", "box_idx", "ent_id")
-            .agg(F.min("typ").alias("typ"),  # constant within a segment
-                 F.min("pos").alias("s"), F.max("pos").alias("e"))
-            .drop("ent_id"))
-
-
 def _bio_spans_both(fragments_df, salt_a: int, salt_b: int):
     """Both salt families' entity spans in ONE token pass and ONE
     window sort: the four window expressions (two lags, two running
     sums) share a single (media_ref, box_idx) ORDER BY pos exchange,
     then a per-row 2-element explode splits the families. Returns
-    spans with a ``fam`` column ('a' | 'b'). Segmentation semantics
-    identical to _bio_spans per family."""
+    spans with a ``fam`` column ('a' | 'b'). Per family this is the
+    seqeval ``get_entities`` segmentation that ``VQASerTokenMetric``
+    scores (``toddleocr/metrics/vqa.py:138-161``): an entity starts at
+    B-X, or at I-X whose predecessor is not the same type, and spans
+    maximal same-type continuation."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
