@@ -176,3 +176,27 @@ def test_otsu_threshold_bounds_and_shift_invariance(seed):
     assert int(gray.min()) <= t <= int(gray.max())
     shifted = (gray + 50).astype(np.uint8)
     assert otsu_threshold(shifted) == t + 50
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(0, 8), st.integers(0, 8))
+@settings(max_examples=40, deadline=None)
+def test_deteval_accumulators_bounded(seed, n_gt, n_det):
+    """For ANY sigma/tau tables: each gt contributes at most 1.0 to
+    recall and each det at most 1.0 to precision (one-to-one counts 1,
+    split/merge matches count fsc_k<1 per participant), and the
+    combine ratios stay in [0, 1]."""
+    from paddleocr_spark.kernels.det_eval import (
+        deteval_combine,
+        deteval_sample,
+    )
+
+    rng = np.random.default_rng(seed)
+    sigma = rng.random((n_gt, n_det))
+    tau = rng.random((n_gt, n_det))
+    rec, prec, g, d = deteval_sample(sigma, tau)
+    assert 0.0 <= rec <= g + 1e-9
+    assert 0.0 <= prec <= d + 1e-9
+    out = deteval_combine([(rec, prec, g, d)])
+    assert 0.0 <= out["recall"] <= 1.0 or g == 0
+    assert 0.0 <= out["precision"] <= 1.0 or d == 0
+    assert 0.0 <= out["f_score"] <= 1.0
