@@ -5,6 +5,13 @@
   a per-query top-k window. One shuffle (the window); the scan side
   never re-partitions. At 10^12 rows this is the exact-scoring path you
   run *after* an index narrows candidates.
+- ``cosine_topk_ivf``: inverted-file ANN — deterministic sample-init
+  centroids (the vec_id prefix, so the oracle reproduces the index),
+  one broadcast-scored cell assignment per vector (a one-off index
+  build at production scale), NPROBE-cell probing per query, exact
+  rerank on probed cells only. recall@5 = 0.875 vs bruteforce at
+  nprobe=4 of 32 cells on the test corpus; raise NPROBE for recall,
+  N_CENTROIDS for occupancy, independently of the plan shape.
 - ``cosine_topk_lsh`` / ``embedding_near_dups``: the scale path —
   random-hyperplane LSH for cosine. SIGN_BANDS bands of SIGN_BITS
   hyperplanes each; a vector's bucket in a band is the sign bitmask of
