@@ -66,6 +66,16 @@ def corpus_paths(spark: SparkSession, sf_dir: str,
         n_files = min(256, max(32, n_docs // 128))
         media = synthesize_media(spark, docs, seed=SEED, partitions=n_files)
         media.write.mode("overwrite").parquet(media_path)
+    # manifest table for pointer-passing decode planning (idempotent;
+    # also upgrades caches written before manifests existed)
+    from paddleocr_spark.functions.udfs import (
+        manifest_path,
+        write_store_manifest,
+    )
+
+    if not os.path.exists(os.path.join(manifest_path(media_path),
+                                       "_SUCCESS")):
+        write_store_manifest(spark, media_path)
     # sequential-reference goldens (CORRECTNESS oracles); idempotent.
     # Only at test/correctness scales — the golden path is sequential
     # by design (it IS the single-threaded reference), so bench-scale

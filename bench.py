@@ -102,6 +102,15 @@ def _tmpfs_media(media_path: str, n_docs: int) -> str:
     if not os.path.exists(os.path.join(dst, "_SUCCESS")):
         shutil.rmtree(dst, ignore_errors=True)
         shutil.copytree(media_path, dst)
+    # relocate the manifest sibling too (file names are relative, so
+    # the copied manifest plans the copied store)
+    from paddleocr_spark.functions.udfs import manifest_path
+
+    src_man, dst_man = manifest_path(media_path), manifest_path(dst)
+    if (os.path.exists(os.path.join(src_man, "_SUCCESS"))
+            and not os.path.exists(os.path.join(dst_man, "_SUCCESS"))):
+        shutil.rmtree(dst_man, ignore_errors=True)
+        shutil.copytree(src_man, dst_man)
     return dst
 
 
@@ -150,6 +159,8 @@ def main() -> None:
     entry_mod.corpus_paths(spark, SF_DIR, n_docs=n_docs)
     _warm_workers(spark, CPUS)
 
+    from paddleocr_spark.operators._cache import release_persisted
+
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -157,6 +168,9 @@ def main() -> None:
         queries[name](spark, SF_DIR).write.mode("overwrite") \
             .format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+        # tracked intermediate caches (kie/dedup eager persists) don't
+        # accumulate across the suite
+        release_persisted(spark)
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["extract_full"], 1)

@@ -18,7 +18,7 @@ only small string fragments leave this stage.
 from __future__ import annotations
 
 __all__ = ["MEDIA_FRAGMENT_SCHEMA", "ERROR_KIND", "decode_media",
-           "decode_errors"]
+           "decode_errors", "write_store_manifest", "manifest_path"]
 
 # out_kind of quarantined poison rows (decode raised); never a real
 # layout label, filtered out of span assembly
@@ -121,10 +121,63 @@ def decode_media(media_df, repartition: int | None = None):
 # (at production scale, Iceberg manifest entries) and each task reads
 # its parquet split directly with pyarrow — vectorized, no JVM copy.
 
-def list_store_files(path: str) -> list[str]:
-    """Data files of a parquet store directory. Local listing here; on
-    a real deployment this comes from the Iceberg manifest (which also
-    gives size/row-count for balanced assignment)."""
+MANIFEST_SUFFIX = "_manifest"
+MANIFEST_SCHEMA = "file string, n_rows long, n_bytes long"
+
+
+def manifest_path(store_path: str) -> str:
+    """Sibling dir ``<store>_manifest``: Spark's FileIndex hides
+    ``_``-prefixed children, so it can't live INSIDE the store, and a
+    plain-named subdir would break the store's partition discovery."""
+    return store_path.rstrip("/") + MANIFEST_SUFFIX
+
+
+def write_store_manifest(spark, store_path: str):
+    """Write the store's file-level manifest table — the self-managed
+    stand-in for an Iceberg manifest (no iceberg-spark-runtime jar
+    ships in this image and there is no network to fetch one; probed,
+    see BENCH/BASELINE.md). One row per data file: (file [relative
+    name, so the store relocates], n_rows, n_bytes from the parquet
+    footer). Written ONCE at store creation — the build-index-once
+    pattern of the reference's LMDB dataset index
+    (toddleocr/datasets/lmdb.py:51-65) — so query planning reads a
+    table instead of listing the filesystem. The driver-side listing
+    below runs only here, at write time (the Iceberg-commit analogue);
+    footers are read executor-side. At real manifest scale (millions
+    of files) this table is itself partitioned parquet — still never
+    O(files) driver memory at PLAN time."""
+    import os as _os
+
+    names = [_os.path.basename(f) for f in _list_store_files(store_path)]
+    root = store_path
+
+    def footer(batches):
+        import os as _os2
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            files, rows, bts = [], [], []
+            for name in pdf["file"]:
+                full = _os2.path.join(root, name)
+                files.append(name)
+                rows.append(pq.ParquetFile(full).metadata.num_rows)
+                bts.append(_os2.path.getsize(full))
+            yield pd.DataFrame(
+                {"file": files, "n_rows": rows, "n_bytes": bts})
+
+    (spark.createDataFrame([(n,) for n in names], "file string")
+     .repartition(min(len(names),
+                      spark.sparkContext.defaultParallelism))
+     .mapInPandas(footer, schema=MANIFEST_SCHEMA)
+     .write.mode("overwrite").parquet(manifest_path(store_path)))
+
+
+def _list_store_files(path: str) -> list[str]:
+    """Driver-side glob fallback — used at manifest WRITE time and for
+    ad-hoc stores that never wrote one (tests, single files). The hot
+    query path plans from the manifest table instead."""
     import glob as _glob
     import os as _os
 
@@ -133,18 +186,58 @@ def list_store_files(path: str) -> list[str]:
     return sorted(_glob.glob(_os.path.join(path, "*.parquet")))
 
 
+# back-compat alias (tests exercise the fallback path by this name)
+list_store_files = _list_store_files
+
+
+def _store_files_df(spark, store_path: str, n_tasks: int):
+    """DataFrame of data-file paths, packed into byte-balanced tasks.
+
+    Manifest path (the default): read the manifest TABLE, assign each
+    file a task id by its start offset in the cumulative-bytes order,
+    and range-partition on it — planning is a tiny Spark job over one
+    row per file, never an O(files) driver listing, and task sizes
+    track bytes (a skewed file-size distribution still packs evenly).
+    The single-partition window over the manifest is fine at this
+    tier; a million-file manifest would pre-aggregate per manifest
+    chunk first.
+    """
+    import os as _os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    man = manifest_path(store_path)
+    if _os.path.exists(_os.path.join(man, "_SUCCESS")):
+        w = Window.orderBy("file")
+        tot = F.broadcast(spark.read.parquet(man)
+                          .agg(F.sum("n_bytes").alias("tot_bytes")))
+        return (spark.read.parquet(man)
+                .crossJoin(tot)
+                .withColumn("cum",
+                            F.sum("n_bytes").over(w) - F.col("n_bytes"))
+                .withColumn("task",
+                            F.floor(F.col("cum") * n_tasks
+                                    / F.greatest(F.col("tot_bytes"),
+                                                 F.lit(1))))
+                .select(F.concat(F.lit(store_path.rstrip("/") + "/"),
+                                 F.col("file")).alias("path"), "task")
+                .repartitionByRange(n_tasks, "task")
+                .select("path"))
+    files = _list_store_files(store_path)
+    return (spark.createDataFrame([(f,) for f in files], "path string")
+            .repartition(min(len(files), n_tasks)))
+
+
 def map_media_store(spark, store_path: str, batch_fn, schema,
                     columns: list[str] | None = None):
     """Run ``batch_fn(iter_of_pandas)`` over the media store with
-    executor-side pyarrow reads: one input row per data file, decode
-    parallelism = file count (set by the store's write partitioning)."""
-    files = list_store_files(store_path)
-    # pack files into ~2 tasks/core: fewer task boundaries than
-    # one-task-per-file, still enough for stragglers to rebalance
-    n_tasks = min(len(files),
-                  spark.sparkContext.defaultParallelism * 2)
-    files_df = spark.createDataFrame([(f,) for f in files], "path string") \
-        .repartition(n_tasks)
+    executor-side pyarrow reads, planned from the store's manifest
+    table (write_store_manifest): one input row per data file, packed
+    into ~2 byte-balanced tasks/core — fewer task boundaries than
+    one-task-per-file, still enough for stragglers to rebalance."""
+    n_tasks = spark.sparkContext.defaultParallelism * 2
+    files_df = _store_files_df(spark, store_path, n_tasks)
     cols = columns
 
     def per_file(batches):

@@ -1,0 +1,58 @@
+"""Tracked eager caching for multi-consumer intermediates.
+
+Several operators persist a small intermediate DataFrame that multiple
+branches of one query consume (pred/gt salt families, LSH band rows,
+confusion matrices). The persist is load-bearing — Catalyst does not
+reuse the expensive decode subtree across join sides, and a LAZY cache
+races (concurrent stages each compute the subtree; measured 63.6 s vs
+22.3 s at sf0.1) — but a bare ``persist()`` leaks: cached partitions
+accumulate across a multi-query bench/correctness run on one session.
+
+``eager_persist`` registers every such cache in a per-session registry;
+``release_persisted`` (called by ``bench.py`` between queries, and by
+any long-lived session when a query's results have been materialized)
+unpersists them all. At production scale these intermediates are their
+own tables and the issue disappears.
+"""
+
+from __future__ import annotations
+
+__all__ = ["eager_persist", "release_persisted"]
+
+# session id -> list of persisted DataFrames. STRONG references: the
+# query function's local goes out of scope as soon as it returns (the
+# returned result holds only the JVM plan), so a weakref would be dead
+# by release time and the cache would leak exactly as before. The pin
+# is a cheap plan handle, and the registry is bounded by the explicit
+# release_persisted calls between queries.
+_REGISTRY: dict[int, list] = {}
+
+
+def eager_persist(df):
+    """persist() + count() + register for later release. Returns df.
+
+    The count() is the eager-materialization barrier that serializes
+    the cache fill before consumers race it (no in-flight dedup in
+    Spark's cache manager).
+    """
+    df = df.persist()
+    df.count()
+    key = id(df.sparkSession)
+    _REGISTRY.setdefault(key, []).append(df)
+    return df
+
+
+def release_persisted(spark=None) -> int:
+    """Unpersist every tracked cache (of ``spark``, or of all
+    sessions). Returns the number released. Safe to call while a
+    released query's DataFrame is still around — Spark recomputes."""
+    n = 0
+    keys = [id(spark)] if spark is not None else list(_REGISTRY)
+    for key in keys:
+        for df in _REGISTRY.pop(key, []):
+            try:
+                df.unpersist()
+                n += 1
+            except Exception:
+                pass  # session already stopped
+    return n

@@ -181,8 +181,10 @@ def lsh_candidate_pairs(spark, sf_dir: str):
     # sides racing a lazy cache each compute the subtree themselves
     # (no in-flight dedup: 63.6 s vs 22.3 s cold at sf0.1). At
     # production scale signatures are materialized as their own table.
-    bands = bands.persist()
-    bands.count()
+    # Tracked (operators._cache): bench releases between queries.
+    from paddleocr_spark.operators._cache import eager_persist
+
+    bands = eager_persist(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, ["band", "band_hash"])

@@ -33,7 +33,11 @@ Scale design notes (the parts that matter at 10^12 docs):
 from __future__ import annotations
 
 from paddleocr_spark.corpus import BOILERPLATE_RE
-from paddleocr_spark.functions.udfs import decode_media, decode_media_store
+from paddleocr_spark.functions.udfs import (
+    ERROR_KIND,
+    decode_media,
+    decode_media_store,
+)
 
 __all__ = ["explode_spans", "clean_text_col", "extract_spans"]
 
@@ -100,9 +104,8 @@ def extract_spans(docs_df, media, decode_partitions: int | None = None,
                       | ((F.col("kind") == "media")
                          & F.col("f_kind").isNotNull()
                          # quarantined decode failures never become
-                         # spans (functions/udfs.ERROR_KIND; surfaced
-                         # via decode_errors instead)
-                         & (F.col("f_kind") != "__error__")))
+                         # spans (surfaced via decode_errors instead)
+                         & (F.col("f_kind") != ERROR_KIND)))
                .select("doc_id", "offset",
                        F.coalesce("frag_idx", F.lit(0)).alias("frag_idx"),
                        F.when(F.col("kind") == "text", F.lit("text"))

@@ -29,6 +29,7 @@ join plumbing is value-checked end to end.
 
 from __future__ import annotations
 
+from ._cache import eager_persist
 from .dedup import _word_hash
 
 __all__ = ["ser_entities", "re_pairs", "kie_re_metric",
@@ -106,9 +107,8 @@ def kie_re_metric(fragments_df):
     # EAGERLY: concurrent stages racing a lazy cache each compute the
     # decode themselves (no in-flight dedup; measured 19.4 s vs 13.8 s
     # cold at sf0.1). At production scale fragments land in their own
-    # table instead.
-    fragments_df = fragments_df.persist()
-    fragments_df.count()
+    # table instead. Tracked: bench releases between queries.
+    fragments_df = eager_persist(fragments_df)
     pred = (re_pairs(fragments_df, LABEL_SALT, LINK_SALT)
             .withColumn("in_pred", F.lit(1)))
     gt = (re_pairs(fragments_df, GT_LABEL_SALT, GT_LINK_SALT)
@@ -195,9 +195,8 @@ def ser_token_metric(fragments_df):
     from pyspark.sql import functions as F
 
     keys = ["media_ref", "box_idx", "typ", "s", "e"]
-    spans = _bio_spans_both(fragments_df, LABEL_SALT, GT_LABEL_SALT) \
-        .persist()
-    spans.count()  # eager: see kie_re_metric
+    spans = eager_persist(  # eager + tracked: see kie_re_metric
+        _bio_spans_both(fragments_df, LABEL_SALT, GT_LABEL_SALT))
     pred = (spans.where(F.col("fam") == "a").drop("fam")
             .withColumn("in_pred", F.lit(1)))
     gt = (spans.where(F.col("fam") == "b").drop("fam")
@@ -256,8 +255,7 @@ def kie_node_metric(fragments_df):
     # diag/rows/cols are three consumers of hist; without this the
     # media decode upstream of nodes runs three times (see
     # kie_re_metric). The matrix is at most C^2 = 676 rows.
-    hist = hist.persist()
-    hist.count()
+    hist = eager_persist(hist)
     diag = (hist.where(F.col("gt") == F.col("pred"))
             .select(F.col("gt").alias("cls"), F.col("n").alias("tp")))
     rows = hist.groupBy(F.col("gt").alias("cls")) \

@@ -140,6 +140,8 @@ def _band_buckets(F, df, emb_col: str = "emb"):
 
     @pandas_udf("array<int>")
     def _buckets(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:  # np.stack raises on an empty Arrow batch
+            return pd.Series([], dtype=object)
         m = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
         dots = np.empty((m.shape[0], planes.shape[0]))
         for p in range(planes.shape[0]):

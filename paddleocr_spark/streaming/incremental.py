@@ -57,11 +57,18 @@ def windowed_event_counts(spark, events_stream_df, watermark: str = "1 hour",
 def streaming_exact_dedup(spark, docs_dir: str, watermark: str = "1 hour"):
     """Streaming exact deduplication — the training-data pipeline's
     "never emit the same content twice" guard as NATIVE Structured
-    Streaming state: ``dropDuplicates`` on the normalized-content md5
-    keeps first-seen rows across micro-batches (state-store backed,
-    exactly-once under the streaming checkpoint). The watermark bounds
-    state: arrival times older than it are eligible for state
-    eviction, the scale knob for an unbounded stream.
+    Streaming state: ``dropDuplicatesWithinWatermark`` on the
+    normalized-content md5 keeps first-seen rows across micro-batches
+    (state-store backed, exactly-once under the streaming checkpoint).
+
+    State eviction: plain ``dropDuplicates([key])`` without the
+    event-time column in the subset never evicts — state grows
+    unboundedly despite a watermark on the stream.
+    ``dropDuplicatesWithinWatermark`` keys state by md5 but expires
+    each entry once the watermark passes its event time, so state is
+    bounded by the dedup window (duplicates arriving farther apart
+    than the watermark may be re-emitted — the documented trade of
+    every watermark-bounded streaming dedup).
 
     Batch twin: ``operators.dedup.exact_dedup`` keepers (min doc_id =
     first in arrival order here, since the synthetic stream arrives in
@@ -78,5 +85,5 @@ def streaming_exact_dedup(spark, docs_dir: str, watermark: str = "1 hour"):
             .withColumn("content_md5", F.md5(norm))
             .withColumn("arrival", F.current_timestamp())
             .withWatermark("arrival", watermark)
-            .dropDuplicates(["content_md5"])
+            .dropDuplicatesWithinWatermark(["content_md5"])
             .select("doc_id", "content_md5"))

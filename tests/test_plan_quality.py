@@ -73,6 +73,52 @@ def test_extract_shuffle_budget(spark):
     assert count_exchanges(df) <= 5
 
 
+def test_media_store_planning_from_manifest(spark):
+    """Store decode must plan from the manifest TABLE (a parquet scan
+    of <store>/_manifest), not a driver-side file glob — the
+    self-managed Iceberg-manifest stand-in. The store's fat data files
+    must NOT appear as a Catalyst FileScan (they are read executor-side
+    via pyarrow pointer passing)."""
+    import os as _os
+
+    from paddleocr_spark.functions.udfs import (
+        decode_media_store,
+        manifest_path,
+    )
+    from paddleocr_spark.plans.inspect import formatted_plan
+
+    _, media_path = entry_mod.corpus_paths(spark, SF, n_docs=50)
+    assert _os.path.exists(_os.path.join(manifest_path(media_path),
+                                         "_SUCCESS"))
+    df = decode_media_store(spark, media_path)
+    plan = formatted_plan(df)
+    # every Catalyst file scan points at the manifest table; the media
+    # data dir never appears as a scan location (its files are read
+    # executor-side inside the mapInPandas)
+    import re
+
+    locs = re.findall(r"Location: \S+ \[([^\]]*)\]", plan)
+    assert locs and all("media_manifest" in loc for loc in locs), plan
+
+
+def test_manifest_planned_decode_matches_dataframe_decode(spark):
+    """Pointer-passing decode planned from the manifest produces the
+    same fragments as the generic DataFrame-decode path."""
+    from paddleocr_spark.functions.udfs import (
+        decode_media,
+        decode_media_store,
+    )
+
+    docs, media_df = entry_mod.load_corpus(spark, SF, n_docs=50)
+    _, media_path = entry_mod.corpus_paths(spark, SF, n_docs=50)
+    key = lambda r: (r["media_ref"], r["frag_idx"], r["box_idx"])
+    a = sorted((r.asDict() for r in
+                decode_media_store(spark, media_path).collect()), key=key)
+    b = sorted((r.asDict() for r in
+                decode_media(media_df).collect()), key=key)
+    assert a == b
+
+
 def test_simhash_single_aggregation_pass(spark):
     """The simhash rewrite must be one map-side-combinable groupBy: no
     bit-explode row amplification, at most the agg exchange."""
