@@ -56,7 +56,7 @@ def corpus_paths(spark: SparkSession, sf_dir: str,
     parallelizes per file)."""
     if n_docs is None:
         n_docs = _corpus_size(spark, sf_dir)
-    path = os.path.join(CACHE_ROOT, f"v4_seed{SEED}_n{n_docs}")
+    path = os.path.join(CACHE_ROOT, f"v5_seed{SEED}_n{n_docs}")
     docs_path = os.path.join(path, "docs")
     media_path = os.path.join(path, "media")
     if not os.path.exists(os.path.join(media_path, "_SUCCESS")):
@@ -97,7 +97,7 @@ def _correctness_cache_dir() -> str:
         ).fetchone()[0]
     except Exception:
         n = 500
-    return os.path.join(CACHE_ROOT, f"v4_seed{SEED}_n{int(n)}")
+    return os.path.join(CACHE_ROOT, f"v5_seed{SEED}_n{int(n)}")
 
 
 def load_corpus(spark: SparkSession, sf_dir: str, n_docs: int | None = None):
@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_bruteforce": similarity.cosine_topk_bruteforce,
         "cosine_topk_lsh": similarity.cosine_topk_lsh,
         "cosine_topk_ivf": similarity.cosine_topk_ivf,
+        "cosine_topk_ivf_refined": similarity.cosine_topk_ivf_refined,
         "embedding_near_dups": similarity.embedding_near_dups,
         # --- metric aggregations (oracle-checked) ---
         "rec_metric_pairs": metrics.rec_metric_pairs,
@@ -485,6 +486,13 @@ def oracle_sql() -> dict[str, str]:
         materialize_goldens(gdir, n, seed=SEED, heavy_frac=HEAVY_FRAC)
     except Exception:
         pass  # oracle queries will surface the miss explicitly
+    # refined-IVF oracle reads the persisted index tables; materialize
+    # via the NumPy twin if the Spark build hasn't run yet (the two
+    # builders produce identical values — tests/test_similarity_ivf.py)
+    try:
+        ivf_idx = similarity.write_ivf_index_numpy("/root/testdata/sf0.01")
+    except Exception:
+        ivf_idx = similarity.ivf_dir(500)
     g = lambda name: f"read_parquet('{gdir}/{name}.parquet')"
     return {
         "extract_full": f"""
@@ -783,6 +791,46 @@ def oracle_sql() -> dict[str, str]:
               FROM probes
               JOIN q USING (query_id)
               JOIN assign a USING (cid)
+              JOIN e m ON m.vec_id = a.vec_id
+              WHERE m.vec_id <> query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id ASC)::int
+                         AS rank
+              FROM cand)
+            SELECT query_id, rank, vec_id, cosine FROM ranked
+            WHERE rank <= {k}
+        """,
+        "cosine_topk_ivf_refined": f"""
+            WITH e AS (SELECT vec_id::bigint AS vec_id,
+                              list_transform(embedding, x -> x::double) AS emb
+                       FROM embeddings),
+            cent AS (SELECT cid, cemb
+                     FROM read_parquet('{ivf_idx}/centroids/*.parquet')),
+            asg AS (SELECT vec_id, cid
+                    FROM read_parquet('{ivf_idx}/assign/*.parquet')),
+            q AS (SELECT vec_id AS query_id, emb AS qemb FROM e
+                  WHERE vec_id < {nq}),
+            ps AS (
+              SELECT query_id, cid,
+                     round(list_dot_product(qemb, cemb)
+                           / (sqrt(list_dot_product(qemb, qemb))
+                              * sqrt(list_dot_product(cemb, cemb))), 9)
+                         AS ccos
+              FROM q CROSS JOIN cent),
+            probes AS (
+              SELECT query_id, cid FROM (
+                SELECT query_id, cid,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY ccos DESC, cid ASC) AS crk
+                FROM ps) WHERE crk <= {similarity.NPROBE_REFINED}),
+            cand AS (
+              SELECT DISTINCT query_id, m.vec_id,
+                     {_cos_sql('qemb', 'emb')} AS cosine
+              FROM probes
+              JOIN q USING (query_id)
+              JOIN asg a USING (cid)
               JOIN e m ON m.vec_id = a.vec_id
               WHERE m.vec_id <> query_id),
             ranked AS (

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
     "cosine_topk_ivf",
+    "cosine_topk_ivf_refined",
     "embedding_near_dups",
     "rec_metric_pairs",
     "pricing_summary",
@@ -95,7 +96,7 @@ def _tmpfs_media(media_path: str, n_docs: int) -> str:
     numbers are reported alongside in BENCH/BASELINE.md.)"""
     import shutil
 
-    # key by the versioned cache dir (…/v4_seed42_nN/media) so fixture
+    # key by the versioned cache dir (…/v5_seed42_nN/media) so fixture
     # schema bumps never reuse a stale copy
     version = os.path.basename(os.path.dirname(media_path.rstrip("/")))
     dst = f"/dev/shm/paddleocr_media_{version}"
@@ -147,6 +148,202 @@ def _run_extract_throughput(master_cores: int, n_docs: int) -> float:
         time.sleep(10)
 
 
+def _profile_extract(spark) -> dict:
+    """Per-stage breakdown of the flagship extract at SF_DIR: the
+    decode stage alone (store → fragments), the text branch alone
+    (explode + clean + filter), and the full pipeline; join+order is
+    the remainder. Each sub-job runs the same plans the full pipeline
+    contains, so the deltas attribute the wall time."""
+    import __spark_entry__ as entry_mod
+    from paddleocr_spark.functions.udfs import decode_media_store
+    from paddleocr_spark.operators.extract import (
+        clean_text_col,
+        explode_spans,
+        extract_spans,
+    )
+    from pyspark.sql import functions as F
+
+    docs_path, media_path = entry_mod.corpus_paths(spark, SF_DIR)
+    docs = spark.read.parquet(docs_path)
+    prof: dict[str, float] = {}
+
+    def timed(name, df):
+        t0 = time.time()
+        df.write.mode("overwrite").format("noop").save()
+        prof[name] = round(time.time() - t0, 3)
+
+    timed("decode_store", decode_media_store(spark, media_path))
+    timed("text_branch",
+          explode_spans(docs)
+          .where(F.col("kind") == "text")
+          .select("doc_id", "offset",
+                  clean_text_col(F.col("text")).alias("clean"))
+          .where(F.length("clean") > 0))
+    timed("full_pipeline", extract_spans(docs, media_path))
+    prof["join_and_order"] = round(
+        prof["full_pipeline"] - prof["decode_store"]
+        - prof["text_branch"], 3)
+    return prof
+
+
+def _run_skew_study() -> dict:
+    """Skew evidence (north rule: "salted repartitioning handles
+    skew"): a corpus with pathological ~10^5-span documents, extracted
+    with the plain per-doc window (salt_width=0, the straggler
+    baseline) and with the salted two-phase ordering. Reports wall
+    times, output-equality checksum, and the exact rows-per-sort-task
+    distribution for both (per-doc counts for the plain window, per
+    (doc, offset-bucket) counts for the salted path)."""
+    import __spark_entry__ as entry_mod
+    from paddleocr_spark.corpus import synthesize_docs, synthesize_media
+    from paddleocr_spark.functions.udfs import write_store_manifest
+    from paddleocr_spark.operators.extract import SALT_WIDTH, extract_spans
+    from paddleocr_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    base, patho, pspans = 2000, 2, 100_000
+    spark = get_spark("bench_skew", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    try:
+        root = os.path.join(entry_mod.CACHE_ROOT,
+                            f"skew_v1_s{entry_mod.SEED}_b{base}"
+                            f"_p{patho}x{pspans}")
+        docs_path = os.path.join(root, "docs")
+        media_path = os.path.join(root, "media")
+        if not os.path.exists(os.path.join(media_path, "_SUCCESS")):
+            docs = synthesize_docs(spark, base, seed=entry_mod.SEED,
+                                   heavy_frac=0.01, patho_docs=patho,
+                                   patho_spans=pspans)
+            docs.write.mode("overwrite").parquet(docs_path)
+            docs = spark.read.parquet(docs_path)
+            media = synthesize_media(spark, docs, seed=entry_mod.SEED,
+                                     partitions=64)
+            media.write.mode("overwrite").parquet(media_path)
+            write_store_manifest(spark, media_path)
+        _warm_workers(spark, CPUS)
+        docs = spark.read.parquet(docs_path)
+
+        res: dict = {"n_docs": base + patho, "patho_docs": patho,
+                     "patho_spans": pspans, "salt_width": SALT_WIDTH}
+        sums = {}
+        for label, salt in (("window", 0), ("salted", SALT_WIDTH)):
+            out = extract_spans(docs, media_path, salt_width=salt)
+            out.write.mode("overwrite").format("noop").save()  # warm
+            t0 = time.time()
+            out.write.mode("overwrite").format("noop").save()
+            res[f"wall_sec_{label}"] = round(time.time() - t0, 2)
+            # order-independent xor checksum (a long sum overflows
+            # under ANSI mode)
+            sums[label] = out.agg(F.expr(
+                "bit_xor(xxhash64(doc_id, order, kind, text, media_ref))"
+            ).alias("s")).collect()[0]["s"]
+        res["outputs_equal"] = sums["window"] == sums["salted"]
+
+        # exact sort-task loads: plain window = all rows of a doc in
+        # one task; salted = rows per (doc, offset-bucket)
+        dbg = extract_spans(docs, media_path, keep_offset=True)
+        per_doc = dbg.groupBy("doc_id").count()
+        per_bkt = dbg.groupBy(
+            "doc_id", F.floor(F.col("offset") / SALT_WIDTH)).count()
+        for label, d in (("window", per_doc), ("salted", per_bkt)):
+            stats = d.agg(
+                F.max("count").alias("mx"),
+                F.expr("percentile_approx(count, 0.5)").alias("med"),
+            ).collect()[0]
+            res[f"max_task_rows_{label}"] = int(stats["mx"])
+            res[f"median_task_rows_{label}"] = int(stats["med"])
+        return res
+    finally:
+        spark.stop()
+        time.sleep(5)
+
+
+def _run_stress_study() -> dict:
+    """Dedup/ANN stress at ~52.5k docs with a planted hot band: the
+    sf0.1 documents tiled 10× (suffix-varied → distinct content) plus
+    2,500 IDENTICAL boilerplate docs (5%) — every copy shares all 16
+    band hashes, the adversarial hot-band case. Reports stage times,
+    candidate counts for the naive band join vs the exact-dedup-first
+    composition, band-key occupancy, and the per-task row distribution
+    of the composed join (straggler evidence)."""
+    from paddleocr_spark.operators._cache import release_persisted
+    from paddleocr_spark.operators.dedup import (
+        lsh_candidate_pairs_df,
+        minhash_signatures_df,
+    )
+    from paddleocr_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("bench_stress", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    try:
+        base = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                .select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "text"))
+        tiles = [base.select((F.col("doc_id") + 100_000 * k)
+                             .alias("doc_id"),
+                             F.concat("text", F.lit(f" variant {k}"))
+                             .alias("text"))
+                 for k in range(10)]
+        tiled = tiles[0]
+        for t in tiles[1:]:
+            tiled = tiled.unionByName(t)
+        boiler = spark.range(2500).select(
+            (F.col("id") + 5_000_000).alias("doc_id"),
+            F.lit("cookie consent banner please accept our cookie "
+                  "policy and subscribe to our newsletter all rights "
+                  "reserved terms of use apply").alias("text"))
+        corpus = tiled.unionByName(boiler)
+        corpus.persist()
+        n = corpus.count()
+        _warm_workers(spark, CPUS)
+        res: dict = {"n_docs": n, "hot_group": 2500}
+
+        t0 = time.time()
+        minhash_signatures_df(corpus).write.mode("overwrite") \
+            .format("noop").save()
+        res["sig_sec"] = round(time.time() - t0, 2)
+
+        for label, exact_first in (("naive", False),
+                                   ("exact_first", True)):
+            t0 = time.time()
+            pairs = lsh_candidate_pairs_df(corpus,
+                                           exact_first=exact_first)
+            pairs = pairs.persist()
+            res[f"cand_pairs_{label}"] = pairs.count()
+            res[f"cand_sec_{label}"] = round(time.time() - t0, 2)
+            if exact_first:
+                # straggler evidence: rows per task of the band join
+                dist = (pairs.groupBy(F.spark_partition_id()
+                                      .alias("p")).count()
+                        .agg(F.max("count").alias("mx"),
+                             F.expr("percentile_approx(count, 0.5)")
+                             .alias("med")).collect()[0])
+                res["join_task_rows_max"] = int(dist["mx"])
+                res["join_task_rows_median"] = int(dist["med"])
+            pairs.unpersist()
+            release_persisted(spark)
+
+        # band-key occupancy: the skew the exact-first pass removes
+        from paddleocr_spark.operators.dedup import (
+            _band_hashes,
+            _signatures,
+        )
+
+        occ = (_band_hashes(F, _signatures(F, corpus))
+               .groupBy("band", "band_hash").count()
+               .agg(F.max("count").alias("mx"),
+                    F.expr("percentile_approx(count, 0.5)").alias("med"))
+               .collect()[0])
+        res["band_occupancy_max_naive"] = int(occ["mx"])
+        res["band_occupancy_median"] = int(occ["med"])
+        corpus.unpersist()
+        return res
+    finally:
+        spark.stop()
+        time.sleep(5)
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from paddleocr_spark.session import get_spark
@@ -174,6 +371,8 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["extract_full"], 1)
+    profile = (_profile_extract(spark)
+               if os.environ.get("SPARK_GRAFT_PROFILE") else None)
     out = {
         "metric": "end-to-end extract + analytics suite wall-clock",
         "value": total,
@@ -184,7 +383,15 @@ def main() -> None:
         "docs_per_sec": docs_per_sec,
         "cpus": CPUS,
     }
+    if profile is not None:
+        out["profile_extract"] = profile
     spark.stop()
+
+    if os.environ.get("SPARK_GRAFT_SKEW"):
+        out["skew"] = _run_skew_study()
+
+    if os.environ.get("SPARK_GRAFT_STRESS"):
+        out["stress_dedup"] = _run_stress_study()
 
     if os.environ.get("SPARK_GRAFT_SCALING"):
         pair = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "8,32")

@@ -41,6 +41,7 @@ __all__ = [
     "VOCAB",
     "LAYOUT_CLASSES",
     "doc_record",
+    "patho_doc_record",
     "media_record",
     "select_regions",
     "region_y_bounds",
@@ -150,6 +151,32 @@ def doc_record(doc_idx: int, seed: int = 42, heavy_frac: float = 0.01,
                 "offset": off,
             })
     return {"doc_id": f"doc{doc_idx:010d}", "spans": spans}
+
+
+def patho_doc_record(doc_idx: int, seed: int = 42,
+                     patho_spans: int = 100_000,
+                     patho_pool: int = 8) -> dict:
+    """A pathological media-heavy document for the skew study: ~10^5
+    spans, 95% media drawn from a HOT pool of ``patho_pool`` refs —
+    the worst case the north rule's salted repartitioning exists for
+    (one doc = one straggler sort task without it, and the hot refs
+    stress the AQE skew-join split on the spans↔fragments join). Never
+    generated by default; the skew bench opts in via synthesize_docs'
+    ``patho_docs``."""
+    rng = _key("patho", seed, doc_idx)
+    media_ids = rng.integers(0, patho_pool, patho_spans)
+    is_media = rng.random(patho_spans) < 0.95
+    spans = []
+    for off in range(patho_spans):
+        if is_media[off]:
+            spans.append({"kind": "media", "text": "",
+                          "media_ref": f"m{int(media_ids[off]):08d}",
+                          "offset": off})
+        else:
+            words = [VOCAB[int(i)] for i in rng.integers(0, len(VOCAB), 6)]
+            spans.append({"kind": "text", "text": " ".join(words),
+                          "media_ref": "", "offset": off})
+    return {"doc_id": f"patho{doc_idx:07d}", "spans": spans}
 
 
 # ---------------------------------------------------------------------------
@@ -285,10 +312,26 @@ def select_regions(cand_boxes, cand_scores):
     return regions
 
 
+def _fill_rot_rect(pm: np.ndarray, cy: float, cx: float, h: float,
+                   w: float, ang: float, val: float) -> None:
+    """Fill a rotated w×h rectangle centered at (cx, cy), angle ``ang``
+    radians, via a coordinate-frame mask (pure NumPy fillPoly)."""
+    yy, xx = np.mgrid[0:pm.shape[0], 0:pm.shape[1]]
+    ca, sa = np.cos(ang), np.sin(ang)
+    u = (xx - cx) * ca + (yy - cy) * sa
+    v = -(xx - cx) * sa + (yy - cy) * ca
+    pm[(np.abs(u) <= w / 2) & (np.abs(v) <= h / 2)] = val
+
+
 def _gen_det_map(rng: np.random.Generator, cells: list[tuple[int, int]]):
-    """Synthetic DB prob map with rectangles in the given grid cells,
-    including boxes that fail box_thresh / min_size filters
-    (db.py:109-118)."""
+    """Synthetic DB prob map with text components in the given grid
+    cells, including boxes that fail box_thresh / min_size filters
+    (db.py:109-118). ~1/3 of the passing components are ROTATED
+    rectangles (±12-35°), so min_area_rect's rotating calipers,
+    the convex polygon_mask_mean rasterizer, unclip_rect's edge-normal
+    offset and clip_det_res run on genuinely non-axis-aligned
+    geometry inside the oracle-checked pipeline — not only in kernel
+    unit tests."""
     pm = (rng.random((MAP_H, MAP_W), dtype=np.float32) * 0.15).astype(np.float32)
     ch, cw = MAP_H // GRID_ROWS, MAP_W // GRID_COLS
     for r, q in cells:
@@ -309,6 +352,18 @@ def _gen_det_map(rng: np.random.Generator, cells: list[tuple[int, int]]):
             val = 0.85 + 0.13 * float(rng.random())
             h = int(rng.integers(8, ch - 4))
             w = int(rng.integers(12, cw - 4))
+            if rng.random() < 0.35:
+                sign = 1.0 if rng.random() < 0.5 else -1.0
+                ang = sign * np.deg2rad(float(rng.integers(12, 36)))
+                rh, rw = float(min(h, 10)), float(min(w, 24))
+                bw = rw * abs(np.cos(ang)) + rh * abs(np.sin(ang))
+                bh = rw * abs(np.sin(ang)) + rh * abs(np.cos(ang))
+                if bw <= cw - 3 and bh <= ch - 3:
+                    cx = x0 + 1 + bw / 2 + float(rng.random()) * (cw - bw - 3)
+                    cy = y0 + 1 + bh / 2 + float(rng.random()) * (ch - bh - 3)
+                    _fill_rot_rect(pm, cy, cx, rh, rw, ang, val)
+                    continue
+                # cell too small for the rotated footprint: axis-aligned
         yy = y0 + int(rng.integers(1, max(2, ch - h - 1)))
         xx = x0 + int(rng.integers(1, max(2, cw - w - 1)))
         pm[yy:yy + h, xx:xx + w] = val
@@ -528,10 +583,14 @@ def media_schema():
 
 
 def synthesize_docs(spark, n_docs: int, seed: int = 42,
-                    heavy_frac: float = 0.01, media_pool: int | None = None):
+                    heavy_frac: float = 0.01, media_pool: int | None = None,
+                    patho_docs: int = 0, patho_spans: int = 100_000,
+                    patho_pool: int = 8):
     """Distributed, partition-independent corpus generation:
     spark.range drives per-index mapInPandas; each row derives only
-    from (seed, id)."""
+    from (seed, id). ``patho_docs`` appends that many pathological
+    ~10^5-span documents (ids n_docs..n_docs+patho_docs) for the skew
+    study — the first n_docs rows are bit-identical either way."""
     if media_pool is None:
         media_pool = max(16, n_docs * 2)
 
@@ -540,6 +599,9 @@ def synthesize_docs(spark, n_docs: int, seed: int = 42,
 
         for pdf in batches:
             rows = [doc_record(int(i), seed, heavy_frac, media_pool)
+                    if int(i) < n_docs
+                    else patho_doc_record(int(i) - n_docs, seed,
+                                          patho_spans, patho_pool)
                     for i in pdf["id"]]
             yield pd.DataFrame({
                 "doc_id": [r["doc_id"] for r in rows],
@@ -547,7 +609,8 @@ def synthesize_docs(spark, n_docs: int, seed: int = 42,
                            for s in r["spans"]] for r in rows],
             })
 
-    return spark.range(n_docs).mapInPandas(gen, schema=docs_schema())
+    return spark.range(n_docs + patho_docs).mapInPandas(
+        gen, schema=docs_schema())
 
 
 def synthesize_media(spark, docs_df, seed: int = 42,

@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     eval_det_iou,
     geometry,
     imgcodec,
+    jpeg,
     master_match,
     matcher,
     nms,
@@ -17,5 +18,6 @@ from . import (  # noqa: F401
     ser,
     sr,
     table,
+    tiff,
     video,
 )

@@ -198,6 +198,10 @@ def sniff_format(data: bytes) -> str | None:
         return "ppm"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -222,9 +226,20 @@ def decode_image(data: bytes) -> np.ndarray:
         return img[:, :, [2, 1, 0]]  # RGB → BGR
     if fmt == "gif":
         return decode_gif(data)  # first frame, already BGR
-    raise ValueError("unsupported image format (PNG/BMP/PPM/GIF "
-                     "supported; JPEG needs external codecs absent "
-                     "from this environment)")
+    if fmt == "jpeg":
+        from paddleocr_spark.kernels.jpeg import decode_jpeg
+
+        return decode_jpeg(data)  # already BGR, gray expanded
+    if fmt == "tiff":
+        from paddleocr_spark.kernels.tiff import decode_tiff
+
+        img = decode_tiff(data)[0]  # first page, like GIF first frame
+        if img.shape[2] == 1:
+            return np.repeat(img, 3, axis=2)
+        return img[:, :, [2, 1, 0]]  # RGB → BGR
+    raise ValueError(
+        "unsupported image format (PNG/BMP/PPM/GIF/baseline-JPEG/"
+        "uncompressed-TIFF supported)")
 
 
 # --- GIF (87a/89a) — pure-Python LZW, first frame ---------------------

@@ -1,0 +1,146 @@
+"""Pure-NumPy multi-page TIFF codec (uncompressed, baseline).
+
+The reference explodes multi-page containers into per-page images
+(``check_and_read``, ``toddleocr/utils/utility.py:92-123``: PDF pages
+via fitz, GIF frames). No PDF renderer ships in this environment, so
+the repo's REAL multi-page format is baseline TIFF 6.0 — the one
+multi-page raster container that needs no entropy codec:
+
+- header ``II*\\0`` / ``MM\\0*`` (both byte orders), IFD chain (one
+  IFD per page, next-IFD offset links them — the "page explode" is a
+  genuine pointer walk, not a fake framing header)
+- tags: ImageWidth/Length, BitsPerSample (8), Compression (1 = none),
+  PhotometricInterpretation (0/1 gray — 0 inverts — and 2 RGB),
+  StripOffsets/StripByteCounts/RowsPerStrip, SamplesPerPixel
+- out of scope (explicit errors): LZW/PackBits/JPEG-in-TIFF
+  compression, tiles, planar config 2, >8-bit samples
+
+``encode_tiff`` writes the same subset (one strip per page, little
+endian) for test fixtures and for `sources.media_files`' page
+re-emission.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_tiff", "encode_tiff", "is_tiff"]
+
+_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def is_tiff(data: bytes) -> bool:
+    return data[:4] in (b"II*\x00", b"MM\x00*")
+
+
+def _read_values(data: bytes, bo: str, vtype: int, count: int,
+                 raw: bytes) -> list[int]:
+    size = _TYPE_SIZE.get(vtype)
+    if size is None:
+        raise ValueError(f"unsupported TIFF field type {vtype}")
+    total = size * count
+    if total <= 4:
+        buf = raw[:total]
+    else:
+        (off,) = struct.unpack(bo + "I", raw)
+        buf = data[off:off + total]
+    fmt = {1: "B", 3: "H", 4: "I"}[vtype]
+    return list(struct.unpack(bo + fmt * count, buf))
+
+
+def decode_tiff(data: bytes) -> list[np.ndarray]:
+    """TIFF bytes → list of (H, W, C) uint8 pages (C = 1 or 3),
+    walking the IFD chain — one page per IFD."""
+    if not is_tiff(data):
+        raise ValueError("not a TIFF")
+    bo = "<" if data[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    pages = []
+    seen = set()
+    while ifd_off:
+        if ifd_off in seen:  # corrupt circular chain
+            raise ValueError("circular TIFF IFD chain")
+        seen.add(ifd_off)
+        (n_entries,) = struct.unpack(bo + "H", data[ifd_off:ifd_off + 2])
+        tags = {}
+        for e in range(n_entries):
+            p = ifd_off + 2 + 12 * e
+            tag, vtype, count = struct.unpack(bo + "HHI", data[p:p + 8])
+            tags[tag] = _read_values(data, bo, vtype, count,
+                                     data[p + 8:p + 12])
+        (ifd_off,) = struct.unpack(
+            bo + "I", data[ifd_off + 2 + 12 * n_entries:
+                           ifd_off + 6 + 12 * n_entries])
+
+        w, h = tags[256][0], tags[257][0]
+        comp = tags.get(259, [1])[0]
+        if comp != 1:
+            raise ValueError(f"unsupported TIFF compression {comp} "
+                             "(only uncompressed)")
+        photo = tags.get(262, [1])[0]
+        spp = tags.get(277, [1])[0]
+        bps = tags.get(258, [8] * spp)
+        if any(b != 8 for b in bps):
+            raise ValueError("only 8-bit TIFF samples supported")
+        if photo not in (0, 1, 2) or spp not in (1, 3):
+            raise ValueError("only gray/RGB TIFF supported")
+        offsets = tags[273]
+        counts = tags[279]
+        raw = b"".join(data[o:o + c] for o, c in zip(offsets, counts))
+        img = np.frombuffer(raw[:h * w * spp], dtype=np.uint8) \
+            .reshape(h, w, spp).copy()
+        if photo == 0:  # WhiteIsZero
+            img = 255 - img
+        pages.append(img)
+    if not pages:
+        raise ValueError("TIFF with no IFD")
+    return pages
+
+
+def encode_tiff(pages: list[np.ndarray]) -> bytes:
+    """List of (H, W) or (H, W, C) uint8 arrays → multi-page
+    little-endian uncompressed TIFF (one strip per page)."""
+    out = bytearray(b"II*\x00")
+    out += struct.pack("<I", 0)  # first-IFD offset patched below
+    ifd_ptr_pos = 4
+    for img in pages:
+        a = np.asarray(img, dtype=np.uint8)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        h, w, spp = a.shape
+        strip = a.tobytes()
+        strip_off = len(out)
+        out += strip
+        extra_off = None
+        if spp == 3:  # BitsPerSample needs 3 shorts -> out-of-line
+            extra_off = len(out)
+            out += struct.pack("<HHH", 8, 8, 8)
+        if len(out) % 2:
+            out += b"\x00"  # IFDs must be word-aligned
+        ifd_off = len(out)
+        entries = [
+            (256, 4, 1, w),
+            (257, 4, 1, h),
+            (258, 3, spp, 8 if spp == 1 else extra_off),
+            (259, 3, 1, 1),
+            (262, 3, 1, 1 if spp == 1 else 2),
+            (273, 4, 1, strip_off),
+            (277, 3, 1, spp),
+            (278, 4, 1, h),
+            (279, 4, 1, len(strip)),
+        ]
+        out += struct.pack("<H", len(entries))
+        for tag, vtype, count, value in entries:
+            out += struct.pack("<HHI", tag, vtype, count)
+            if vtype == 3 and count == 1:
+                out += struct.pack("<HH", value, 0)
+            else:
+                out += struct.pack("<I", value)
+        next_ptr_pos = len(out)
+        out += struct.pack("<I", 0)
+        # link the previous IFD (or the header) to this one
+        out[ifd_ptr_pos:ifd_ptr_pos + 4] = struct.pack("<I", ifd_off)
+        ifd_ptr_pos = next_ptr_pos
+    return bytes(out)

@@ -56,13 +56,12 @@ def run_with_checkpoint(spark, docs_df, media_df, out_dir: str,
                         run_id: str, n_buckets: int = 8,
                         input_snapshot: str = "synthetic",
                         fail_after_buckets: int | None = None,
-                        salt_buckets: int = 0):
+                        salt_width: int | None = None):
     """Process all not-yet-completed buckets; returns the list of
     buckets processed this invocation. ``fail_after_buckets`` simulates
-    a mid-run crash for the resume test. ``salt_buckets`` > 0 salts the
-    pre-window repartition for media-heavy-doc skew (extract_spans);
-    an operational knob of the submit entry point, to be set when the
-    corpus holds ~10^5-span documents."""
+    a mid-run crash for the resume test. ``salt_width`` overrides the
+    salted-ordering bucket width (extract_spans.SALT_WIDTH default);
+    0 forces the plain per-doc window."""
     from pyspark.sql import functions as F
 
     done = completed_buckets(spark, out_dir, run_id)
@@ -77,7 +76,8 @@ def run_with_checkpoint(spark, docs_df, media_df, out_dir: str,
             break
         t0 = time.time()
         docs_b = docs_df.where(bucket_of == b)
-        out = extract_spans(docs_b, media_df, salt_buckets=salt_buckets) \
+        kw = {} if salt_width is None else {"salt_width": salt_width}
+        out = extract_spans(docs_b, media_df, **kw) \
             .withColumn("bucket", F.lit(b))
         (out.write.mode("overwrite")
          .parquet(os.path.join(spans_dir, f"bucket={b}")))

@@ -42,6 +42,7 @@ __all__ = [
     "EXACT_PLANT_N", "EXACT_PLANT_OFFSET",
     "exact_dedup", "minhash_signatures",
     "lsh_candidate_pairs", "near_dup_pairs", "simhash32",
+    "minhash_signatures_df", "lsh_candidate_pairs_df",
 ]
 
 N_HASHES = 128
@@ -211,6 +212,51 @@ def near_dup_pairs(spark, sf_dir: str, threshold: float = 0.7):
             .withColumn("jaccard", F.round(inter / union, 6))
             .where(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
+
+
+def minhash_signatures_df(docs_df):
+    """Signatures over an arbitrary (doc_id, text) DataFrame — the
+    stress-study / production entry (the sf_dir variants are the
+    oracle-checked fixtures)."""
+    from pyspark.sql import functions as F
+
+    return _signatures(F, docs_df)
+
+
+def lsh_candidate_pairs_df(docs_df, exact_first: bool = False):
+    """Banded-LSH candidates over an arbitrary (doc_id, text) corpus.
+
+    ``exact_first=True`` is the scale-safe composition for corpora
+    with large groups of IDENTICAL documents (boilerplate): a group of
+    g copies shares every band hash, so the band self-join alone emits
+    g²/2 candidate pairs — quadratic in the group, by definition of
+    the output. The linear exact-dedup pass collapses each identical
+    group to its keeper FIRST, so the band join only ever sees
+    distinct content and hot bands hold only genuinely-similar
+    near-dups. (The planted-duplicate fixture query keeps
+    exact_first=False so planted exact copies are observable.)"""
+    from pyspark.sql import functions as F
+
+    docs = docs_df
+    if exact_first:
+        norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        docs = (docs_df
+                .withColumn("content_md5", F.md5(norm))
+                .groupBy("content_md5")
+                .agg(F.min("doc_id").alias("doc_id"),
+                     F.first("text").alias("text"))
+                .drop("content_md5"))
+    bands = _band_hashes(F, _signatures(F, docs))
+    from paddleocr_spark.operators._cache import eager_persist
+
+    bands = eager_persist(bands)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (a.join(b, ["band", "band_hash"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
 
 
 def simhash32(spark, sf_dir: str):

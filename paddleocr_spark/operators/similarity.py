@@ -42,8 +42,11 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 
 __all__ = ["N_QUERIES", "TOP_K", "SIGN_BANDS", "SIGN_BITS", "EMB_DIM",
            "PLANES", "PLANT_N", "PLANT_OFFSET", "N_CENTROIDS", "NPROBE",
+           "N_LLOYD", "NPROBE_REFINED",
            "cosine_topk_bruteforce", "cosine_topk_lsh",
-           "cosine_topk_ivf", "embedding_near_dups"]
+           "cosine_topk_ivf", "cosine_topk_ivf_refined",
+           "build_ivf_index", "ivf_index_numpy", "ensure_ivf_index",
+           "embedding_near_dups"]
 
 N_QUERIES = 8
 TOP_K = 5
@@ -279,6 +282,200 @@ def cosine_topk_ivf(spark, sf_dir: str, n_queries: int = N_QUERIES,
     probes = (_best_cells(
         F, Window,
         queries.select(F.col("query_id"), F.col("qemb").alias("emb"),
+                       F.col("qnrm").alias("nrm")),
+        cent, "query_id", nprobe)
+        .select("query_id", "cid"))
+    cand = (probes.join(queries, "query_id")
+            .join(members, "cid")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id",
+                    F.round(_dot(F, F.col("qemb"), F.col("emb"))
+                            / (F.col("qnrm") * F.col("nrm")), 6)
+                    .alias("cosine"))
+            .dropDuplicates(["query_id", "vec_id"]))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (cand.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cosine"))
+
+
+# --- refined IVF: Lloyd-iterated centroids, persisted index ----------
+# The sample-init centroids above are the one-shot demo; a production
+# index runs a few Lloyd rounds and PERSISTS (centroids, assignment)
+# as tables built once and reused by every query — at 10^12 rows the
+# build is a batch job, the query path only reads. Both steps are
+# deterministic (9-dp rounded cosine ranking with ties to the smaller
+# cid; per-dim means rounded to 6 dp per iteration) so the pure-NumPy
+# twin (ivf_index_numpy) and the DuckDB oracle reproduce the index
+# value-for-value, and empty cells drop out (standard dead-centroid
+# behavior). recall@5 vs bruteforce on the test corpus: see
+# tests/test_similarity_ivf.py (≥0.95 at nprobe=8).
+
+N_LLOYD = 2
+NPROBE_REFINED = 8
+
+
+def _ivf_root() -> str:
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.abspath(os.path.join(here, "..", "..", ".cache", "ivf"))
+
+
+def ivf_dir(n_vecs: int) -> str:
+    import os
+
+    return os.path.join(_ivf_root(),
+                        f"v1_n{n_vecs}_k{N_CENTROIDS}_i{N_LLOYD}")
+
+
+def _refine_centroids(F, emb, cent, Window):
+    """One Lloyd step as DataFrame jobs: assign → per-dim mean
+    (groupBy(cid, dim).avg via posexplode) → re-assemble arrays."""
+    assign = (_best_cells(F, Window, emb, cent, "vec_id", 1)
+              .select("vec_id", "cid"))
+    dims = (emb.join(assign, "vec_id")
+            .select("cid", F.posexplode("emb").alias("d", "v")))
+    means = (dims.groupBy("cid", "d")
+             .agg(F.round(F.avg("v"), 6).alias("m")))
+    return (means.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m")))
+                 .alias("dm"))
+            .select("cid", F.transform("dm", lambda s: s["m"])
+                    .alias("cemb"))
+            .withColumn("cnrm", _norm(F, F.col("cemb"))))
+
+
+def build_ivf_index(spark, sf_dir: str, iters: int = N_LLOYD) -> str:
+    """Build (or load) the persisted IVF index for this corpus:
+    Lloyd-refined centroids + final cell assignment, written once under
+    .cache/ivf and reused by every cosine_topk_ivf_refined call.
+    Returns the index directory."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = _load(spark, sf_dir).withColumn("nrm", _norm(F, F.col("emb")))
+    n = emb.count()
+    out = ivf_dir(n)
+    if os.path.exists(os.path.join(out, "assign", "_SUCCESS")):
+        return out
+    cent = _centroids(F, emb)
+    for _ in range(iters):
+        cent = _refine_centroids(F, emb, cent, Window)
+    assign = (_best_cells(F, Window, emb, cent, "vec_id", 1)
+              .select("vec_id", "cid"))
+    (cent.select("cid", "cemb").repartition(1)
+     .write.mode("overwrite").parquet(os.path.join(out, "centroids")))
+    (assign.repartition(1)
+     .write.mode("overwrite").parquet(os.path.join(out, "assign")))
+    return out
+
+
+def ivf_index_numpy(sf_dir: str, iters: int = N_LLOYD):
+    """Deterministic pure-NumPy twin of build_ivf_index (same rounding
+    rules) — the independent construction the equality test pins the
+    DataFrame build against, and the oracle-side fallback builder.
+    Returns (centroids: {cid: list}, assign: {vec_id: cid})."""
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    vec_ids = np.asarray(tb["vec_id"].to_pylist(), dtype=np.int64)
+    emb = np.asarray(tb["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(vec_ids)
+    vec_ids, emb = vec_ids[order], emb[order]
+    nrm = np.sqrt((emb * emb).sum(axis=1))
+
+    cids = vec_ids[vec_ids < N_CENTROIDS]
+    cents = emb[vec_ids < N_CENTROIDS]
+
+    def assign_all(cids, cents):
+        cn = np.sqrt((cents * cents).sum(axis=1))
+        cos = np.round(emb @ cents.T / np.outer(nrm, cn), 9)
+        # ties to the smaller cid: columns are cid-ascending, argmax
+        # takes the first maximum
+        return cids[np.argmax(cos, axis=1)]
+
+    for _ in range(iters):
+        a = assign_all(cids, cents)
+        new_cids, new_cents = [], []
+        for cid in cids:
+            members = emb[a == cid]
+            if len(members):
+                new_cids.append(cid)
+                new_cents.append(np.round(members.mean(axis=0), 6))
+        cids = np.asarray(new_cids, dtype=np.int64)
+        cents = np.asarray(new_cents)
+    a = assign_all(cids, cents)
+    return ({int(c): [float(v) for v in row]
+             for c, row in zip(cids, cents)},
+            {int(v): int(c) for v, c in zip(vec_ids, a)})
+
+
+def write_ivf_index_numpy(sf_dir: str) -> str:
+    """Materialize the NumPy-built index in the same parquet layout as
+    build_ivf_index (oracle-side ensure, no SparkSession needed)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cents, assign = ivf_index_numpy(sf_dir)
+    out = ivf_dir(len(assign))
+    if os.path.exists(os.path.join(out, "assign", "_SUCCESS")):
+        return out
+    os.makedirs(os.path.join(out, "centroids"), exist_ok=True)
+    os.makedirs(os.path.join(out, "assign"), exist_ok=True)
+    cid_order = sorted(cents)
+    pq.write_table(
+        pa.table({"cid": pa.array(cid_order, pa.int64()),
+                  "cemb": pa.array([cents[c] for c in cid_order],
+                                   pa.list_(pa.float64()))}),
+        os.path.join(out, "centroids", "part-0.parquet"))
+    vids = sorted(assign)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(vids, pa.int64()),
+                  "cid": pa.array([assign[v] for v in vids],
+                                  pa.int64())}),
+        os.path.join(out, "assign", "part-0.parquet"))
+    for sub in ("centroids", "assign"):
+        open(os.path.join(out, sub, "_SUCCESS"), "w").close()
+    return out
+
+
+def ensure_ivf_index(spark, sf_dir: str) -> str:
+    return build_ivf_index(spark, sf_dir)
+
+
+def cosine_topk_ivf_refined(spark, sf_dir: str,
+                            n_queries: int = N_QUERIES, k: int = TOP_K,
+                            nprobe: int = NPROBE_REFINED):
+    """IVF top-k over the PERSISTED Lloyd-refined index: the query
+    path reads (centroids, assignment) tables — the index builds once
+    per corpus — probes each query's ``nprobe`` nearest cells and
+    exact-reranks only their members."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    idx = ensure_ivf_index(spark, sf_dir)
+    cent = (spark.read.parquet(os.path.join(idx, "centroids"))
+            .withColumn("cnrm", _norm(F, F.col("cemb"))))
+    assign = spark.read.parquet(os.path.join(idx, "assign"))
+    emb = _load(spark, sf_dir).withColumn("nrm", _norm(F, F.col("emb")))
+    members = (emb.join(assign, "vec_id")
+               .select("cid", "vec_id", "emb", "nrm"))
+    queries = (emb.where(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("emb").alias("qemb"),
+                       F.col("nrm").alias("qnrm")))
+    probes = (_best_cells(
+        F, Window,
+        queries.select("query_id", F.col("qemb").alias("emb"),
                        F.col("qnrm").alias("nrm")),
         cent, "query_id", nprobe)
         .select("query_id", "cid"))

@@ -4,14 +4,17 @@ utility.py:92-123``: GIF → first frame, PDF → one image per rendered
 page; ``img_decode`` / ``DecodeImage`` at ``toddleocr/transforms/
 operators.py:9-46``).
 
-``decode_image_bytes`` REALLY decodes PNG/BMP/PPM/GIF via the repo's
-pure-NumPy codecs (``kernels/imgcodec.py``, stdlib zlib for PNG,
-pure-Python LZW for GIF → first frame per check_and_read) with cv2
-IMREAD_COLOR semantics; JPEG/PDF rendering would need codec
-libraries absent from this container and stay stubbed. The Spark-side
-plumbing — binaryFile scan, page explode (1 file → N page rows, a
-UDTF like det's 1-image→N-boxes), schema, Arrow batching — is real
-and tested via both the real codecs and the fake paged codec.
+``decode_image_bytes`` REALLY decodes PNG/BMP/PPM/GIF/baseline-JPEG/
+uncompressed-TIFF via the repo's pure-NumPy codecs
+(``kernels/imgcodec.py``, ``kernels/jpeg.py``, ``kernels/tiff.py``;
+stdlib zlib for PNG, pure-Python LZW for GIF → first frame per
+check_and_read, Huffman+IDCT for JPEG) with cv2 IMREAD_COLOR
+semantics. Multi-page TIFF is the real page-exploding container (one
+IFD per page); PDF rendering would need fitz, absent from this
+container, and stays stubbed. The Spark-side plumbing — binaryFile
+scan, page explode (1 file → N page rows, a UDTF like det's
+1-image→N-boxes), schema, Arrow batching — is real and tested via
+both the real codecs and the fake paged codec.
 
 Fake paged-document codec (tests only):
     b"FAKEDOC" + <n_pages:uint8> + payload
@@ -34,15 +37,35 @@ def read_binary_files(spark, path_glob: str):
     return spark.read.format("binaryFile").load(path_glob)
 
 
+def _ppm_bytes(img) -> bytes:
+    """(H, W, C) uint8 → P6 (RGB) / P5 (gray) bytes — the per-page
+    payload format (decode_image_bytes handles it natively)."""
+    h, w = img.shape[:2]
+    if img.ndim == 3 and img.shape[2] == 3:
+        return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+    return b"P5\n%d %d\n255\n" % (w, h) + img.reshape(h, w).tobytes()
+
+
 def _split_pages(content: bytes):
     """One file's bytes → list of (page_idx, page_bytes, is_multipage).
 
-    PDF/GIF handling per check_and_read: multi-page containers explode,
-    plain images pass through as page 0."""
+    The reference's check_and_read explodes multi-page containers
+    (PDF via fitz, GIF frames) to per-page images. Here the REAL
+    multi-page container is TIFF (kernels/tiff.py: IFD-chain walk,
+    pure NumPy); each page re-emits as PPM/PGM bytes so every page row
+    is independently decodable downstream. Single-page TIFFs also pass
+    through this path (1 page, not multipage). PDF rendering needs
+    fitz, absent here; the FAKEDOC framing stays for plumbing tests."""
     if content.startswith(_FAKE_MAGIC):
         n = content[len(_FAKE_MAGIC)]
         payload = content[len(_FAKE_MAGIC) + 1:]
         return [(i, b"PAGE" + bytes([i]) + payload, True) for i in range(n)]
+    from paddleocr_spark.kernels.tiff import decode_tiff, is_tiff
+
+    if is_tiff(content):
+        pages = decode_tiff(content)
+        multi = len(pages) > 1
+        return [(i, _ppm_bytes(p), multi) for i, p in enumerate(pages)]
     try:  # real PDF path requires fitz (PyMuPDF) — not in this image
         import fitz  # noqa: F401
     except ImportError:

@@ -35,9 +35,10 @@ def main(argv=None) -> int:
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--run-id", default="run1")
     ap.add_argument("--buckets", type=int, default=8)
-    ap.add_argument("--salt-buckets", type=int, default=0,
-                    help="salt the pre-window repartition (media-heavy "
-                         "doc skew; use when docs reach ~1e5 spans)")
+    ap.add_argument("--salt-width", type=int, default=None,
+                    help="offset-bucket width for the salted per-doc "
+                         "ordering (default extract_spans.SALT_WIDTH; "
+                         "0 = plain per-doc window)")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -61,7 +62,7 @@ def main(argv=None) -> int:
     already = sorted(completed_buckets(spark, args.out, args.run_id))
     processed = run_with_checkpoint(
         spark, docs, args.media, args.out, args.run_id,
-        n_buckets=args.buckets, salt_buckets=args.salt_buckets)
+        n_buckets=args.buckets, salt_width=args.salt_width)
 
     ckpt = (spark.read.parquet(f"{args.out}/checkpoint")
             .where(F.col("run_id") == args.run_id))

@@ -125,11 +125,14 @@ def test_sniff_and_source_dispatch():
     assert sniff_format(encode_png(img)) == "png"
     assert sniff_format(_encode_bmp24(img)) == "bmp"
     assert sniff_format(b"P6 1 1 255\n\x00\x00\x00") == "ppm"
-    assert sniff_format(b"\xff\xd8\xff") is None  # JPEG unsupported
+    assert sniff_format(b"\xff\xd8\xff") == "jpeg"  # kernels/jpeg.py
+    assert sniff_format(b"II*\x00") == "tiff"       # kernels/tiff.py
     out = decode_image_bytes(_encode_bmp24(img))
     assert np.array_equal(out, img)
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError):  # truncated JPEG still errors
         decode_image_bytes(b"\xff\xd8\xffJPEG")
+    with pytest.raises(ValueError):  # unknown magic
+        decode_image_bytes(b"not an image")
 
 
 # --- GIF (utility.py:93-104 check_and_read first-frame semantics) ----

@@ -1,0 +1,108 @@
+"""Baseline-JPEG codec kernels (kernels/jpeg.py).
+
+The encoder and decoder are independent implementations of the wire
+format (canonical-Huffman build vs decode, forward vs inverse DCT,
+RGB→YCbCr vs YCbCr→RGB), so round trips are an interop check on
+T.81 baseline, not a shared-helper tautology. Cross-validation against
+libjpeg is impossible in this container (no cv2/PIL); tolerance bounds
+below reflect DCT coefficient rounding only.
+"""
+
+import numpy as np
+import pytest
+
+from paddleocr_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+
+def _maxdiff(a, b):
+    return int(np.abs(a.astype(int) - b.astype(int)).max())
+
+
+def test_444_near_lossless_on_noise():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quant=1))
+    assert dec.shape == img.shape
+    # quant=1 leaves only DCT-coefficient rounding (±0.5 per coef)
+    assert _maxdiff(dec, img) <= 3
+
+
+def test_non_multiple_of_8_dims_and_gradient():
+    img = np.zeros((41, 67, 3), np.uint8)
+    yy, xx = np.mgrid[0:41, 0:67]
+    img[:, :, 0] = (yy * 3) % 256
+    img[:, :, 1] = (xx * 2) % 256
+    img[:, :, 2] = ((yy + xx) * 2) % 256
+    dec = decode_jpeg(encode_jpeg(img, quant=1))
+    assert dec.shape == (41, 67, 3)
+    assert _maxdiff(dec, img) <= 3
+
+
+def test_grayscale_expands_to_bgr():
+    rng = np.random.default_rng(2)
+    g = rng.integers(0, 256, (24, 33), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quant=1))
+    assert dec.shape == (24, 33, 3)
+    assert np.array_equal(dec[:, :, 0], dec[:, :, 1])
+    assert np.array_equal(dec[:, :, 0], dec[:, :, 2])
+    assert _maxdiff(dec[:, :, 0], g) <= 2
+
+
+def test_420_subsampling_flat_chroma_exact():
+    """Constant chroma survives 4:2:0 downsample+replicate exactly."""
+    img = np.zeros((30, 50, 3), np.uint8)
+    img[:] = (90, 140, 200)
+    dec = decode_jpeg(encode_jpeg(img, quant=1, subsampling="420"))
+    assert _maxdiff(dec, img) == 0
+
+
+def test_420_mcu_geometry():
+    """4:2:0 MCUs are 16x16; odd dims exercise padding + crop."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (19, 21, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quant=4, subsampling="420"))
+    assert dec.shape == (19, 21, 3)
+    # luma is full-resolution: recoverable to quantization error
+    y_src = (0.299 * img[:, :, 2] + 0.587 * img[:, :, 1]
+             + 0.114 * img[:, :, 0])
+    y_dec = (0.299 * dec[:, :, 2] + 0.587 * dec[:, :, 1]
+             + 0.114 * dec[:, :, 0])
+    assert np.abs(y_src - y_dec).mean() < 6.0
+
+
+def test_restart_markers_resync():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, quant=1))
+    with_rst = decode_jpeg(encode_jpeg(img, quant=1, restart_interval=3))
+    assert np.array_equal(plain, with_rst)
+    assert _maxdiff(with_rst, img) <= 3
+
+
+def test_quantization_actually_compresses():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    small = len(encode_jpeg(img, quant=32))
+    big = len(encode_jpeg(img, quant=1))
+    assert small < big * 0.6
+
+
+def test_rejects_non_baseline_and_garbage():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    # progressive: patch a valid stream's SOF0 marker to SOF2
+    img = np.zeros((8, 8, 3), np.uint8)
+    enc = bytearray(encode_jpeg(img))
+    idx = enc.find(b"\xff\xc0")
+    enc[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(enc))
+
+
+def test_imgcodec_dispatch():
+    from paddleocr_spark.kernels.imgcodec import decode_image, sniff_format
+
+    img = np.full((16, 16, 3), 127, np.uint8)
+    enc = encode_jpeg(img, quant=1)
+    assert sniff_format(enc) == "jpeg"
+    assert _maxdiff(decode_image(enc), img) <= 2

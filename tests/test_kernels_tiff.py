@@ -1,0 +1,156 @@
+"""Multi-page TIFF codec (kernels/tiff.py) + the page-explode source
+path it powers (check_and_read's PDF/GIF page explode mapped to a real
+container format)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from paddleocr_spark.kernels.tiff import decode_tiff, encode_tiff, is_tiff
+
+
+def _pages(rng, n, gray=False):
+    out = []
+    for i in range(n):
+        h, w = int(rng.integers(9, 30)), int(rng.integers(9, 30))
+        shape = (h, w) if gray else (h, w, 3)
+        out.append(rng.integers(0, 256, shape, dtype=np.uint8))
+    return out
+
+
+def test_multipage_rgb_roundtrip():
+    rng = np.random.default_rng(10)
+    pages = _pages(rng, 3)
+    dec = decode_tiff(encode_tiff(pages))
+    assert len(dec) == 3
+    for src, got in zip(pages, dec):
+        assert got.shape == src.shape
+        assert np.array_equal(got, src)
+
+
+def test_single_page_gray_roundtrip():
+    rng = np.random.default_rng(11)
+    (page,) = _pages(rng, 1, gray=True)
+    dec = decode_tiff(encode_tiff([page]))
+    assert len(dec) == 1
+    assert dec[0].shape == (*page.shape, 1)
+    assert np.array_equal(dec[0][:, :, 0], page)
+
+
+def test_big_endian_and_white_is_zero():
+    """Hand-build a 2x2 big-endian gray page with photometric 0
+    (WhiteIsZero) — decoder must byte-swap fields and invert."""
+    pix = bytes([0, 64, 128, 255])
+    strip_off = 8
+    ifd_off = strip_off + len(pix)
+    out = bytearray(b"MM\x00*")
+    out += struct.pack(">I", ifd_off)
+    out += pix
+    entries = [(256, 4, 1, 2), (257, 4, 1, 2), (258, 3, 1, 8),
+               (259, 3, 1, 1), (262, 3, 1, 0), (273, 4, 1, strip_off),
+               (277, 3, 1, 1), (278, 4, 1, 2), (279, 4, 1, len(pix))]
+    out += struct.pack(">H", len(entries))
+    for tag, vtype, count, value in entries:
+        out += struct.pack(">HHI", tag, vtype, count)
+        if vtype == 3:
+            out += struct.pack(">HH", value, 0)
+        else:
+            out += struct.pack(">I", value)
+    out += struct.pack(">I", 0)
+    (page,) = decode_tiff(bytes(out))
+    assert np.array_equal(page[:, :, 0],
+                          255 - np.array([[0, 64], [128, 255]]))
+
+
+def test_rejects_compressed_and_garbage():
+    assert not is_tiff(b"nope")
+    with pytest.raises(ValueError):
+        decode_tiff(b"\x89PNG")
+    enc = bytearray(encode_tiff([np.zeros((4, 4), np.uint8)]))
+    # patch Compression tag value to 5 (LZW)
+    i = enc.find(struct.pack("<HHI", 259, 3, 1))
+    enc[i + 8] = 5
+    with pytest.raises(ValueError, match="compression"):
+        decode_tiff(bytes(enc))
+
+
+def test_imgcodec_first_page_bgr():
+    from paddleocr_spark.kernels.imgcodec import decode_image, sniff_format
+
+    rgb = np.zeros((6, 5, 3), np.uint8)
+    rgb[:, :, 0] = 200  # R plane
+    enc = encode_tiff([rgb, np.full((4, 4, 3), 7, np.uint8)])
+    assert sniff_format(enc) == "tiff"
+    out = decode_image(enc)  # first page, BGR
+    assert out.shape == (6, 5, 3)
+    assert out[0, 0, 2] == 200 and out[0, 0, 0] == 0
+
+
+def test_split_pages_tiff_explodes():
+    from paddleocr_spark.kernels.imgcodec import decode_image
+    from paddleocr_spark.sources.media_files import _split_pages
+
+    rng = np.random.default_rng(12)
+    pages = _pages(rng, 4)
+    parts = _split_pages(encode_tiff(pages))
+    assert [p[0] for p in parts] == [0, 1, 2, 3]
+    assert all(p[2] for p in parts)  # is_multipage
+    for src, (_, payload, _) in zip(pages, parts):
+        # payload is PPM; full decode path gives BGR of the RGB page
+        got = decode_image(payload)
+        assert np.array_equal(got, src[:, :, ::-1])
+    # single-page TIFF: passes through as one non-multipage row
+    single = _split_pages(encode_tiff(pages[:1]))
+    assert len(single) == 1 and single[0][2] is False
+
+
+def test_tiff_binaryfile_to_det_ingest(spark, tmp_path):
+    """binaryFile scan → TIFF page explode → real decode →
+    DetResizeForTest, end-to-end through Spark (the reference's
+    PDF-page ingest shape on a real container)."""
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.kernels.preprocess import det_resize_for_test
+    from paddleocr_spark.sources.media_files import (
+        decode_image_bytes,
+        explode_pages,
+        read_binary_files,
+    )
+
+    rng = np.random.default_rng(13)
+    doc_dir = tmp_path / "tiffs"
+    doc_dir.mkdir()
+    n_pages = [3, 1, 2]
+    for i, n in enumerate(n_pages):
+        (doc_dir / f"d{i}.tiff").write_bytes(encode_tiff(_pages(rng, n)))
+
+    pages = explode_pages(read_binary_files(spark, str(doc_dir)))
+    assert pages.count() == sum(n_pages)
+
+    def shapes(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img = decode_image_bytes(bytes(content))
+                resized, shape = det_resize_for_test(img)
+                rows.append((path, int(resized.shape[0]),
+                             int(resized.shape[1])))
+            yield pd.DataFrame(rows, columns=["path", "h", "w"])
+
+    out = (pages.select("path", "content")
+           .mapInPandas(shapes, schema="path string, h int, w int")
+           .collect())
+    assert len(out) == sum(n_pages)
+    # DetResizeForTest guarantees /32 dims
+    assert all(r.h % 32 == 0 and r.w % 32 == 0 for r in out)
+    multi = (pages.groupBy("path")
+             .agg(F.count("*").alias("n"),
+                  F.max(F.col("is_multipage").cast("int")).alias("m"))
+             .collect())
+    got = {r.path.rsplit("/", 1)[-1]: (r.n, bool(r.m)) for r in multi}
+    assert got["d0.tiff"] == (3, True)
+    assert got["d1.tiff"] == (1, False)
+    assert got["d2.tiff"] == (2, True)
