@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     master_match,
     matcher,
     nms,
+    pdf,
     preprocess,
     reading_order,
     ser,

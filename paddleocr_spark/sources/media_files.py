@@ -9,12 +9,14 @@ uncompressed-TIFF via the repo's pure-NumPy codecs
 (``kernels/imgcodec.py``, ``kernels/jpeg.py``, ``kernels/tiff.py``;
 stdlib zlib for PNG, pure-Python LZW for GIF → first frame per
 check_and_read, Huffman+IDCT for JPEG) with cv2 IMREAD_COLOR
-semantics. Multi-page TIFF is the real page-exploding container (one
-IFD per page); PDF rendering would need fitz, absent from this
-container, and stays stubbed. The Spark-side plumbing — binaryFile
-scan, page explode (1 file → N page rows, a UDTF like det's
-1-image→N-boxes), schema, Arrow batching — is real and tested via
-both the real codecs and the fake paged codec.
+semantics. Multi-page TIFF (one IFD per page) and scanned image-based
+PDF (``kernels/pdf.py``: real object-graph + page-tree walk,
+DCTDecode/FlateDecode image XObjects) are the real page-exploding
+containers; text/vector PDF pages need a full rasterizer (the
+reference uses fitz, absent here) and raise explicitly. The
+Spark-side plumbing — binaryFile scan, page explode (1 file → N page
+rows, a UDTF like det's 1-image→N-boxes), schema, Arrow batching — is
+real and tested via the real codecs and the fake paged codec.
 
 Fake paged-document codec (tests only):
     b"FAKEDOC" + <n_pages:uint8> + payload
@@ -66,15 +68,17 @@ def _split_pages(content: bytes):
         pages = decode_tiff(content)
         multi = len(pages) > 1
         return [(i, _ppm_bytes(p), multi) for i, p in enumerate(pages)]
-    try:  # real PDF path requires fitz (PyMuPDF) — not in this image
-        import fitz  # noqa: F401
-    except ImportError:
-        pass
-    else:  # pragma: no cover
-        if content.startswith(b"%PDF"):
-            raise NotImplementedError(
-                "real PDF rendering: fitz present but rendering kernel "
-                "not wired in this sandbox build")
+    if content.startswith(b"%PDF-"):
+        # real PDF object-graph walk for scanned image-based PDFs
+        # (kernels/pdf.py: page tree → image XObject → JPEG/Flate
+        # decode). Text/vector pages need a full rasterizer (the
+        # reference uses fitz, absent here) and raise ValueError.
+        from paddleocr_spark.kernels.pdf import decode_pdf_pages
+
+        pages = decode_pdf_pages(content)
+        # BGR → RGB for the P6 payload (decode_image flips back)
+        return [(i, _ppm_bytes(p[:, :, ::-1]), len(pages) > 1)
+                for i, p in enumerate(pages)]
     return [(0, content, False)]
 
 

@@ -1,0 +1,97 @@
+"""Image-based PDF extractor (kernels/pdf.py): object-graph parse,
+page-tree ordering, DCTDecode/FlateDecode images, and the page-explode
+source path (check_and_read's PDF branch on a real object graph)."""
+
+import numpy as np
+import pytest
+
+from paddleocr_spark.kernels.pdf import decode_pdf_pages, encode_pdf, is_pdf
+
+
+def _pages(rng, n):
+    return [rng.integers(0, 256,
+                         (int(rng.integers(16, 40)),
+                          int(rng.integers(16, 40)), 3), dtype=np.uint8)
+            for _ in range(n)]
+
+
+def test_flate_pages_exact_roundtrip():
+    rng = np.random.default_rng(20)
+    pages = _pages(rng, 3)
+    dec = decode_pdf_pages(encode_pdf(pages, image_filter="FlateDecode"))
+    assert len(dec) == 3
+    for src, got in zip(pages, dec):
+        assert np.array_equal(got, src)  # Flate is lossless
+
+
+def test_dct_pages_near_lossless():
+    rng = np.random.default_rng(21)
+    pages = _pages(rng, 2)
+    dec = decode_pdf_pages(encode_pdf(pages, image_filter="DCTDecode"))
+    assert len(dec) == 2
+    for src, got in zip(pages, dec):
+        assert got.shape == src.shape
+        assert np.abs(got.astype(int) - src.astype(int)).max() <= 3
+
+
+def test_page_order_follows_page_tree():
+    """Pages must come back in /Kids order, not object-number order —
+    distinct per-page fill values prove it."""
+    vals = [10, 200, 77, 145]
+    pages = [np.full((8, 8, 3), v, np.uint8) for v in vals]
+    dec = decode_pdf_pages(encode_pdf(pages, image_filter="FlateDecode"))
+    assert [int(p[0, 0, 0]) for p in dec] == vals
+
+
+def test_rejects_text_pdf_and_garbage():
+    assert not is_pdf(b"plain text")
+    with pytest.raises(ValueError):
+        decode_pdf_pages(b"%PDF-1.4\nno objects here")
+    # a structurally valid PDF whose page has no image XObject
+    body = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n"
+            b"trailer\n<< /Size 4 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
+    with pytest.raises(ValueError, match="XObject"):
+        decode_pdf_pages(body)
+
+
+def test_jpeg_stream_bytes_do_not_confuse_the_scanner():
+    """Entropy-coded stream bytes may contain 'endobj'/'N 0 obj'
+    look-alikes; the scanner must skip streams via /Length."""
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    data = encode_pdf([img], image_filter="DCTDecode", quant=1)
+    # plant adversarial marker bytes inside a COMMENT-free zone is not
+    # possible post-hoc without breaking offsets; instead assert the
+    # real object count parsed equals writer's (catalog+pages+3/page)
+    from paddleocr_spark.kernels.pdf import _scan_objects
+
+    assert set(_scan_objects(data)) == {1, 2, 3, 4, 5}
+
+
+def test_split_pages_pdf_explodes_and_decodes(spark, tmp_path):
+    """binaryFile → PDF page explode → decode → det-resize, the
+    reference's PDF ingest shape (utility.py:105-123) end-to-end."""
+    from paddleocr_spark.kernels.preprocess import det_resize_for_test
+    from paddleocr_spark.sources.media_files import (
+        decode_image_bytes,
+        explode_pages,
+        read_binary_files,
+    )
+
+    rng = np.random.default_rng(23)
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    pages = _pages(rng, 3)
+    (d / "scan.pdf").write_bytes(
+        encode_pdf(pages, image_filter="FlateDecode"))
+    out = explode_pages(read_binary_files(spark, str(d))).collect()
+    assert sorted(r.page for r in out) == [0, 1, 2]
+    assert all(r.is_multipage for r in out)
+    for r in sorted(out, key=lambda r: r.page):
+        img = decode_image_bytes(bytes(r.content))
+        assert np.array_equal(img, pages[r.page])
+        resized, _ = det_resize_for_test(img)
+        assert resized.shape[0] % 32 == 0
