@@ -33,6 +33,7 @@ from paddleocr_spark.operators import (
     text,
 )
 from paddleocr_spark.operators.extract import extract_spans
+from paddleocr_spark.sources import page_store
 
 CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".cache", "corpus")
@@ -294,6 +295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": relational.event_sessions,
         "threshold_sweep": relational.threshold_sweep,
         "event_type_majority": relational.event_type_majority,
+        # --- page-explode over real containers (VALUES-oracle-checked) ---
+        "paged_store_pages": page_store.paged_store_pages,
     }
 
 
@@ -983,4 +986,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type AS majority_type, n AS votes
             FROM ranked WHERE rk = 1 ORDER BY user_id
         """,
+        # page-explode: the expectation is ANALYTIC (constant-color
+        # pages; see sources/page_store.py) — a pure VALUES table, the
+        # codecs never run on the oracle side
+        "paged_store_pages": page_store.pages_oracle_sql(),
     }

@@ -52,12 +52,13 @@ def _split_pages(content: bytes):
     """One file's bytes → list of (page_idx, page_bytes, is_multipage).
 
     The reference's check_and_read explodes multi-page containers
-    (PDF via fitz, GIF frames) to per-page images. Here the REAL
-    multi-page container is TIFF (kernels/tiff.py: IFD-chain walk,
-    pure NumPy); each page re-emits as PPM/PGM bytes so every page row
-    is independently decodable downstream. Single-page TIFFs also pass
-    through this path (1 page, not multipage). PDF rendering needs
-    fitz, absent here; the FAKEDOC framing stays for plumbing tests."""
+    (PDF via fitz, GIF frames) to per-page images. The REAL containers
+    here are multi-page TIFF (kernels/tiff.py: IFD-chain walk) and
+    scanned image-based PDF (kernels/pdf.py: page-tree walk); each
+    page re-emits as PPM/PGM bytes so every page row is independently
+    decodable downstream. Single-page TIFFs also pass through this
+    path (1 page, not multipage). The FAKEDOC framing stays for
+    plumbing tests."""
     if content.startswith(_FAKE_MAGIC):
         n = content[len(_FAKE_MAGIC)]
         payload = content[len(_FAKE_MAGIC) + 1:]

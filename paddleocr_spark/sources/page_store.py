@@ -1,0 +1,159 @@
+"""Deterministic paged-container fixture store + the oracle-checked
+page-explode query.
+
+The reference's ``check_and_read`` (``toddleocr/utils/utility.py:
+92-123``) turns one multi-page input file into N page images. This
+module makes that operator CORRECTNESS-checkable: it writes a tiny
+store of real container files (image-based PDFs with FlateDecode and
+DCTDecode XObjects, multi- and single-page TIFFs, plain PNG/PPM
+fall-throughs) whose page pixels are ANALYTICALLY known — page ``p``
+of file ``f`` is a constant-color image with
+
+    value  v(f, p) = (37*f + 11*p) % 251
+    height h(f, p) = 16 + 2*f + p
+    width  w(f, p) = 20 + f + 2*p
+
+so the expected (height, width, mean pixel) of every decoded page is
+derivable BY HAND, independent of the codecs. Constant-color pages
+survive baseline JPEG at quant=1 exactly (DC-only blocks), so even the
+DCTDecode PDF checks pixel values, not just shapes. The DuckDB oracle
+is a constant ``VALUES`` table generated from the same formulas — the
+codecs never run on the oracle side.
+
+The Spark query drives the REAL path end-to-end: ``binaryFile`` scan →
+``explode_pages`` (mapInPandas UDTF, 1 file → N page rows) → per-page
+decode → (file, page, is_multipage, height, width, mean_px).
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = ["PAGE_SPEC", "ensure_page_store", "paged_store_pages",
+           "pages_oracle_sql"]
+
+# (file_name, container_kind, n_pages). Kinds: pdf_flate / pdf_dct /
+# tiff (multi-page IFD chain) / png / ppm (single-image fall-throughs).
+_FILES = [
+    ("pages_00.pdf", "pdf_flate", 3),
+    ("pages_01.pdf", "pdf_dct", 2),
+    ("pages_02.tif", "tiff", 2),
+    ("pages_03.tif", "tiff", 1),
+    ("pages_04.png", "png", 1),
+    ("pages_05.ppm", "ppm", 1),
+]
+
+
+def _v(f: int, p: int) -> int:
+    return (37 * f + 11 * p) % 251
+
+
+def _h(f: int, p: int) -> int:
+    return 16 + 2 * f + p
+
+
+def _w(f: int, p: int) -> int:
+    return 20 + f + 2 * p
+
+
+# the analytic expectation: one row per page of every store file
+PAGE_SPEC = [
+    (name, p, n > 1, _h(f, p), _w(f, p), _v(f, p))
+    for f, (name, _, n) in enumerate(_FILES)
+    for p in range(n)
+]
+
+
+def _page_img(f: int, p: int):
+    import numpy as np
+
+    return np.full((_h(f, p), _w(f, p), 3), _v(f, p), np.uint8)
+
+
+def ensure_page_store(root: str) -> str:
+    """Write the container files under ``root`` (idempotent; guarded by
+    a DONE marker). Driver-side and O(1): 6 tiny files — this is
+    fixture synthesis, not data-plane work."""
+    store = os.path.join(root, "pagestore_v1")
+    marker = os.path.join(store, "_DONE")
+    if os.path.exists(marker):
+        return store
+    from paddleocr_spark.kernels.imgcodec import encode_png
+    from paddleocr_spark.kernels.pdf import encode_pdf
+    from paddleocr_spark.kernels.tiff import encode_tiff
+
+    os.makedirs(store, exist_ok=True)
+    for f, (name, kind, n) in enumerate(_FILES):
+        imgs = [_page_img(f, p) for p in range(n)]
+        if kind == "pdf_flate":
+            data = encode_pdf(imgs, image_filter="FlateDecode")
+        elif kind == "pdf_dct":
+            data = encode_pdf(imgs, image_filter="DCTDecode", quant=1)
+        elif kind == "tiff":
+            data = encode_tiff(imgs)
+        elif kind == "png":
+            data = encode_png(imgs[0])
+        else:  # ppm — P6 is trivially writable
+            h, w = imgs[0].shape[:2]
+            data = b"P6\n%d %d\n255\n" % (w, h) + imgs[0].tobytes()
+        with open(os.path.join(store, name), "wb") as fh:
+            fh.write(data)
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return store
+
+
+def paged_store_pages(spark, sf_dir: str):
+    """CORRECTNESS query for the page-explode operator: scan the
+    fixture store with binaryFile, explode every container into page
+    rows, decode each page, and report its shape + mean pixel. The
+    store is sf-independent (the operator under test is the container
+    walk, not corpus scaling)."""
+    from paddleocr_spark.sources.media_files import (
+        explode_pages,
+        read_binary_files,
+    )
+
+    cache_root = os.path.join(
+        os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".cache")
+    store = ensure_page_store(cache_root)
+
+    def dec(batches):
+        import os as _os
+
+        import pandas as pd
+
+        from paddleocr_spark.kernels.imgcodec import decode_image
+
+        for pdf in batches:
+            out = {"file": [], "page": [], "is_multipage": [],
+                   "height": [], "width": [], "mean_px": []}
+            for path, page, content, multi in zip(
+                    pdf["path"], pdf["page"], pdf["content"],
+                    pdf["is_multipage"]):
+                img = decode_image(bytes(content))
+                out["file"].append(_os.path.basename(path))
+                out["page"].append(int(page))
+                out["is_multipage"].append(bool(multi))
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["mean_px"].append(float(img.mean()))
+            yield pd.DataFrame(out)
+
+    pages = explode_pages(read_binary_files(spark, store))
+    return pages.mapInPandas(
+        dec, schema=("file string, page long, is_multipage boolean, "
+                     "height long, width long, mean_px double"))
+
+
+def pages_oracle_sql() -> str:
+    """Constant VALUES oracle from the analytic page formulas (the
+    codecs never run here)."""
+    rows = ",\n  ".join(
+        f"('{name}', CAST({p} AS BIGINT), {str(multi).upper()}, "
+        f"CAST({h} AS BIGINT), CAST({w} AS BIGINT), "
+        f"CAST({v} AS DOUBLE))"
+        for name, p, multi, h, w, v in PAGE_SPEC)
+    return ("SELECT * FROM (VALUES\n  " + rows +
+            ") AS t(file, page, is_multipage, height, width, mean_px)")
