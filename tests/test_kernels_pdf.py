@@ -95,3 +95,82 @@ def test_split_pages_pdf_explodes_and_decodes(spark, tmp_path):
         assert np.array_equal(img, pages[r.page])
         resized, _ = det_resize_for_test(img)
         assert resized.shape[0] % 32 == 0
+
+
+def test_devicegray_xobject_decodes_to_3ch():
+    """FlateDecode /DeviceGray images (common for scanned mono docs)
+    replicate to 3 channels, matching IMREAD_COLOR semantics."""
+    import zlib
+
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    payload = zlib.compress(g.tobytes())
+    img_head = (b"4 0 obj\n<< /Type /XObject /Subtype /Image /Width 8 "
+                b"/Height 8 /BitsPerComponent 8 /Filter /FlateDecode "
+                b"/ColorSpace /DeviceGray /Length %d >>\nstream\n"
+                % len(payload))
+    body = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /XObject << /Im0 4 0 R >> >> >>\nendobj\n"
+            + img_head + payload + b"\nendstream\nendobj\n"
+            b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
+    (page,) = decode_pdf_pages(body)
+    assert page.shape == (8, 8, 3)
+    assert np.array_equal(page[:, :, 0], g)
+    assert np.array_equal(page[:, :, 1], g)
+    assert np.array_equal(page[:, :, 2], g)
+
+
+def test_nested_page_tree_walk():
+    """Intermediate /Pages nodes (balanced page trees are standard in
+    large PDFs) — order must come from the nested Kids walk."""
+    import zlib
+
+    def img_obj(num, v):
+        payload = zlib.compress(bytes([v] * 4 * 4 * 3))
+        return (b"%d 0 obj\n<< /Type /XObject /Subtype /Image /Width 4 "
+                b"/Height 4 /BitsPerComponent 8 /Filter /FlateDecode "
+                b"/ColorSpace /DeviceRGB /Length %d >>\nstream\n"
+                % (num, len(payload)) + payload + b"\nendstream\nendobj\n")
+
+    def page_obj(num, parent, im):
+        return (b"%d 0 obj\n<< /Type /Page /Parent %d 0 R /Resources "
+                b"<< /XObject << /Im0 %d 0 R >> >> >>\nendobj\n"
+                % (num, parent, im))
+
+    body = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            # root Pages → [inner Pages (3), page 6]; inner → [4, 5]
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 3 >>\n"
+            b"endobj\n"
+            b"3 0 obj\n<< /Type /Pages /Parent 2 0 R /Kids [4 0 R 5 0 R] "
+            b"/Count 2 >>\nendobj\n"
+            + page_obj(4, 3, 7) + page_obj(5, 3, 8) + page_obj(6, 2, 9)
+            + img_obj(7, 11) + img_obj(8, 22) + img_obj(9, 33)
+            + b"trailer\n<< /Size 10 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
+    pages = decode_pdf_pages(body)
+    assert [int(p[0, 0, 0]) for p in pages] == [11, 22, 33]
+
+
+def test_flate_roundtrip_property():
+    """Property: any stack of random-sized pages round-trips exactly
+    through the FlateDecode writer/parser pair."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 6), st.integers(0, 2**32 - 1))
+    def prop(n, seed):
+        rng = np.random.default_rng(seed)
+        pages = [rng.integers(0, 256,
+                              (int(rng.integers(1, 24)),
+                               int(rng.integers(1, 24)), 3),
+                              dtype=np.uint8) for _ in range(n)]
+        dec = decode_pdf_pages(encode_pdf(pages,
+                                          image_filter="FlateDecode"))
+        assert len(dec) == n
+        for src, got in zip(pages, dec):
+            assert np.array_equal(got, src)
+
+    prop()
