@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": similarity.embedding_near_dups,
         # --- metric aggregations (oracle-checked) ---
         "rec_metric_pairs": metrics.rec_metric_pairs,
+        "training_stats": metrics.training_stats,
         "cls_cnt_metric_pairs": metrics.cls_cnt_metric_pairs,
         # --- relational coverage (oracle-checked) ---
         "pricing_summary": relational.pricing_summary,
@@ -985,6 +986,23 @@ def oracle_sql() -> dict[str, str]:
               FROM counts)
             SELECT user_id, event_type AS majority_type, n AS votes
             FROM ranked WHERE rk = 1 ORDER BY user_id
+        """,
+        # TrainingStats window-median smoothing + AverageMeter running
+        # mean (stats.py:9-45, utility.py:151-167); DuckDB computes the
+        # trailing median NATIVELY (median() over a ROWS frame) against
+        # Spark's array_sort(collect_list) construction
+        "training_stats": f"""
+            SELECT event_type, row_number() OVER w AS step,
+                   round(median(value) OVER (
+                       w ROWS BETWEEN {metrics.LOG_WINDOW_SIZE - 1}
+                       PRECEDING AND CURRENT ROW), 6) AS smoothed,
+                   round(CAST(sum(CAST(value AS DECIMAL(28,6))) OVER (
+                       w ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS DOUBLE)
+                       / (row_number() OVER w), 6) AS avg_meter
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+            ORDER BY event_type, step
         """,
         # page-explode: the expectation is ANALYTIC (constant-color
         # pages; see sources/page_store.py) — a pure VALUES table, the

@@ -18,9 +18,55 @@ IS Spark's partial aggregation; SURVEY.md §2.4).
 
 from __future__ import annotations
 
-__all__ = ["rec_metric_pairs", "cls_cnt_metric_pairs", "corpus_rec_metric",
+__all__ = ["training_stats", "rec_metric_pairs", "cls_cnt_metric_pairs", "corpus_rec_metric",
            "corpus_det_metric", "det_iou_metric", "table_structure_metric",
            "sr_metric", "can_metric", "e2e_metric", "ct_metric"]
+
+
+LOG_WINDOW_SIZE = 20  # reference default: config.py:135 log_window_size
+
+
+def training_stats(spark, sf_dir: str):
+    """TrainingStats + AverageMeter as window aggregations
+    (``toddleocr/utils/stats.py:9-45``, ``utils/utility.py:151-167``).
+
+    The reference smooths each logged metric series with the MEDIAN of
+    a trailing deque(maxlen=window_size) and tracks a cumulative
+    weighted mean (AverageMeter). Re-expressed over the ``events``
+    table: one series per event_type ordered by (ts, event_id); per
+    row the trailing-20 median (``smoothed``, rounded 6 per
+    TrainingStats.get) and the running mean (``avg_meter``).
+
+    Spark disallows ``median()`` with a window FRAME, so the trailing
+    median is ``array_sort(collect_list)`` over the ROWS frame + the
+    two-middle-element interpolation — exact, JVM-side, O(window) per
+    row, and frame-bounded so state never exceeds window_size rows
+    regardless of series length (the deque semantics, distributed).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-(LOG_WINDOW_SIZE - 1), 0)
+    arr = F.array_sort(F.collect_list("value").over(frame))
+    n = F.size(arr)
+    lo = F.element_at(arr, (F.floor((n - 1) / 2) + 1).cast("int"))
+    hi = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
+    return (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select(
+                "event_type",
+                F.row_number().over(w).alias("step"),
+                F.round((lo + hi) / 2, 6).alias("smoothed"),
+                # exact-decimal running sum, ONE double division:
+                # float summation order differs between engines (6/10k
+                # last-ulp mismatches with a plain avg window), decimal
+                # accumulation is exact and engine-independent
+                F.round(
+                    F.sum(F.col("value").cast("decimal(28,6)")).over(
+                        w.rowsBetween(Window.unboundedPreceding, 0))
+                    .cast("double") / F.row_number().over(w),
+                    6).alias("avg_meter"))
+            .orderBy("event_type", "step"))
 
 
 def rec_metric_pairs(spark, sf_dir: str):
