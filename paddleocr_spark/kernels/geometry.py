@@ -118,24 +118,32 @@ def connected_components(bitmap: np.ndarray, connectivity: int = 8):
 
 def convex_hull(points: np.ndarray) -> np.ndarray:
     """Andrew's monotone-chain convex hull; points (N, 2) -> (H, 2) CCW
-    in image coords (y down), collinear points dropped."""
-    pts = np.unique(points.astype(np.float64), axis=0)  # sorts lexicographically
+    in image coords (y down), collinear points dropped.
+
+    Runs on Python float tuples, not ndarray rows: the stack loop is
+    inherently sequential, and numpy-scalar arithmetic on 0-d views is
+    ~30x slower per op than float math (this function sat at the top
+    of the decode profile). ``sorted(set(...))`` equals
+    ``np.unique(axis=0)``'s lexicographic row sort bit-for-bit —
+    tuples of float64 compare exactly like the rows they came from."""
+    pts = sorted(set(map(tuple, points.astype(np.float64).tolist())))
     if len(pts) <= 2:
-        return pts
+        return np.array(pts, dtype=np.float64)
 
-    def cross(o, a, b):
-        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
-
-    def half(iterable):
-        h: list[np.ndarray] = []
-        for p in iterable:
-            while len(h) >= 2 and cross(h[-2], h[-1], p) <= 0:
+    def half(seq):
+        h: list[tuple[float, float]] = []
+        for px, py in seq:
+            while len(h) >= 2:
+                ox, oy = h[-2]
+                ax, ay = h[-1]
+                if (ax - ox) * (py - oy) - (ay - oy) * (px - ox) > 0:
+                    break
                 h.pop()
-            h.append(p)
+            h.append((px, py))
         return h
 
     lower = half(pts)
-    upper = half(pts[::-1])
+    upper = half(reversed(pts))
     return np.array(lower[:-1] + upper[:-1])
 
 
@@ -156,20 +164,28 @@ def min_area_rect(points: np.ndarray):
         a, b = hull
         return np.array([a, b, b, a]), (float(np.linalg.norm(b - a)), 0.0)
 
-    edges = np.roll(hull, -1, axis=0) - hull
+    # np.concatenate beats np.roll ~3x on these tiny arrays and
+    # produces the identical row order
+    edges = np.concatenate((hull[1:], hull[:1])) - hull
     lens = np.linalg.norm(edges, axis=1)
     dirs = edges[lens > 0] / lens[lens > 0, None]
+    # NOTE: the per-direction dgemv calls must stay — batching them
+    # into one (H,2)@(2,E) dgemm changes last-ulp rounding (FMA paths
+    # differ between gemv and gemm) and breaks bit-parity with the
+    # materialized goldens
     best = None
     for ux, uy in dirs:
         u = np.array([ux, uy])
         v = np.array([-uy, ux])
         pu = hull @ u
         pv = hull @ v
-        w = pu.max() - pu.min()
-        h = pv.max() - pv.min()
+        u0, u1 = pu.min(), pu.max()
+        v0, v1 = pv.min(), pv.max()
+        w = u1 - u0
+        h = v1 - v0
         area = w * h
         if best is None or area < best[0] - 1e-12:
-            best = (area, u, v, pu.min(), pu.max(), pv.min(), pv.max(), w, h)
+            best = (area, u, v, u0, u1, v0, v1, w, h)
     _, u, v, u0, u1, v0, v1, w, h = best
     corners = np.array(
         [
@@ -186,24 +202,33 @@ def polygon_area(poly: np.ndarray) -> float:
     """Shoelace area (absolute value), poly (N, 2)."""
     x = poly[:, 0]
     y = poly[:, 1]
-    return float(abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)) / 2.0)
+    xn = np.concatenate((x[1:], x[:1]))  # == np.roll(x, -1), faster
+    yn = np.concatenate((y[1:], y[:1]))
+    return float(abs(np.sum(x * yn - xn * y)) / 2.0)
 
 
 def polygon_perimeter(poly: np.ndarray) -> float:
-    return float(np.sum(np.linalg.norm(np.roll(poly, -1, axis=0) - poly, axis=1)))
+    nxt = np.concatenate((poly[1:], poly[:1]))
+    return float(np.sum(np.linalg.norm(nxt - poly, axis=1)))
 
 
 def _point_in_convex_poly_mask(poly: np.ndarray, h: int, w: int) -> np.ndarray:
     """Inclusive point-in-polygon raster over an (h, w) grid for a convex
     polygon given in either winding order. Matches cv2.fillPoly exactly on
     axis-aligned rectangles (boundary pixels included)."""
-    yy, xx = np.mgrid[0:h, 0:w]
+    # open grids: the per-edge products stay O(h)+O(w), only the final
+    # broadcast subtraction touches all h*w cells (identical values to
+    # a dense mgrid — broadcasting changes no arithmetic)
+    yy = np.arange(h, dtype=np.float64)[:, None]
+    xx = np.arange(w, dtype=np.float64)[None, :]
     mask = np.ones((h, w), dtype=bool)
     n = len(poly)
     # determine winding via signed area
     x = poly[:, 0]
     y = poly[:, 1]
-    signed = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) / 2.0
+    xn = np.concatenate((x[1:], x[:1]))
+    yn = np.concatenate((y[1:], y[:1]))
+    signed = np.sum(x * yn - xn * y) / 2.0
     sign = 1.0 if signed >= 0 else -1.0
     for i in range(n):
         x0, y0 = poly[i]
