@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "cosine_topk_ivf_refined",
     "embedding_near_dups",
     "rec_metric_pairs",
+    "training_stats",
     "pricing_summary",
     "revenue_by_region",
     "top_customers_per_nation",
