@@ -26,8 +26,9 @@ explodes to n_pages rows whose page bytes are
 
 from __future__ import annotations
 
-__all__ = ["read_binary_files", "explode_pages", "decode_image_bytes",
-           "check_img", "is_link", "PAGES_SCHEMA"]
+__all__ = ["read_binary_files", "explode_pages", "page_errors",
+           "decode_image_bytes", "check_img", "is_link", "PAGES_SCHEMA",
+           "ERROR_PAGE"]
 
 PAGES_SCHEMA = ("path string, page int, content binary, is_multipage boolean")
 
@@ -83,9 +84,23 @@ def _split_pages(content: bytes):
     return [(0, content, False)]
 
 
-def explode_pages(files_df):
+ERROR_PAGE = -1
+
+
+def explode_pages(files_df, on_error: str = "raise"):
     """1 file row → N page rows via mapInPandas (Arrow-batched; binary
-    payloads never pass through per-row Python)."""
+    payloads never pass through per-row Python).
+
+    ``on_error``: at 10^12-doc scale one malformed container must not
+    kill the job (the reference resamples/skips bad rows,
+    ``datasets/simple.py:78-84``; the extraction decode quarantines
+    them as ERROR_KIND fragments). "raise" (default) keeps fail-fast
+    semantics for tests/fixtures; "quarantine" emits one row per bad
+    file with ``page == ERROR_PAGE`` and the error message utf-8 in
+    ``content`` — filter ``page >= 0`` for data, ``page == ERROR_PAGE``
+    for the per-run data-quality report (page_errors)."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(on_error)
 
     def gen(batches):
         import pandas as pd
@@ -94,7 +109,15 @@ def explode_pages(files_df):
             out = {"path": [], "page": [], "content": [],
                    "is_multipage": []}
             for path, content in zip(pdf["path"], pdf["content"]):
-                for idx, page_bytes, multi in _split_pages(bytes(content)):
+                try:
+                    pages = _split_pages(bytes(content))
+                except Exception as ex:
+                    if on_error == "raise":
+                        raise
+                    pages = [(ERROR_PAGE,
+                              f"{type(ex).__name__}: {ex}".encode(),
+                              False)]
+                for idx, page_bytes, multi in pages:
                     out["path"].append(path)
                     out["page"].append(idx)
                     out["content"].append(page_bytes)
@@ -103,6 +126,15 @@ def explode_pages(files_df):
 
     return files_df.select("path", "content").mapInPandas(
         gen, schema=PAGES_SCHEMA)
+
+
+def page_errors(pages_df):
+    """Quarantined container failures: (path, error). Zero rows on a
+    healthy store — the page-explode twin of ``decode_errors``."""
+    from pyspark.sql import functions as F
+
+    return (pages_df.where(F.col("page") == ERROR_PAGE)
+            .select("path", F.col("content").cast("string").alias("error")))
 
 
 def decode_image_bytes(content: bytes):

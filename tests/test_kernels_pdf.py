@@ -174,3 +174,35 @@ def test_flate_roundtrip_property():
             assert np.array_equal(got, src)
 
     prop()
+
+
+def test_explode_pages_quarantines_corrupt_containers(spark, tmp_path):
+    """One malformed container must not kill a 10^12-doc job:
+    on_error='quarantine' emits an ERROR_PAGE row and keeps the good
+    files' pages; the default stays fail-fast."""
+    from pyspark.sql.utils import PythonException
+
+    from paddleocr_spark.sources.media_files import (
+        ERROR_PAGE,
+        explode_pages,
+        page_errors,
+        read_binary_files,
+    )
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    good = np.full((8, 8, 3), 50, np.uint8)
+    (d / "ok.pdf").write_bytes(encode_pdf([good, good],
+                                          image_filter="FlateDecode"))
+    (d / "bad.pdf").write_bytes(b"%PDF-1.4\ntruncated garbage")
+
+    files = read_binary_files(spark, str(d))
+    with pytest.raises(PythonException):
+        explode_pages(files).collect()  # default: fail fast
+
+    rows = explode_pages(files, on_error="quarantine").collect()
+    ok = sorted(r.page for r in rows if r.page != ERROR_PAGE)
+    assert ok == [0, 1]
+    errs = page_errors(explode_pages(files, on_error="quarantine")).collect()
+    assert len(errs) == 1
+    assert errs[0].path.endswith("bad.pdf") and "ValueError" in errs[0].error
