@@ -15,7 +15,7 @@ from paddleocr_spark.corpus import docs_schema
 from paddleocr_spark.operators.extract import extract_spans
 
 __all__ = ["incremental_extract", "windowed_event_counts",
-           "streaming_exact_dedup"]
+           "streaming_exact_dedup", "streaming_page_ingest"]
 
 
 def incremental_extract(spark, docs_dir: str, media_df, out_dir: str,
@@ -87,3 +87,35 @@ def streaming_exact_dedup(spark, docs_dir: str, watermark: str = "1 hour"):
             .withWatermark("arrival", watermark)
             .dropDuplicatesWithinWatermark(["content_md5"])
             .select("doc_id", "content_md5"))
+
+
+def streaming_page_ingest(spark, files_dir: str, out_dir: str,
+                          checkpoint_dir: str):
+    """Incremental container ingest: new PDF/TIFF/image files landing
+    under ``files_dir`` → page explode (corrupt containers quarantined
+    as ERROR_PAGE rows, never failing the stream) → append page rows to
+    ``out_dir``. The ingest-side half of check_and_read as a stream —
+    at production scale this is the feed that keeps the media store
+    growing while extraction streams behind it. Same implementation as
+    the batch path (explode_pages), exactly-once via the streaming
+    checkpoint. Returns the StreamingQuery."""
+    from paddleocr_spark.sources.media_files import explode_pages
+
+    stream = (spark.readStream
+              .format("binaryFile")
+              # streaming sources require an explicit schema; this is
+              # binaryFile's fixed one
+              .schema("path string, modificationTime timestamp, "
+                      "length long, content binary")
+              .option("maxFilesPerTrigger", 8)
+              .load(files_dir))
+
+    def process(batch_df, epoch_id: int):
+        (explode_pages(batch_df, on_error="quarantine")
+         .write.mode("append").parquet(out_dir))
+
+    return (stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -257,3 +257,47 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     kept_docs = {r["doc_id"] for r in got}
     assert 2 in kept_docs and 5 in kept_docs
     assert len(kept_docs & {1, 3, 4}) == 1  # exactly one of the dups
+
+
+def test_streaming_page_ingest_matches_batch(spark, tmp_path):
+    """Two container-arrival waves through the ingest stream == one
+    batch explode, INCLUDING the quarantined corrupt file (the stream
+    must survive it, not die)."""
+    import numpy as np
+
+    from paddleocr_spark.kernels.pdf import encode_pdf
+    from paddleocr_spark.kernels.tiff import encode_tiff
+    from paddleocr_spark.sources.media_files import (
+        ERROR_PAGE,
+        explode_pages,
+        read_binary_files,
+    )
+    from paddleocr_spark.streaming.incremental import streaming_page_ingest
+
+    files_dir = tmp_path / "landing"
+    files_dir.mkdir()
+    rng = np.random.default_rng(31)
+    img = lambda: rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+
+    # wave 1: a 2-page PDF + a corrupt container
+    (files_dir / "a.pdf").write_bytes(
+        encode_pdf([img(), img()], image_filter="FlateDecode"))
+    (files_dir / "bad.pdf").write_bytes(b"%PDF-1.4\nnot really")
+    out_dir, ckpt = str(tmp_path / "pages"), str(tmp_path / "ckpt")
+    q = streaming_page_ingest(spark, str(files_dir), out_dir, ckpt)
+    q.awaitTermination()
+
+    # wave 2: a 3-page TIFF
+    (files_dir / "b.tif").write_bytes(encode_tiff([img(), img(), img()]))
+    q = streaming_page_ingest(spark, str(files_dir), out_dir, ckpt)
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(out_dir).collect()
+    batch = explode_pages(read_binary_files(spark, str(files_dir)),
+                          on_error="quarantine").collect()
+    key = lambda rows: sorted((r.path.rsplit("/", 1)[-1], r.page,
+                               bytes(r.content), r.is_multipage)
+                              for r in rows)
+    assert key(streamed) == key(batch)
+    assert sum(1 for r in streamed if r.page == ERROR_PAGE) == 1
+    assert sum(1 for r in streamed if r.page >= 0) == 5
