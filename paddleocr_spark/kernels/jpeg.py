@@ -21,7 +21,7 @@ sequential Python — inherent to the format's entropy coding; at scale
 each image decodes inside one mapInPandas task, so the sequential part
 parallelizes across media exactly like the reference's per-image loop.
 
-``encode_jpeg`` is the test-fixture twin: baseline, 4:4:4 or 4:2:0 or
+``encode_jpeg`` is the test-fixture twin: baseline, 4:4:4/4:2:2/4:2:0 or
 grayscale, with self-describing canonical Huffman tables (all-DC-
 symbols length 4, all-AC-symbols length 8 — a valid, intentionally
 simple code), so decoder tests are a genuine two-party interop check
@@ -366,9 +366,9 @@ def encode_jpeg(img: np.ndarray, quant: int = 1,
     """(H, W, 3) uint8 BGR or (H, W) gray → baseline JFIF bytes.
 
     ``quant`` is a flat quantization value (1 = near-lossless, only
-    DCT rounding); ``subsampling`` is "444" or "420" (color only);
-    ``restart_interval`` > 0 writes DRI + RSTn markers every that many
-    MCUs (exercises the decoder's resync path)."""
+    DCT rounding); ``subsampling`` is "444", "422" or "420" (color
+    only); ``restart_interval`` > 0 writes DRI + RSTn markers every
+    that many MCUs (exercises the decoder's resync path)."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     qtab = np.full(64, quant, dtype=np.int64)
@@ -392,6 +392,17 @@ def encode_jpeg(img: np.ndarray, quant: int = 1,
                       "plane": down(cb) - 128.0},
                      {"id": 3, "h": 1, "v": 1, "tq": 0,
                       "plane": down(cr) - 128.0}]
+        elif subsampling == "422":
+            # horizontal-only chroma downsample (scanner default)
+            def down_h(p):
+                ww = -(-p.shape[1] // 2) * 2
+                q = np.pad(p, ((0, 0), (0, ww - p.shape[1])), mode="edge")
+                return (q[:, 0::2] + q[:, 1::2]) / 2.0
+            comps = [{"id": 1, "h": 2, "v": 1, "tq": 0, "plane": y - 128.0},
+                     {"id": 2, "h": 1, "v": 1, "tq": 0,
+                      "plane": down_h(cb) - 128.0},
+                     {"id": 3, "h": 1, "v": 1, "tq": 0,
+                      "plane": down_h(cr) - 128.0}]
         else:
             comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "plane": y - 128.0},
                      {"id": 2, "h": 1, "v": 1, "tq": 0, "plane": cb - 128.0},

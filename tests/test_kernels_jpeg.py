@@ -106,3 +106,35 @@ def test_imgcodec_dispatch():
     enc = encode_jpeg(img, quant=1)
     assert sniff_format(enc) == "jpeg"
     assert _maxdiff(decode_image(enc), img) <= 2
+
+
+def test_422_subsampling_flat_chroma_exact():
+    """4:2:2 (horizontal-only chroma downsample — the scanner default)
+    decodes through the generic h/v MCU walk; constant chroma survives
+    exactly."""
+    img = np.zeros((30, 50, 3), np.uint8)
+    img[:] = (90, 140, 200)
+    dec = decode_jpeg(encode_jpeg(img, quant=1, subsampling="422"))
+    assert _maxdiff(dec, img) == 0
+
+
+def test_422_mcu_geometry():
+    """4:2:2 MCUs are 16x8; odd dims exercise padding + crop, and the
+    full-resolution luma stays recoverable."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (19, 21, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quant=4, subsampling="422"))
+    assert dec.shape == (19, 21, 3)
+    y_src = (0.299 * img[:, :, 2] + 0.587 * img[:, :, 1]
+             + 0.114 * img[:, :, 0])
+    y_dec = (0.299 * dec[:, :, 2] + 0.587 * dec[:, :, 1]
+             + 0.114 * dec[:, :, 0])
+    assert np.abs(y_src - y_dec).mean() < 6.0
+    # chroma is horizontally halved only: vertical chroma detail must
+    # survive better than under 4:2:0 on a vertical-gradient image
+    grad = np.zeros((32, 32, 3), np.uint8)
+    grad[:16] = (200, 60, 60)
+    grad[16:] = (60, 200, 60)
+    d422 = decode_jpeg(encode_jpeg(grad, quant=1, subsampling="422"))
+    d420 = decode_jpeg(encode_jpeg(grad, quant=1, subsampling="420"))
+    assert _maxdiff(d422, grad) <= _maxdiff(d420, grad)
