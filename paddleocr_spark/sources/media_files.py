@@ -140,9 +140,9 @@ def page_errors(pages_df):
 def decode_image_bytes(content: bytes):
     """bytes → (H, W, 3) uint8 BGR ndarray — ``img_decode``
     (``toddleocr/engine.py:214-216``) with IMREAD_COLOR semantics,
-    via the repo's pure-NumPy codecs (PNG/BMP/PPM/GIF first-frame;
-    ``kernels/imgcodec.py``). JPEG would need external codec
-    libraries absent from this environment and raises ValueError."""
+    via the repo's pure-NumPy codecs (PNG/BMP/PPM/GIF first-frame/
+    baseline JPEG/TIFF first page; ``kernels/imgcodec.py``).
+    Progressive JPEG and compressed TIFF raise ValueError."""
     from paddleocr_spark.kernels.imgcodec import decode_image
 
     return decode_image(bytes(content))
