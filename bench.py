@@ -24,6 +24,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Bench sessions need the large driver heap by default: in local mode the
+# executors live in the driver JVM, and at the 24g session default GC
+# doubles the wall time of every Arrow-heavy query (measured on one
+# commit: suite 169-179 s at 24g vs 89 s at 48g — see BENCH/BASELINE.md
+# "host variance" note). Still overridable via the env knob.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # override corpus size (docs); default = |documents| at SF_DIR
