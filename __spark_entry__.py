@@ -33,7 +33,7 @@ from paddleocr_spark.operators import (
     text,
 )
 from paddleocr_spark.operators.extract import extract_spans
-from paddleocr_spark.sources import page_store
+from paddleocr_spark.sources import av_store, page_store
 
 CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".cache", "corpus")
@@ -298,6 +298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_majority": relational.event_type_majority,
         # --- page-explode over real containers (VALUES-oracle-checked) ---
         "paged_store_pages": page_store.paged_store_pages,
+        # --- multimodal audio/video features (VALUES-oracle-checked) ---
+        "audio_features": av_store.audio_features,
+        "video_frames": av_store.video_frames,
     }
 
 
@@ -1008,4 +1011,9 @@ def oracle_sql() -> dict[str, str]:
         # pages; see sources/page_store.py) — a pure VALUES table, the
         # codecs never run on the oracle side
         "paged_store_pages": page_store.pages_oracle_sql(),
+        # audio/video features: analytic expectations (constant-signal
+        # frames; see sources/av_store.py) — pure VALUES tables, the
+        # codecs never run on the oracle side
+        "audio_features": av_store.audio_oracle_sql(),
+        "video_frames": av_store.video_oracle_sql(),
     }
