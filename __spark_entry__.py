@@ -25,6 +25,7 @@ from paddleocr_spark.corpus import synthesize_docs, synthesize_media
 from paddleocr_spark.functions.udfs import decode_media_store
 from paddleocr_spark.golden import materialize_goldens
 from paddleocr_spark.operators import (
+    bucketing,
     dedup,
     kie,
     metrics,
@@ -296,6 +297,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": relational.event_sessions,
         "threshold_sweep": relational.threshold_sweep,
         "event_type_majority": relational.event_type_majority,
+        # co-located join over session-bucketed tables (the zero-shuffle
+        # layout for big-x-big equi-joins; plan gated in
+        # tests/test_plan_quality.py)
+        "bucketed_join_agg": bucketing.bucketed_join_agg,
         # --- page-explode over real containers (VALUES-oracle-checked) ---
         "paged_store_pages": page_store.paged_store_pages,
         # --- multimodal audio/video features (VALUES-oracle-checked) ---
@@ -989,6 +994,18 @@ def oracle_sql() -> dict[str, str]:
               FROM counts)
             SELECT user_id, event_type AS majority_type, n AS votes
             FROM ranked WHERE rk = 1 ORDER BY user_id
+        """,
+        # bucketed join: values are layout-independent — the oracle
+        # joins the raw parquet; the bucketing is a physical-plan
+        # property (no Exchange), gated in tests/test_plan_quality.py
+        "bucketed_join_agg": """
+            SELECT o_orderpriority,
+                   count(*)::bigint AS n_items,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   count(DISTINCT o_orderkey)::bigint AS n_orders
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         # TrainingStats window-median smoothing + AverageMeter running
         # mean (stats.py:9-45, utility.py:151-167); DuckDB computes the

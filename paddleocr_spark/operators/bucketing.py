@@ -1,0 +1,100 @@
+"""Bucketed (co-located) join support — the zero-shuffle layout for
+the engine's repeated big-x-big equi-joins at 100 TB.
+
+Spark bucketing pre-shuffles a table ONCE at write time: rows are
+hash-partitioned into a fixed number of buckets on the join key and
+each bucket is written as its own file set. Two tables bucketed the
+same way join with NO Exchange on either side — the shuffle that
+dominates a petabyte-scale join is paid once at ingest instead of on
+every query. This is the storage-layout twin of the manifest planning
+in ``functions/udfs.py``: the reference pays the equivalent cost when
+it builds its dataset index up front (``toddleocr/datasets/
+lmdb.py:51-65``); a Spark-first engine pays it in the table layout.
+
+At the 100 TB design point the span<->media join of
+``operators/extract.py`` is the natural customer (bucket both the
+interleaved-docs table and the media store by ``media_ref``); the
+demonstration here uses the TPC-H orders x lineitem pair because its
+DuckDB oracle makes the result value-checkable, and the physical-plan
+gate in ``tests/test_plan_quality.py`` proves the Exchange really
+disappears — the property the layout exists to buy.
+
+Catalog note: bucketing metadata lives in the session catalog, so the
+tables are (re)registered per session via ``saveAsTable`` with an
+explicit external ``path`` under the repo cache. The data files are
+plain parquet; only the bucket spec is catalog-side. With a persistent
+metastore (or Iceberg's bucket partition transform) the write happens
+once per ingest, which is the production shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+__all__ = ["write_bucketed", "ensure_bucketed_pair", "bucketed_join_agg",
+           "N_BUCKETS"]
+
+N_BUCKETS = 8
+
+
+def _cache_root() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))),
+        ".cache", "bucketed")
+
+
+def write_bucketed(df, name: str, path: str, keys, n_buckets: int = N_BUCKETS,
+                   sort_cols=None) -> None:
+    """Write ``df`` as an external bucketed parquet table: hash-bucketed
+    on ``keys`` (the once-only shuffle), optionally sorted inside each
+    bucket so merge joins skip the per-task sort too."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    w = (df.write.mode("overwrite").format("parquet")
+         .option("path", path).bucketBy(n_buckets, *keys))
+    if sort_cols:
+        w = w.sortBy(*([sort_cols] if isinstance(sort_cols, str)
+                       else list(sort_cols)))
+    w.saveAsTable(name)
+
+
+def ensure_bucketed_pair(spark, sf_dir: str, n_buckets: int = N_BUCKETS):
+    """Register ``b_orders``/``b_lineitem`` bucketed on orderkey for
+    ``sf_dir`` (idempotent within a session via the catalog; the
+    parquet rewrite on a fresh session is the in-memory-catalog tax
+    documented in the module header)."""
+    import re
+
+    tag = re.sub(r"[^A-Za-z0-9_]", "_",
+                 os.path.basename(os.path.normpath(sf_dir)))
+    names = (f"b_orders_{tag}", f"b_lineitem_{tag}")
+    if all(spark.catalog.tableExists(n) for n in names):
+        return names
+    root = os.path.join(_cache_root(), tag)
+    write_bucketed(
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet")),
+        names[0], os.path.join(root, "orders"), "o_orderkey", n_buckets,
+        sort_cols="o_orderkey")
+    write_bucketed(
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")),
+        names[1], os.path.join(root, "lineitem"), "l_orderkey", n_buckets,
+        sort_cols="l_orderkey")
+    return names
+
+
+def bucketed_join_agg(spark, sf_dir: str):
+    """CORRECTNESS query: the co-located orders x lineitem join,
+    aggregated per order priority. Values are layout-independent (the
+    oracle joins the raw parquet); what the layout buys is the plan —
+    no Exchange on either join side, gated in test_plan_quality.py."""
+    orders_t, lineitem_t = ensure_bucketed_pair(spark, sf_dir)
+    o = spark.table(orders_t)
+    li = spark.table(lineitem_t)
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("long").alias("n_items"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+                 F.countDistinct("o_orderkey").alias("n_orders"))
+            .orderBy("o_orderpriority"))

@@ -147,6 +147,54 @@ def test_lsh_pairs_never_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bucketed_join_is_shuffle_free(spark):
+    """Co-located layout: both sides bucketed on the join key must
+    sort-merge join with ZERO Exchange before the aggregation — the
+    once-at-write shuffle is the whole point of the layout. Broadcast
+    is disabled so the test proves the bucketing, not the small-table
+    escape hatch; the raw-parquet control join must need exchanges."""
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.operators import bucketing
+    from paddleocr_spark.plans.inspect import formatted_plan
+
+    orders_t, lineitem_t = bucketing.ensure_bucketed_pair(spark, SF)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o, li = spark.table(orders_t), spark.table(lineitem_t)
+        joined = li.join(o, li.l_orderkey == o.o_orderkey) \
+                   .select("o_orderpriority", "l_extendedprice")
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # bucket-co-located: no shuffle
+
+        ro = spark.read.parquet(f"{SF}/orders.parquet")
+        rli = spark.read.parquet(f"{SF}/lineitem.parquet")
+        control = rli.join(ro, rli.l_orderkey == ro.o_orderkey) \
+                     .select("o_orderpriority", "l_extendedprice")
+        assert "Exchange" in formatted_plan(control)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_join_agg_matches_raw_join(spark):
+    """Layout changes the plan, never the values."""
+    from paddleocr_spark.operators import bucketing
+
+    got = bucketing.bucketed_join_agg(spark, SF).collect()
+    from pyspark.sql import functions as F
+
+    ro = spark.read.parquet(f"{SF}/orders.parquet")
+    rli = spark.read.parquet(f"{SF}/lineitem.parquet")
+    exp = (rli.join(ro, rli.l_orderkey == ro.o_orderkey)
+           .groupBy("o_orderpriority")
+           .agg(F.count("*").cast("long").alias("n_items"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+                F.countDistinct("o_orderkey").alias("n_orders"))
+           .orderBy("o_orderpriority")).collect()
+    assert got == exp and len(got) >= 2
+
+
 def test_codegen_spans_exist(spark):
     """AQE defers codegen compilation, so probe with AQE off."""
     spark.conf.set("spark.sql.adaptive.enabled", "false")
