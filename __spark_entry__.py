@@ -27,6 +27,7 @@ from paddleocr_spark.golden import materialize_goldens
 from paddleocr_spark.operators import (
     bucketing,
     dedup,
+    partitioning,
     kie,
     metrics,
     relational,
@@ -301,6 +302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # layout for big-x-big equi-joins; plan gated in
         # tests/test_plan_quality.py)
         "bucketed_join_agg": bucketing.bucketed_join_agg,
+        # day-partitioned layout: the window predicate prunes 20 of 30
+        # partition dirs at PLANNING time (PartitionFilters plan gate)
+        "partitioned_events_agg": partitioning.partitioned_events_agg,
         # --- page-explode over real containers (VALUES-oracle-checked) ---
         "paged_store_pages": page_store.paged_store_pages,
         # --- multimodal audio/video features (VALUES-oracle-checked) ---
@@ -994,6 +998,23 @@ def oracle_sql() -> dict[str, str]:
               FROM counts)
             SELECT user_id, event_type AS majority_type, n AS votes
             FROM ranked WHERE rk = 1 ORDER BY user_id
+        """,
+        # partition pruning: values are layout-independent — the oracle
+        # filters the raw table; the pruning is a planning-time property
+        # (PartitionFilters), gated in tests/test_plan_quality.py
+        "partitioned_events_agg": f"""
+            WITH e AS (
+              SELECT cast(floor(epoch(ts) / 86400) AS bigint) AS event_day,
+                     event_type, value
+              FROM events)
+            SELECT event_day, event_type,
+                   count(*)::bigint AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM e
+            WHERE event_day BETWEEN {partitioning.DAY_LO}
+                                AND {partitioning.DAY_HI}
+            GROUP BY event_day, event_type
+            ORDER BY event_day, event_type
         """,
         # bucketed join: values are layout-independent — the oracle
         # joins the raw parquet; the bucketing is a physical-plan

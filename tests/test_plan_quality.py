@@ -195,6 +195,35 @@ def test_bucketed_join_agg_matches_raw_join(spark):
     assert got == exp and len(got) >= 2
 
 
+def test_partitioned_scan_prunes_at_planning_time(spark):
+    """The day window must land in the scan's PartitionFilters
+    (planning-time directory elimination), and only the 10 in-window
+    day partitions of 30 may survive into the scan's file listing."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.operators import partitioning
+    from paddleocr_spark.plans.inspect import formatted_plan
+
+    path = partitioning.ensure_partitioned_events(spark, SF)
+    ev = spark.read.parquet(path)
+    pruned = ev.where(F.col("event_day").between(
+        partitioning.DAY_LO, partitioning.DAY_HI))
+    plan = formatted_plan(pruned)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_day" in m.group(1), plan
+    # behavioral proof: the files the scan actually touches cover
+    # exactly the 10 in-window day directories (inputFiles() reports
+    # the relation's full listing, so probe the executed scan instead)
+    touched = lambda df: {
+        int(re.search(r"event_day=(\d+)", r[0]).group(1))
+        for r in df.select(F.input_file_name()).distinct().collect()}
+    assert touched(pruned) == set(range(partitioning.DAY_LO,
+                                        partitioning.DAY_HI + 1))
+    assert len(touched(ev)) == 30
+
+
 def test_codegen_spans_exist(spark):
     """AQE defers codegen compilation, so probe with AQE off."""
     spark.conf.set("spark.sql.adaptive.enabled", "false")
