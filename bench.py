@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "rec_metric_pairs",
     "training_stats",
     "pricing_summary",
+    "bucketed_join_agg",
+    "partitioned_events_agg",
     "revenue_by_region",
     "top_customers_per_nation",
     "event_sessions",
