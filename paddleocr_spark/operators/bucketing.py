@@ -19,12 +19,15 @@ DuckDB oracle makes the result value-checkable, and the physical-plan
 gate in ``tests/test_plan_quality.py`` proves the Exchange really
 disappears — the property the layout exists to buy.
 
-Catalog note: bucketing metadata lives in the session catalog, so the
-tables are (re)registered per session via ``saveAsTable`` with an
-explicit external ``path`` under the repo cache. The data files are
-plain parquet; only the bucket spec is catalog-side. With a persistent
-metastore (or Iceberg's bucket partition transform) the write happens
-once per ingest, which is the production shape.
+Catalog note: bucketing metadata lives in the session catalog, so with
+the in-memory catalog each fresh session re-attaches the tables. The
+bucketed parquet is written ONCE (``write_bucketed``); later sessions
+only issue a ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` DDL over
+the existing files (``register_bucketed``) — the bucket-id <-> file
+mapping is carried by the writer's file names, so re-declaring the
+same spec is exact (value-guarded in the tests). With a persistent
+metastore (or Iceberg's bucket partition transform) even the DDL
+happens once per ingest, which is the production shape.
 """
 
 from __future__ import annotations
@@ -60,28 +63,46 @@ def write_bucketed(df, name: str, path: str, keys, n_buckets: int = N_BUCKETS,
     w.saveAsTable(name)
 
 
+def register_bucketed(spark, name: str, path: str, key: str,
+                      n_buckets: int = N_BUCKETS) -> None:
+    """Re-attach an already-bucketed parquet location to a fresh
+    session's catalog via DDL — the bucket spec is catalog metadata,
+    the bucket-id <-> file mapping lives in the writer's file names,
+    so declaring the same spec over the same files is exact. This is
+    the write-once production shape; correctness is guarded by the
+    values test in test_plan_quality.py (a wrong bucket mapping would
+    drop join rows, not just slow down)."""
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                     for f in spark.read.parquet(path).schema.fields)
+    spark.sql(
+        f"CREATE TABLE {name} ({cols}) USING parquet "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'")
+
+
 def ensure_bucketed_pair(spark, sf_dir: str, n_buckets: int = N_BUCKETS):
     """Register ``b_orders``/``b_lineitem`` bucketed on orderkey for
-    ``sf_dir`` (idempotent within a session via the catalog; the
-    parquet rewrite on a fresh session is the in-memory-catalog tax
-    documented in the module header)."""
+    ``sf_dir``. The bucketed parquet is written ONCE (the ingest-time
+    shuffle); later sessions only re-attach the existing location with
+    ``register_bucketed`` — no data rewrite."""
     import re
 
     tag = re.sub(r"[^A-Za-z0-9_]", "_",
                  os.path.basename(os.path.normpath(sf_dir)))
-    names = (f"b_orders_{tag}", f"b_lineitem_{tag}")
-    if all(spark.catalog.tableExists(n) for n in names):
-        return names
     root = os.path.join(_cache_root(), tag)
-    write_bucketed(
-        spark.read.parquet(os.path.join(sf_dir, "orders.parquet")),
-        names[0], os.path.join(root, "orders"), "o_orderkey", n_buckets,
-        sort_cols="o_orderkey")
-    write_bucketed(
-        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")),
-        names[1], os.path.join(root, "lineitem"), "l_orderkey", n_buckets,
-        sort_cols="l_orderkey")
-    return names
+    spec = (("b_orders_" + tag, "orders", "o_orderkey"),
+            ("b_lineitem_" + tag, "lineitem", "l_orderkey"))
+    for name, sub, key in spec:
+        if spark.catalog.tableExists(name):
+            continue
+        path = os.path.join(root, sub)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            register_bucketed(spark, name, path, key, n_buckets)
+        else:
+            write_bucketed(
+                spark.read.parquet(os.path.join(sf_dir, f"{sub}.parquet")),
+                name, path, key, n_buckets, sort_cols=key)
+    return tuple(name for name, _, _ in spec)
 
 
 def bucketed_join_agg(spark, sf_dir: str):

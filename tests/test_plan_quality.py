@@ -195,6 +195,35 @@ def test_bucketed_join_agg_matches_raw_join(spark):
     assert got == exp and len(got) >= 2
 
 
+def test_bucketed_reattach_preserves_mapping_and_plan(spark):
+    """Write-once production shape: dropping the catalog entries and
+    re-attaching the SAME files via DDL must keep the join both
+    shuffle-free and value-identical (a wrong bucket-id <-> file
+    mapping would silently drop join rows)."""
+    from paddleocr_spark.operators import bucketing
+    from paddleocr_spark.plans.inspect import formatted_plan
+
+    orders_t, lineitem_t = bucketing.ensure_bucketed_pair(spark, SF)
+    before = sorted(map(tuple,
+                        bucketing.bucketed_join_agg(spark, SF).collect()))
+    for t in (orders_t, lineitem_t):
+        spark.sql(f"DROP TABLE {t}")
+    reattached = bucketing.ensure_bucketed_pair(spark, SF)
+    assert reattached == (orders_t, lineitem_t)
+    after = sorted(map(tuple,
+                       bucketing.bucketed_join_agg(spark, SF).collect()))
+    assert after == before
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o, li = spark.table(orders_t), spark.table(lineitem_t)
+        plan = formatted_plan(
+            li.join(o, li.l_orderkey == o.o_orderkey)
+              .select("o_orderpriority", "l_extendedprice"))
+        assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_partitioned_scan_prunes_at_planning_time(spark):
     """The day window must land in the scan's PartitionFilters
     (planning-time directory elimination), and only the 10 in-window
