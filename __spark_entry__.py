@@ -35,7 +35,7 @@ from paddleocr_spark.operators import (
     text,
 )
 from paddleocr_spark.operators.extract import extract_spans
-from paddleocr_spark.sources import av_store, page_store
+from paddleocr_spark.sources import av_store, label_store, page_store
 
 CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".cache", "corpus")
@@ -310,6 +310,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal audio/video features (VALUES-oracle-checked) ---
         "audio_features": av_store.audio_features,
         "video_frames": av_store.video_frames,
+        # --- label-file sources (VALUES-oracle-checked) ---
+        "pubtab_valid": label_store.pubtab_valid,
+        "pgnet_labels": label_store.pgnet_labels,
     }
 
 
@@ -1054,4 +1057,9 @@ def oracle_sql() -> dict[str, str]:
         # codecs never run on the oracle side
         "audio_features": av_store.audio_oracle_sql(),
         "video_frames": av_store.video_oracle_sql(),
+        # label sources: analytic expectations (deterministic fixture
+        # lines; see sources/label_store.py) — pure VALUES tables, the
+        # JSON/tab parsing never runs on the oracle side
+        "pubtab_valid": label_store.pubtab_oracle_sql(),
+        "pgnet_labels": label_store.pgnet_oracle_sql(),
     }
