@@ -35,7 +35,7 @@ from paddleocr_spark.operators import (
     text,
 )
 from paddleocr_spark.operators.extract import extract_spans
-from paddleocr_spark.sources import av_store, label_store, page_store
+from paddleocr_spark.sources import av_store, label_store, page_store, sr_store
 
 CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".cache", "corpus")
@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- label-file sources (VALUES-oracle-checked) ---
         "pubtab_valid": label_store.pubtab_valid,
         "pgnet_labels": label_store.pgnet_labels,
+        "sr_pairs_filtered": sr_store.sr_pairs_filtered,
     }
 
 
@@ -1062,4 +1063,5 @@ def oracle_sql() -> dict[str, str]:
         # JSON/tab parsing never runs on the oracle side
         "pubtab_valid": label_store.pubtab_oracle_sql(),
         "pgnet_labels": label_store.pgnet_oracle_sql(),
+        "sr_pairs_filtered": sr_store.sr_oracle_sql(),
     }
