@@ -15,7 +15,8 @@ from paddleocr_spark.corpus import docs_schema
 from paddleocr_spark.operators.extract import extract_spans
 
 __all__ = ["incremental_extract", "windowed_event_counts",
-           "streaming_exact_dedup", "streaming_page_ingest"]
+           "streaming_exact_dedup", "streaming_page_ingest",
+           "streaming_partitioned_events"]
 
 
 def incremental_extract(spark, docs_dir: str, media_df, out_dir: str,
@@ -116,6 +117,32 @@ def streaming_page_ingest(spark, files_dir: str, out_dir: str,
 
     return (stream.writeStream
             .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def streaming_partitioned_events(spark, events_dir: str, out_dir: str,
+                                 checkpoint_dir: str):
+    """Stream events into the SAME day-partitioned, pruning-ready
+    layout that ``operators/partitioning.py`` builds in batch: a native
+    parquet sink with ``partitionBy(event_day)``, so the landing table
+    is immediately partition-prunable by any day-window query — no
+    post-hoc re-layout job. Exactly-once via the streaming checkpoint;
+    batch == streaming layout is asserted in the tests. Returns the
+    StreamingQuery."""
+    from paddleocr_spark.operators.partitioning import epoch_day
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream
+              .schema(schema)
+              .option("maxFilesPerTrigger", 8)
+              .parquet(events_dir)
+              .withColumn("event_day", epoch_day()))
+    return (stream.writeStream
+            .format("parquet")
+            .partitionBy("event_day")
+            .option("path", out_dir)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())

@@ -301,3 +301,51 @@ def test_streaming_page_ingest_matches_batch(spark, tmp_path):
     assert key(streamed) == key(batch)
     assert sum(1 for r in streamed if r.page == ERROR_PAGE) == 1
     assert sum(1 for r in streamed if r.page >= 0) == 5
+
+
+def test_streaming_partitioned_sink_matches_batch_layout(spark, tmp_path):
+    """Two event-arrival waves through the partitioned streaming sink
+    must land in the SAME day-partitioned directory layout the batch
+    job builds, with partition pruning immediately effective on it."""
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.operators.partitioning import epoch_day
+    from paddleocr_spark.streaming.incremental import (
+        streaming_partitioned_events,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    landing = tmp_path / "landing"
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1) \
+      .write.parquet(str(landing / "w1"))
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # the stream reads a directory of parquet files: flatten wave files
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    import glob
+    import shutil
+    for i, f in enumerate(glob.glob(str(landing / "w1" / "*.parquet"))):
+        shutil.copy(f, flat / f"w1_{i}.parquet")
+    q = streaming_partitioned_events(spark, str(flat), out_dir, ckpt)
+    q.awaitTermination()
+    # wave 2
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1) \
+      .write.parquet(str(landing / "w2"))
+    for i, f in enumerate(glob.glob(str(landing / "w2" / "*.parquet"))):
+        shutil.copy(f, flat / f"w2_{i}.parquet")
+    q = streaming_partitioned_events(spark, str(flat), out_dir, ckpt)
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+    exp = ev.withColumn("event_day", epoch_day())
+    key = lambda df: sorted((r.event_id, r.event_day)
+                            for r in df.select("event_id",
+                                               "event_day").collect())
+    assert key(got) == key(exp)
+    # layout is pruning-ready: a one-day filter touches one directory
+    one_day = exp.groupBy("event_day").count().orderBy("count").collect()
+    day = one_day[-1].event_day
+    touched = {r[0].rsplit("event_day=", 1)[-1].split("/")[0]
+               for r in got.where(F.col("event_day") == day)
+               .select(F.input_file_name()).distinct().collect()}
+    assert touched == {str(day)}
