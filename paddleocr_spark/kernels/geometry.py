@@ -172,20 +172,28 @@ def min_area_rect(points: np.ndarray):
     # NOTE: the per-direction dgemv calls must stay — batching them
     # into one (H,2)@(2,E) dgemm changes last-ulp rounding (FMA paths
     # differ between gemv and gemm) and breaks bit-parity with the
-    # materialized goldens
+    # materialized goldens. The min/max extraction, however, is
+    # comparison-only (no rounding), so builtin min/max over .tolist()
+    # is bit-identical to ndarray .min()/.max() and ~3x cheaper on
+    # these tiny projections; u is a row view of dirs (no per-edge
+    # allocation) and the v buffer is reused, copied only on improve.
     best = None
-    for ux, uy in dirs:
-        u = np.array([ux, uy])
-        v = np.array([-uy, ux])
-        pu = hull @ u
-        pv = hull @ v
-        u0, u1 = pu.min(), pu.max()
-        v0, v1 = pv.min(), pv.max()
+    vbuf = np.empty(2, dtype=np.float64)
+    for k in range(len(dirs)):
+        u = dirs[k]
+        vbuf[0] = -u[1]
+        vbuf[1] = u[0]
+        pu = (hull @ u).tolist()
+        pv = (hull @ vbuf).tolist()
+        u0 = min(pu)
+        u1 = max(pu)
+        v0 = min(pv)
+        v1 = max(pv)
         w = u1 - u0
         h = v1 - v0
         area = w * h
         if best is None or area < best[0] - 1e-12:
-            best = (area, u, v, u0, u1, v0, v1, w, h)
+            best = (area, u, vbuf.copy(), u0, u1, v0, v1, w, h)
     _, u, v, u0, u1, v0, v1, w, h = best
     corners = np.array(
         [
@@ -281,19 +289,31 @@ def unclip_rect(box: np.ndarray, unclip_ratio: float) -> np.ndarray:
     d = area * unclip_ratio / length
     center = box.mean(axis=0)
     out = box.copy()
+    # Each edge is shared by two corners; precompute its norm/normal
+    # ONCE (identical np.linalg.norm/divide calls on identical data ->
+    # bit-exact vs the previous per-corner recomputation, at half the
+    # BLAS-call count). edge_normal[i] belongs to edge box[i]->box[i+1];
+    # corner i uses edges i-1 (prev) and i (next). The outward-orient
+    # sign check stays per-corner (it compares against that corner).
+    edge_normal: list[np.ndarray | None] = []
     for i in range(4):
-        prev_edge = box[i] - box[i - 1]
-        next_edge = box[(i + 1) % 4] - box[i]
+        e = box[(i + 1) % 4] - box[i]
+        n = np.linalg.norm(e)
+        if n == 0:
+            edge_normal.append(None)
+        else:
+            edge_normal.append(np.array([e[1], -e[0]]) / n)
+    for i in range(4):
         # offset corner along both adjacent edge normals (pointing outward)
         total = np.zeros(2)
-        for e in (prev_edge, next_edge):
-            n = np.linalg.norm(e)
-            if n == 0:
+        rel = box[i] - center
+        for normal in (edge_normal[i - 1], edge_normal[i]):
+            if normal is None:
                 continue
-            normal = np.array([e[1], -e[0]]) / n
             # orient away from center
-            if np.dot(normal, box[i] - center) < 0:
-                normal = -normal
-            total += normal
+            if np.dot(normal, rel) < 0:
+                total -= normal
+            else:
+                total += normal
         out[i] = box[i] + d * total
     return out
