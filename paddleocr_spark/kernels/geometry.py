@@ -177,9 +177,22 @@ def min_area_rect(points: np.ndarray):
     # is bit-identical to ndarray .min()/.max() and ~3x cheaper on
     # these tiny projections; u is a row view of dirs (no per-edge
     # allocation) and the v buffer is reused, copied only on improve.
+    # Opposite hull edges yield exactly-negated direction vectors; the
+    # projections then negate elementwise and their sums/extrema mirror
+    # EXACTLY (IEEE negation is a sign flip), so the candidate area is
+    # bitwise identical and — with the strictly-improving `best` rule
+    # below — a direction whose negation (or duplicate) already ran can
+    # never change the winner. Skipping them halves the gemv calls on
+    # the common rectangle hull without touching the selected tuple.
+    dkeys = dirs.tolist()
+    seen: set[tuple[float, float]] = set()
     best = None
     vbuf = np.empty(2, dtype=np.float64)
     for k in range(len(dirs)):
+        dx, dy = dkeys[k]
+        if (dx, dy) in seen or (-dx, -dy) in seen:
+            continue
+        seen.add((dx, dy))
         u = dirs[k]
         vbuf[0] = -u[1]
         vbuf[1] = u[0]
@@ -230,19 +243,30 @@ def _point_in_convex_poly_mask(poly: np.ndarray, h: int, w: int) -> np.ndarray:
     yy = np.arange(h, dtype=np.float64)[:, None]
     xx = np.arange(w, dtype=np.float64)[None, :]
     mask = np.ones((h, w), dtype=bool)
-    n = len(poly)
-    # determine winding via signed area
-    x = poly[:, 0]
-    y = poly[:, 1]
-    xn = np.concatenate((x[1:], x[:1]))
-    yn = np.concatenate((y[1:], y[:1]))
-    signed = np.sum(x * yn - xn * y) / 2.0
-    sign = 1.0 if signed >= 0 else -1.0
+    pl = poly.tolist()
+    n = len(pl)
+    # determine winding via signed area; for n <= 4 (the only shape the
+    # det path produces) zero-padding to 4 terms makes (t0+t1)+(t2+t3)
+    # literally np.sum's pairwise order — replicated below so the sign
+    # decision is bit-identical to the previous ndarray formulation
+    t = [pl[i][0] * pl[(i + 1) % n][1] - pl[(i + 1) % n][0] * pl[i][1]
+         for i in range(n)]
+    if n <= 4:
+        while len(t) < 4:
+            t.append(0.0)
+        signed = ((t[0] + t[1]) + (t[2] + t[3])) / 2.0
+    else:
+        signed = float(np.sum(np.asarray(t))) / 2.0
+    neg = signed < 0
     for i in range(n):
-        x0, y0 = poly[i]
-        x1, y1 = poly[(i + 1) % n]
+        x0, y0 = pl[i]
+        x1, y1 = pl[(i + 1) % n]
         cross = (x1 - x0) * (yy - y0) - (y1 - y0) * (xx - x0)
-        mask &= sign * cross >= 0
+        # `sign * cross >= 0` without materializing the sign-flipped
+        # grid: *1.0 is the identity and *-1.0 only flips signs, so the
+        # comparison is exactly `cross >= 0` / `cross <= 0` (NaN-free
+        # inputs; ±0.0 satisfies both)
+        mask &= (cross <= 0) if neg else (cross >= 0)
     return mask
 
 
