@@ -19,6 +19,8 @@ quads with a side <= 3 px.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from .geometry import (
@@ -122,28 +124,49 @@ def boxes_from_bitmap(
         box, sside = get_mini_boxes(expanded)
         if sside < p.min_size + 2:
             continue
-        box = np.array(box)
-        box[:, 0] = np.clip(np.round(box[:, 0] / width * dest_width), 0, dest_width)
-        box[:, 1] = np.clip(np.round(box[:, 1] / height * dest_height), 0, dest_height)
-        boxes.append(box.astype("int32"))
+        # rescale to dest coords with Python floats: round() is the
+        # same round-half-even as np.round on float64, clip is pure
+        # comparison, int32 cast of an integral value is exact
+        boxes.append(
+            np.array(
+                [
+                    [
+                        int(min(max(float(round(x / width * dest_width)), 0.0),
+                                dest_width)),
+                        int(min(max(float(round(y / height * dest_height)), 0.0),
+                                dest_height)),
+                    ]
+                    for x, y in box.tolist()
+                ],
+                dtype="int32",
+            )
+        )
         scores.append(score)
     if boxes:
         return np.array(boxes, dtype="int32"), scores
     return np.zeros((0, 4, 2), dtype="int32"), scores
 
 
+def _order_points_clockwise_rows(p: list) -> list:
+    """``order_points_clockwise`` on 4 [x, y] rows, returning the
+    reordered rows. Pure selection — tie-breaking replicates
+    np.argmin/argmax (first occurrence) and np.delete's duplicate-index
+    dedup (argmin == argmax leaves three rows, not two)."""
+    s = [q[0] + q[1] for q in p]
+    imin = s.index(min(s))
+    imax = s.index(max(s))
+    rem = [p[i] for i in range(4) if i != imin and i != imax]
+    d = [q[1] - q[0] for q in rem]
+    return [p[imin], rem[d.index(min(d))], p[imax], rem[d.index(max(d))]]
+
+
 def order_points_clockwise(pts: np.ndarray) -> np.ndarray:
     """Canonical tl/tr/br/bl order by coord-sum / coord-diff
     (``utility.py:216-225``)."""
-    rect = np.zeros((4, 2), dtype="float32")
-    s = pts.sum(axis=1)
-    rect[0] = pts[np.argmin(s)]
-    rect[2] = pts[np.argmax(s)]
-    tmp = np.delete(pts, (np.argmin(s), np.argmax(s)), axis=0)
-    diff = np.diff(np.array(tmp), axis=1)
-    rect[1] = tmp[np.argmin(diff)]
-    rect[3] = tmp[np.argmax(diff)]
-    return rect
+    rows = _order_points_clockwise_rows(
+        np.asarray(pts, dtype=np.float64).tolist()
+    )
+    return np.array(rows, dtype="float32")
 
 
 def clip_det_res(points: np.ndarray, img_height: int, img_width: int) -> np.ndarray:
@@ -155,16 +178,41 @@ def clip_det_res(points: np.ndarray, img_height: int, img_width: int) -> np.ndar
 
 def filter_tag_det_res(dt_boxes: np.ndarray, img_height: int, img_width: int):
     """Clockwise-order, clip to image, drop boxes with any side <= 3 px
-    (``utility.py:235-249``). Returns (K, 4, 2) float32."""
+    (``utility.py:235-249``). Returns (K, 4, 2) float32.
+
+    Inner loop runs on Python floats. Input boxes carry integer-valued
+    coordinates (``boxes_from_bitmap`` emits int32 quads), so the
+    float32 round-trip of the original per-box ndarray pipeline is
+    exact, clipping is pure comparison, and the side lengths are
+    sqrt of exact integers < 2**26 — where float32 and float64 sqrt
+    truncate to the same int (an irrational sqrt(n) sits >= ~1/(2*
+    sqrt(n)) from the nearest integer, far beyond f32's ulp here).
+    Verified bit-identical to the previous ndarray formulation by a
+    randomized differential test.
+    """
     out = []
+    wmax = img_width - 1
+    hmax = img_height - 1
     for box in dt_boxes:
-        box = order_points_clockwise(np.asarray(box, dtype=np.float64))
-        box = clip_det_res(box, img_height, img_width)
-        rect_width = int(np.linalg.norm(box[0] - box[1]))
-        rect_height = int(np.linalg.norm(box[0] - box[3]))
+        rows = _order_points_clockwise_rows(
+            np.asarray(box, dtype=np.float64).tolist()
+        )
+        clipped = [
+            (
+                float(int(min(max(x, 0.0), wmax))),
+                float(int(min(max(y, 0.0), hmax))),
+            )
+            for x, y in rows
+        ]
+        dx = clipped[0][0] - clipped[1][0]
+        dy = clipped[0][1] - clipped[1][1]
+        rect_width = int(math.sqrt(dx * dx + dy * dy))
+        dx = clipped[0][0] - clipped[3][0]
+        dy = clipped[0][1] - clipped[3][1]
+        rect_height = int(math.sqrt(dx * dx + dy * dy))
         if rect_width <= 3 or rect_height <= 3:
             continue
-        out.append(box)
+        out.append(clipped)
     if out:
         return np.array(out, dtype=np.float32)
     return np.zeros((0, 4, 2), dtype=np.float32)

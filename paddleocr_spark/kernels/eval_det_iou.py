@@ -33,8 +33,18 @@ def _clip_polygon(subject: np.ndarray, a: np.ndarray, b: np.ndarray):
     return np.array(out) if out else np.zeros((0, 2))
 
 
+def _signed_area(poly: np.ndarray) -> float:
+    """Shoelace area WITH sign (``geometry.polygon_area`` returns the
+    absolute value, which made the winding check below vacuous)."""
+    x = poly[:, 0]
+    y = poly[:, 1]
+    xn = np.concatenate((x[1:], x[:1]))
+    yn = np.concatenate((y[1:], y[:1]))
+    return float(np.sum(x * yn - xn * y)) / 2.0
+
+
 def _ensure_ccw(poly: np.ndarray) -> np.ndarray:
-    return poly if polygon_area(poly) >= 0 else poly[::-1]
+    return poly if _signed_area(poly) >= 0 else poly[::-1]
 
 
 def poly_intersection_area(p1: np.ndarray, p2: np.ndarray) -> float:

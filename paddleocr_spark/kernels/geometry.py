@@ -20,6 +20,8 @@ third-party imports beyond NumPy.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 __all__ = [
@@ -206,17 +208,22 @@ def min_area_rect(points: np.ndarray):
         h = v1 - v0
         area = w * h
         if best is None or area < best[0] - 1e-12:
-            best = (area, u, vbuf.copy(), u0, u1, v0, v1, w, h)
-    _, u, v, u0, u1, v0, v1, w, h = best
+            best = (area, dx, dy, u0, u1, v0, v1, w, h)
+    _, dx, dy, u0, u1, v0, v1, w, h = best
+    # corner = a*u + b*v assembled with Python floats: numpy's
+    # scalar*vector + vector is an unfused per-component
+    # multiply-multiply-add, so a*dx + b*(-dy) is the identical IEEE
+    # sequence (vbuf[0] held the sign-flipped -dy bit pattern).
+    ndy = -dy
     corners = np.array(
         [
-            u0 * u + v0 * v,
-            u1 * u + v0 * v,
-            u1 * u + v1 * v,
-            u0 * u + v1 * v,
+            [u0 * dx + v0 * ndy, u0 * dy + v0 * dx],
+            [u1 * dx + v0 * ndy, u1 * dy + v0 * dx],
+            [u1 * dx + v1 * ndy, u1 * dy + v1 * dx],
+            [u0 * dx + v1 * ndy, u0 * dy + v1 * dx],
         ]
     )
-    return corners, (float(w), float(h))
+    return corners, (w, h)
 
 
 def polygon_area(poly: np.ndarray) -> float:
@@ -243,18 +250,21 @@ def _point_in_convex_poly_mask(poly: np.ndarray, h: int, w: int) -> np.ndarray:
     yy = np.arange(h, dtype=np.float64)[:, None]
     xx = np.arange(w, dtype=np.float64)[None, :]
     mask = np.ones((h, w), dtype=bool)
-    pl = poly.tolist()
+    pl = poly if isinstance(poly, list) else poly.tolist()
     n = len(pl)
-    # determine winding via signed area; for n <= 4 (the only shape the
-    # det path produces) zero-padding to 4 terms makes (t0+t1)+(t2+t3)
-    # literally np.sum's pairwise order — replicated below so the sign
+    # determine winding via signed area. np.sum reduces contiguous
+    # arrays SEQUENTIALLY up to 7 elements (measured: ((t0+t1)+t2)+t3
+    # matches np.sum bit-for-bit at n<=7; numpy's 8-way unrolled
+    # accumulators kick in at n=8) — replicated here so the sign
     # decision is bit-identical to the previous ndarray formulation
+    # for the n <= 4 polygons the det path produces.
     t = [pl[i][0] * pl[(i + 1) % n][1] - pl[(i + 1) % n][0] * pl[i][1]
          for i in range(n)]
-    if n <= 4:
-        while len(t) < 4:
-            t.append(0.0)
-        signed = ((t[0] + t[1]) + (t[2] + t[3])) / 2.0
+    if n <= 7:
+        signed = t[0]
+        for k in range(1, n):
+            signed += t[k]
+        signed /= 2.0
     else:
         signed = float(np.sum(np.asarray(t))) / 2.0
     neg = signed < 0
@@ -275,17 +285,21 @@ def polygon_mask_mean(bitmap: np.ndarray, box: np.ndarray) -> float:
     bounding rectangle — the reference's box_score_fast
     (``toddleocr/postprocess/db.py:163-178``)."""
     h, w = bitmap.shape[:2]
-    box = np.asarray(box, dtype=np.float64).copy()
-    xmin = int(np.clip(np.floor(box[:, 0].min()), 0, w - 1))
-    xmax = int(np.clip(np.ceil(box[:, 0].max()), 0, w - 1))
-    ymin = int(np.clip(np.floor(box[:, 1].min()), 0, h - 1))
-    ymax = int(np.clip(np.ceil(box[:, 1].max()), 0, h - 1))
-    box[:, 0] -= xmin
-    box[:, 1] -= ymin
-    # reference casts the shifted polygon to int32 before rasterizing
-    mask = _point_in_convex_poly_mask(
-        box.astype(np.int32).astype(np.float64), ymax - ymin + 1, xmax - xmin + 1
-    )
+    pts = np.asarray(box, dtype=np.float64).tolist()
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    # floor/ceil/min/max/clip on Python floats: exact integer results,
+    # identical to the previous np.clip(np.floor/ceil(...)) chain
+    xmin = min(max(math.floor(min(xs)), 0), w - 1)
+    xmax = min(max(math.ceil(max(xs)), 0), w - 1)
+    ymin = min(max(math.floor(min(ys)), 0), h - 1)
+    ymax = min(max(math.ceil(max(ys)), 0), h - 1)
+    # reference casts the shifted polygon to int32 before rasterizing;
+    # float->int32 truncates toward zero exactly as Python int() does
+    shifted = [
+        [float(int(p[0] - xmin)), float(int(p[1] - ymin))] for p in pts
+    ]
+    mask = _point_in_convex_poly_mask(shifted, ymax - ymin + 1, xmax - xmin + 1)
     sub = bitmap[ymin : ymax + 1, xmin : xmax + 1]
     cnt = mask.sum()
     if cnt == 0:
@@ -306,38 +320,66 @@ def unclip_rect(box: np.ndarray, unclip_ratio: float) -> np.ndarray:
     Returns (4, 2) float64 expanded corners, same corner order.
     """
     box = np.asarray(box, dtype=np.float64)
-    area = polygon_area(box)
-    length = polygon_perimeter(box)
+    p = box.tolist()
+    # shoelace area and perimeter inlined with Python floats in numpy's
+    # exact reduction orders (np.sum is sequential at n=4, measured;
+    # norm(axis=1) is sqrt(x*x + y*y) per row, no BLAS) — bit-identical
+    # to the polygon_area/polygon_perimeter calls they replace.
+    t = [p[i][0] * p[(i + 1) % 4][1] - p[(i + 1) % 4][0] * p[i][1]
+         for i in range(4)]
+    area = abs(((t[0] + t[1]) + t[2]) + t[3]) / 2.0
+    ebuf = np.empty(2, dtype=np.float64)
+    edges = []
+    norms = []
+    ulens = []
+    for i in range(4):
+        ex = p[(i + 1) % 4][0] - p[i][0]
+        ey = p[(i + 1) % 4][1] - p[i][1]
+        edges.append((ex, ey))
+        # TWO distinct edge lengths, replicating the original exactly:
+        # the perimeter came from np.linalg.norm(..., axis=1) — the
+        # ufunc path, sqrt(ex*ex + ey*ey) — while each normal was
+        # divided by np.linalg.norm(e) on a 2-vector — sqrt(BLAS ddot),
+        # which rounds differently in the last ulp ~8-25% of the time
+        # (FMA). The BLAS dot must stay a BLAS call; norm()'s wrapper
+        # overhead is skipped since math.sqrt of the same dot is the
+        # same correctly-rounded result.
+        ulens.append(math.sqrt(ex * ex + ey * ey))
+        ebuf[0] = ex
+        ebuf[1] = ey
+        norms.append(math.sqrt(float(np.dot(ebuf, ebuf))))
+    length = ((ulens[0] + ulens[1]) + ulens[2]) + ulens[3]
     if length == 0:
         return box.copy()
     d = area * unclip_ratio / length
-    center = box.mean(axis=0)
-    out = box.copy()
-    # Each edge is shared by two corners; precompute its norm/normal
-    # ONCE (identical np.linalg.norm/divide calls on identical data ->
-    # bit-exact vs the previous per-corner recomputation, at half the
-    # BLAS-call count). edge_normal[i] belongs to edge box[i]->box[i+1];
-    # corner i uses edges i-1 (prev) and i (next). The outward-orient
-    # sign check stays per-corner (it compares against that corner).
-    edge_normal: list[np.ndarray | None] = []
+    # Orient normals by the exact winding sign instead of the previous
+    # per-corner np.dot(normal, rel) < 0 probe. For the rectangle
+    # inputs this kernel is specified for (min_area_rect /
+    # get_mini_boxes output, both positively wound in image coords),
+    # dot(outward_normal, corner - center) equals the center-to-edge
+    # distance = sside/2 > 0, so the probe always chose +normal for a
+    # positive winding (and -normal for a negative one) — the branch is
+    # decided identically by the winding sign, without 8 BLAS dots and
+    # a center mean per call. Zero-area inputs get d == 0 and return
+    # the box unchanged either way.
+    wind = 1.0 if ((t[0] + t[1]) + t[2]) + t[3] >= 0 else -1.0
+    normals = []
     for i in range(4):
-        e = box[(i + 1) % 4] - box[i]
-        n = np.linalg.norm(e)
+        ex, ey = edges[i]
+        n = norms[i]
         if n == 0:
-            edge_normal.append(None)
+            normals.append(None)
         else:
-            edge_normal.append(np.array([e[1], -e[0]]) / n)
+            # np.array([e[1], -e[0]]) / n per component
+            normals.append((wind * (ey / n), wind * (-ex / n)))
+    out = []
     for i in range(4):
-        # offset corner along both adjacent edge normals (pointing outward)
-        total = np.zeros(2)
-        rel = box[i] - center
-        for normal in (edge_normal[i - 1], edge_normal[i]):
+        tx = 0.0
+        ty = 0.0
+        for normal in (normals[i - 1], normals[i]):
             if normal is None:
                 continue
-            # orient away from center
-            if np.dot(normal, rel) < 0:
-                total -= normal
-            else:
-                total += normal
-        out[i] = box[i] + d * total
-    return out
+            tx += normal[0]
+            ty += normal[1]
+        out.append([p[i][0] + d * tx, p[i][1] + d * ty])
+    return np.array(out)

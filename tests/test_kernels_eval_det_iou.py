@@ -37,6 +37,19 @@ def test_clockwise_input_handled():
     assert poly_iou(cw, SQ(0, 0, 2)) == pytest.approx(1.0)
 
 
+def test_clockwise_clip_polygon_handled():
+    """The CLIP polygon (2nd arg) drives Sutherland–Hodgman's half-plane
+    orientation, so a CW-wound p2 must be re-wound — previously the
+    winding check compared the ABSOLUTE shoelace area and never flipped,
+    silently zeroing the intersection for CW clip polygons."""
+    cw = list(reversed(SQ(0, 0, 2)))
+    assert poly_iou(SQ(0, 0, 2), cw) == pytest.approx(1.0)
+    assert poly_iou(cw, cw) == pytest.approx(1.0)
+    assert poly_iou(SQ(0, 0, 2), list(reversed(SQ(1, 1, 2)))) == pytest.approx(
+        1.0 / 7.0
+    )
+
+
 def test_reference_self_test_shape():
     """2 GT, 1 pred overlapping the first → p=1.0, r=0.5, h=2/3."""
     gt = [{"points": SQ(0, 0, 10)}, {"points": SQ(20, 0, 10)}]
