@@ -118,9 +118,10 @@ def connected_components(bitmap: np.ndarray, connectivity: int = 8):
     return out
 
 
-def convex_hull(points: np.ndarray) -> np.ndarray:
-    """Andrew's monotone-chain convex hull; points (N, 2) -> (H, 2) CCW
-    in image coords (y down), collinear points dropped.
+def _convex_hull_rows(points: np.ndarray) -> list:
+    """Andrew's monotone-chain convex hull; points (N, 2) -> list of
+    (x, y) float tuples, CCW in image coords (y down), collinear points
+    dropped.
 
     Runs on Python float tuples, not ndarray rows: the stack loop is
     inherently sequential, and numpy-scalar arithmetic on 0-d views is
@@ -130,7 +131,7 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
     tuples of float64 compare exactly like the rows they came from."""
     pts = sorted(set(map(tuple, points.astype(np.float64).tolist())))
     if len(pts) <= 2:
-        return np.array(pts, dtype=np.float64)
+        return pts
 
     def half(seq):
         h: list[tuple[float, float]] = []
@@ -146,7 +147,12 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
 
     lower = half(pts)
     upper = half(reversed(pts))
-    return np.array(lower[:-1] + upper[:-1])
+    return lower[:-1] + upper[:-1]
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """ndarray wrapper of :func:`_convex_hull_rows` (public API)."""
+    return np.array(_convex_hull_rows(points), dtype=np.float64)
 
 
 def min_area_rect(points: np.ndarray):
@@ -157,28 +163,36 @@ def min_area_rect(points: np.ndarray):
     cv2.boxPoints up to corner order (callers re-order anyway, see
     ``db.get_mini_boxes``).
     """
-    pts = np.asarray(points, dtype=np.float64)
-    hull = convex_hull(pts)
-    if len(hull) == 1:
-        c = hull[0]
-        return np.tile(c, (4, 1)), (0.0, 0.0)
-    if len(hull) == 2:
-        a, b = hull
+    hl = _convex_hull_rows(np.asarray(points))
+    if len(hl) == 1:
+        return np.tile(np.array(hl[0], dtype=np.float64), (4, 1)), (0.0, 0.0)
+    if len(hl) == 2:
+        a, b = np.array(hl, dtype=np.float64)
         return np.array([a, b, b, a]), (float(np.linalg.norm(b - a)), 0.0)
 
-    # np.concatenate beats np.roll ~3x on these tiny arrays and
-    # produces the identical row order
-    edges = np.concatenate((hull[1:], hull[:1])) - hull
-    lens = np.linalg.norm(edges, axis=1)
-    dirs = edges[lens > 0] / lens[lens > 0, None]
+    hull = np.array(hl)
+    # edge/length/direction math on Python floats: subtraction and
+    # division are single IEEE ops either way, and the previous
+    # np.linalg.norm(edges, axis=1) is the ufunc path — exactly
+    # sqrt(ex*ex + ey*ey) per row, no BLAS (measured bit-identical)
+    m = len(hl)
+    dkeys = []
+    for i in range(m):
+        nx, ny = hl[(i + 1) % m]
+        ex = nx - hl[i][0]
+        ey = ny - hl[i][1]
+        ln = math.sqrt(ex * ex + ey * ey)
+        if ln > 0:
+            dkeys.append((ex / ln, ey / ln))
     # NOTE: the per-direction dgemv calls must stay — batching them
     # into one (H,2)@(2,E) dgemm changes last-ulp rounding (FMA paths
     # differ between gemv and gemm) and breaks bit-parity with the
     # materialized goldens. The min/max extraction, however, is
     # comparison-only (no rounding), so builtin min/max over .tolist()
     # is bit-identical to ndarray .min()/.max() and ~3x cheaper on
-    # these tiny projections; u is a row view of dirs (no per-edge
-    # allocation) and the v buffer is reused, copied only on improve.
+    # these tiny projections; the u/v buffers are reused across
+    # directions (identical contiguous dgemv inputs -> identical
+    # results, regardless of which buffer held them).
     # Opposite hull edges yield exactly-negated direction vectors; the
     # projections then negate elementwise and their sums/extrema mirror
     # EXACTLY (IEEE negation is a sign flip), so the candidate area is
@@ -186,19 +200,19 @@ def min_area_rect(points: np.ndarray):
     # below — a direction whose negation (or duplicate) already ran can
     # never change the winner. Skipping them halves the gemv calls on
     # the common rectangle hull without touching the selected tuple.
-    dkeys = dirs.tolist()
     seen: set[tuple[float, float]] = set()
     best = None
+    ubuf = np.empty(2, dtype=np.float64)
     vbuf = np.empty(2, dtype=np.float64)
-    for k in range(len(dirs)):
-        dx, dy = dkeys[k]
+    for dx, dy in dkeys:
         if (dx, dy) in seen or (-dx, -dy) in seen:
             continue
         seen.add((dx, dy))
-        u = dirs[k]
-        vbuf[0] = -u[1]
-        vbuf[1] = u[0]
-        pu = (hull @ u).tolist()
+        ubuf[0] = dx
+        ubuf[1] = dy
+        vbuf[0] = -dy
+        vbuf[1] = dx
+        pu = (hull @ ubuf).tolist()
         pv = (hull @ vbuf).tolist()
         u0 = min(pu)
         u1 = max(pu)
