@@ -69,7 +69,10 @@ def connected_components(bitmap: np.ndarray, connectivity: int = 8):
     n = len(rows)
     if n == 0:
         return []
-    parent = np.arange(n)
+    # union-find on a plain Python list: the loop below indexes
+    # per-element, where ndarray access pays ~30x per op; the labeling
+    # is pure integer logic, so the output is trivially unchanged
+    parent = list(range(n))
 
     def find(i: int) -> int:
         while parent[i] != i:
@@ -77,31 +80,29 @@ def connected_components(bitmap: np.ndarray, connectivity: int = 8):
             i = parent[i]
         return i
 
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[rb] = ra
-
     # runs arrive sorted row-major; two-pointer sweep row r vs row r+1
     tol = 1 if connectivity == 8 else 0
-    row_starts = np.searchsorted(rows, np.arange(bitmap.shape[0] + 1))
+    row_starts = np.searchsorted(rows, np.arange(bitmap.shape[0] + 1)).tolist()
+    x0l = x0.tolist()
+    x1l = x1.tolist()
     for r in range(bitmap.shape[0] - 1):
         a, a_end = row_starts[r], row_starts[r + 1]
         b, b_end = row_starts[r + 1], row_starts[r + 2]
         while a < a_end and b < b_end:
             # overlap test with tolerance for 8-connectivity
-            if x0[a] - tol <= x1[b] and x0[b] - tol <= x1[a]:
-                union(a, b)
-            if x1[a] < x1[b]:
+            if x0l[a] - tol <= x1l[b] and x0l[b] - tol <= x1l[a]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[rb] = ra
+            if x1l[a] < x1l[b]:
                 a += 1
             else:
                 b += 1
 
-    roots = np.array([find(i) for i in range(n)])
     comps: dict[int, list[int]] = {}
     order: list[int] = []
     for i in range(n):
-        r = roots[i]
+        r = find(i)
         if r not in comps:
             comps[r] = []
             order.append(r)
