@@ -280,6 +280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
         "near_dup_pairs": dedup.near_dup_pairs,
         "simhash32": dedup.simhash32,
+        "simhash_near_dups": dedup.simhash_near_dups,
+        "duplicate_clusters": dedup.duplicate_clusters,
+        "fuzzy_dedup_survivors": dedup.fuzzy_dedup_survivors,
         # --- similarity search (oracle-checked) ---
         "cosine_topk_bruteforce": similarity.cosine_topk_bruteforce,
         "cosine_topk_lsh": similarity.cosine_topk_lsh,
@@ -377,6 +380,27 @@ def _bands_sql() -> str:
             "         FROM bands a JOIN bands b USING (band, band_hash)\n"
             "         WHERE a.doc_id < b.doc_id)")
 
+
+# DuckDB twin of dedup.duplicate_clusters, as an INDEPENDENT algorithm:
+# recursive-CTE reachability closure (BFS) instead of Spark's min-label
+# propagation — the hash match checks component semantics, not code.
+# Composes after _AUG_SQL + _sig_sql('aug') + _bands_sql() +
+# _SHINGLE_SETS_SQL inside a WITH RECURSIVE.
+_CLUSTERS_SQL = """edges AS (
+  SELECT doc_a, doc_b
+  FROM cand JOIN d a ON cand.doc_a = a.doc_id
+            JOIN d b ON cand.doc_b = b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::double
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM edges),
+reach(node, lbl) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
+lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+        FROM reach GROUP BY node)"""
 
 _SHINGLE_SETS_SQL = """d AS (
   SELECT doc_id,
@@ -745,6 +769,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.sh, b.sh))::double
                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
         """,
+        "simhash_near_dups": f"""
+            WITH {_AUG_SQL},
+            words AS (
+              SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w
+              FROM aug),
+            h AS (SELECT doc_id, {_wh(99)} AS h FROM words),
+            weighted AS (
+              SELECT doc_id, bit, ((h >> bit) & 1) * 2 - 1 AS wt
+              FROM h CROSS JOIN (SELECT unnest(range(32)) AS bit) bits),
+            s AS (SELECT doc_id, bit, sum(wt) AS s
+                  FROM weighted GROUP BY doc_id, bit),
+            sims AS (
+              SELECT doc_id,
+                     sum(CASE WHEN s > 0 THEN (1::bigint << bit)
+                              ELSE 0 END)::bigint AS simhash
+              FROM s GROUP BY doc_id)
+            -- brute-force hamming join: equivalent to the Spark side's
+            -- block-LSH by pigeonhole (<=3 differing bits over 4 blocks
+            -- forces one identical block), so the hash match proves the
+            -- LSH candidate join loses no pair
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::int AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {dedup.MAX_HAMMING}
+        """,
+        "duplicate_clusters": (
+            f"WITH RECURSIVE {_AUG_SQL},{_sig_sql('aug')},\n"
+            f"{_bands_sql()},\n{_SHINGLE_SETS_SQL},\n{_CLUSTERS_SQL}\n"
+            "SELECT doc_id, cluster_id,\n"
+            "       (count(*) OVER (PARTITION BY cluster_id))::bigint\n"
+            "           AS cluster_size\n"
+            "FROM lab"),
+        "fuzzy_dedup_survivors": (
+            f"WITH RECURSIVE {_AUG_SQL},{_sig_sql('aug')},\n"
+            f"{_bands_sql()},\n{_SHINGLE_SETS_SQL},\n{_CLUSTERS_SQL}\n"
+            "SELECT doc_id FROM aug\n"
+            "WHERE doc_id NOT IN\n"
+            "      (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)"),
         "simhash32": f"""
             WITH words AS (
               SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w

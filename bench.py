@@ -52,7 +52,10 @@ BENCH_QUERIES = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "near_dup_pairs",
+    "duplicate_clusters",
+    "fuzzy_dedup_survivors",
     "simhash32",
+    "simhash_near_dups",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
     "cosine_topk_ivf",

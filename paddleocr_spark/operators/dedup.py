@@ -43,6 +43,8 @@ __all__ = [
     "exact_dedup", "minhash_signatures",
     "lsh_candidate_pairs", "near_dup_pairs", "simhash32",
     "minhash_signatures_df", "lsh_candidate_pairs_df",
+    "simhash_near_dups", "duplicate_clusters", "fuzzy_dedup_survivors",
+    "HAM_BLOCKS", "MAX_HAMMING",
 ]
 
 N_HASHES = 128
@@ -271,10 +273,16 @@ def simhash32(spark, sf_dir: str):
     partial-agg row per (partition, doc)."""
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+          .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+    return _simhash_df(F, df)
+
+
+def _simhash_df(F, docs):
+    """(doc_id, text) → (doc_id, simhash) — the one-groupBy SimHash
+    core shared by simhash32 and simhash_near_dups."""
     toks = _norm_tokens(F, F.col("text"))  # multiset: repeated words weight more
-    words = df.select(F.col("doc_id").cast("long").alias("doc_id"),
-                      F.explode(toks).alias("w"))
+    words = docs.select("doc_id", F.explode(toks).alias("w"))
     hashed = words.select("doc_id", _word_hash(F, F.col("w"), 99).alias("h"))
     bit_counts = [
         F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"c{b}")
@@ -289,3 +297,130 @@ def simhash32(spark, sf_dir: str):
         sim = sim + F.when(2 * F.col(f"c{b}") - F.col("n") > 0,
                            F.lit(1 << b).cast("long")).otherwise(F.lit(0))
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# SimHash hamming-block LSH: r differing bits across HAM_BLOCKS blocks
+# means (pigeonhole) at least one block is bit-identical whenever
+# r <= HAM_BLOCKS - 1 — so an equi-join on (block_idx, block_value)
+# finds EVERY pair at hamming <= MAX_HAMMING, and the verify step only
+# pays bit_count on that candidate set. The DuckDB oracle is the
+# brute-force O(N²) hamming join — bit-exact identical output by the
+# same pigeonhole argument, which is what makes the hash check a real
+# equivalence proof rather than a re-implementation check.
+HAM_BLOCKS = 4          # 4 × 8-bit blocks of the 32-bit simhash
+MAX_HAMMING = HAM_BLOCKS - 1
+
+
+def simhash_near_dups(spark, sf_dir: str, max_hamming: int = MAX_HAMMING):
+    """Near-duplicate pairs at hamming distance <= max_hamming on the
+    32-bit SimHash, found via the block-LSH equi-join (never O(N²)).
+
+    Scale shape: one SimHash groupBy (map-side combinable), a 4×
+    posexplode of 8-bit blocks (block-key cardinality = 4 × 256 ×
+    distinct-hash-neighborhoods, so buckets stay small unless content
+    genuinely repeats), one equi-join, one distinct. Identical-content
+    groups collide on every block — same quadratic-in-group caveat as
+    banded minhash-LSH, same fix (exact-dedup first; see
+    lsh_candidate_pairs_df). Runs over the planted-augmented corpus so
+    exact plants (hamming 0) make the output non-vacuous.
+
+    Reference analogue: the corpus-dedup role of content fingerprints;
+    the reference engine has no corpus-scale dedup — this is part of
+    the LLM-data-pipeline surface (SURVEY §6)."""
+    from pyspark.sql import functions as F
+
+    assert max_hamming < HAM_BLOCKS, "pigeonhole completeness bound"
+    sims = _simhash_df(F, _augmented_docs(spark, sf_dir))
+    from paddleocr_spark.operators._cache import eager_persist
+
+    # tiny (doc_id, simhash) rows; both join sides reuse one compute
+    sims = eager_persist(sims)
+    blocks = sims.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255)).cast("int")
+            for i in range(HAM_BLOCKS)
+        ])).alias("blk", "blk_val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (a.join(b, ["blk", "blk_val"])
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.simhash").alias("sa"),
+                     F.col("b.simhash").alias("sb"))
+             .distinct())
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (pairs.withColumn("hamming", ham.cast("int"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
+
+
+def duplicate_clusters(spark, sf_dir: str, threshold: float = 0.7,
+                       max_iters: int = 20):
+    """Connected components over the verified near-dup graph: every
+    document in a duplicate cluster labelled with the cluster's
+    minimum doc_id, plus the cluster size.
+
+    Algorithm: iterative min-label propagation (hash-to-min). Each
+    round is one join (labels onto symmetrized edges) + one
+    map-side-combinable min groupBy; a round's labels are eagerly
+    persisted (tracked, released between queries) so lineage stays
+    flat and the fixpoint check reuses materialized rows. Rounds
+    needed = graph diameter for plain propagation — near-dup clusters
+    are shallow (dups of a common source), so this converges in 2-3
+    rounds here and O(log n) rounds with the large-star/small-star
+    variant if 10^12-scale components ever get deep. The fixpoint
+    check is one count per round (driver sees a single long — this is
+    loop control, not data collection).
+
+    The DuckDB oracle computes the same fixpoint as a recursive CTE —
+    an independent algorithm (BFS closure, not label propagation), so
+    the hash match checks the component semantics, not the code."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from paddleocr_spark.operators._cache import eager_persist
+
+    edges = near_dup_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    sym = (edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+           .unionByName(
+               edges.select(F.col("doc_b").alias("src"),
+                            F.col("doc_a").alias("dst"))))
+    sym = eager_persist(sym)
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("lbl")))
+    labels = eager_persist(labels)
+    for _ in range(max_iters):
+        prop = (sym.join(labels, sym.src == labels.node)
+                .select(F.col("dst").alias("node"), F.col("lbl")))
+        new_labels = (labels.unionByName(prop)
+                      .groupBy("node").agg(F.min("lbl").alias("lbl")))
+        new_labels = eager_persist(new_labels)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.lbl") != F.col("o.lbl"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover - planted clusters have diameter <= 2
+        raise RuntimeError(f"label propagation: no fixpoint in "
+                           f"{max_iters} rounds")
+    size = F.count("*").over(Window.partitionBy("cluster_id")).cast("long")
+    return (labels.select(F.col("node").alias("doc_id"),
+                          F.col("lbl").alias("cluster_id"))
+            .withColumn("cluster_size", size))
+
+
+def fuzzy_dedup_survivors(spark, sf_dir: str, threshold: float = 0.7):
+    """The deduplicated corpus: one representative (minimum doc_id)
+    per duplicate cluster survives; singletons pass through untouched.
+    One left-anti join against the (small) cluster-loser set — the
+    full corpus is never shuffled on content."""
+    from pyspark.sql import functions as F
+
+    losers = (duplicate_clusters(spark, sf_dir, threshold)
+              .where(F.col("doc_id") != F.col("cluster_id"))
+              .select("doc_id"))
+    docs = _augmented_docs(spark, sf_dir).select("doc_id")
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti")

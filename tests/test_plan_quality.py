@@ -147,6 +147,18 @@ def test_lsh_pairs_never_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_block_join_never_cartesian(spark):
+    """SimHash hamming pairs must come from the (block, value)
+    equi-join — the brute-force O(N²) hamming product lives only in
+    the DuckDB oracle."""
+    from paddleocr_spark.operators import dedup
+    from paddleocr_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(dedup.simhash_near_dups(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bucketed_join_is_shuffle_free(spark):
     """Co-located layout: both sides bucketed on the join key must
     sort-merge join with ZERO Exchange before the aggregation — the
