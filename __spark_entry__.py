@@ -26,6 +26,7 @@ from paddleocr_spark.functions.udfs import decode_media_store
 from paddleocr_spark.golden import materialize_goldens
 from paddleocr_spark.operators import (
     bucketing,
+    curation,
     dedup,
     partitioning,
     kie,
@@ -274,6 +275,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
         "fingerprints": text.fingerprints,
+        # corpus curation (training-data selection)
+        "benchmark_contamination": curation.benchmark_contamination,
+        "stratified_sample": curation.stratified_sample,
+        "token_budget_mix": curation.token_budget_mix,
         # --- dedup (oracle-checked) ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_signatures": dedup.minhash_signatures,
@@ -742,6 +747,66 @@ def oracle_sql() -> dict[str, str]:
                        (acc, x) -> (acc * {text.ROLL_BASE} + x)
                                    % {text.ROLL_MOD}) AS rolling_hash
             FROM n
+        """,
+        "benchmark_contamination": f"""
+            WITH cdocs AS (
+              SELECT doc_id::bigint AS doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id::bigint + {curation.CONTAM_OFFSET} AS doc_id,
+                     '{curation.CONTAM_PREFIX}' || text AS text
+              FROM documents
+              WHERE doc_id % {curation.BENCH_MOD} = 0
+                AND doc_id < {curation.CONTAM_PLANT_N * curation.BENCH_MOD}),
+            tk AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+              FROM cdocs),
+            g AS (
+              SELECT doc_id,
+                     md5(unnest(list_distinct(list_transform(
+                         range(1, len(tk) - {curation.NGRAM_N - 2}),
+                         i -> concat_ws(' ', {', '.join(
+                             f'tk[i+{j}]' if j else 'tk[i]'
+                             for j in range(curation.NGRAM_N))}))))) AS gh
+              FROM tk),
+            bench AS (SELECT doc_id AS bench_doc_id, gh FROM g
+                      WHERE doc_id % {curation.BENCH_MOD} = 0),
+            train AS (SELECT doc_id, gh FROM g
+                      WHERE doc_id % {curation.BENCH_MOD} <> 0)
+            SELECT t.doc_id,
+                   count(DISTINCT t.gh)::bigint AS n_shared_ngrams,
+                   count(DISTINCT b.bench_doc_id)::bigint
+                       AS n_benchmark_docs
+            FROM train t JOIN bench b ON t.gh = b.gh
+            GROUP BY t.doc_id
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id::bigint AS doc_id, lang FROM documents
+            WHERE {_wh('strat', 'doc_id::bigint::varchar')}
+                  % {curation.SAMPLE_DENOM} <
+                  CASE {' '.join(
+                      f"WHEN lang = '{lg}' THEN "
+                      f"{int(r * curation.SAMPLE_DENOM)}"
+                      for lg, r in curation.SAMPLE_RATES.items())}
+                       ELSE {int(curation.DEFAULT_RATE
+                                 * curation.SAMPLE_DENOM)} END
+        """,
+        "token_budget_mix": f"""
+            WITH t AS (
+              SELECT doc_id::bigint AS doc_id, lang,
+                     len(regexp_split_to_array(trim(lower(text)),
+                                               '\\s+'))::bigint AS n_tokens,
+                     {_wh('mix', 'doc_id::bigint::varchar')}
+                         % {curation.SAMPLE_DENOM} AS pri
+              FROM documents),
+            m AS (
+              SELECT doc_id, lang, n_tokens,
+                     sum(n_tokens) OVER (
+                         PARTITION BY lang ORDER BY pri, doc_id
+                         ROWS UNBOUNDED PRECEDING)::bigint AS cum_tokens
+              FROM t)
+            SELECT doc_id, lang, n_tokens, cum_tokens FROM m
+            WHERE cum_tokens - n_tokens < {curation.LANG_BUDGET}
         """,
         "exact_dedup": f"""
             WITH {_AUG_SQL}

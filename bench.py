@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "ser_token_metric",
     "kie_node_metric",
     "ct_metric",
+    "benchmark_contamination",
+    "stratified_sample",
+    "token_budget_mix",
     "exact_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",

@@ -1,0 +1,161 @@
+"""Corpus-curation operators: the selection half of a training-data
+pipeline (the cleaning/dedup half lives in text.py / dedup.py).
+
+Three ops, all deterministic (hash-driven, no RNG) so every one has a
+bit-exact DuckDB oracle:
+
+- benchmark decontamination: flag training docs sharing any verbatim
+  8-gram with a held-out benchmark set — explode distinct n-grams on
+  both sides, ONE equi-join on the gram hash, one count agg. At
+  10^12 docs the benchmark gram set is tiny (benchmarks are small by
+  definition) and broadcasts; the training-side explode is linear and
+  never shuffles the corpus, only the (doc_id, gram-hash) pairs.
+- stratified sampling: per-language keep rates applied via a
+  deterministic md5 threshold on doc_id — reproducible across runs,
+  cluster sizes, and engines (unlike Spark's RNG-based sampleBy),
+  pure Catalyst, fully pushdown-friendly.
+- token-budget mixture: per-language token budgets enforced by a
+  cumulative-sum window over a deterministic hash order — the
+  data-mixing step that caps each language/domain's contribution.
+  One shuffle (the window's partitionBy), map-side token counting.
+
+No reference analogue: the reference engine extracts documents but has
+no corpus-curation layer; these extend SURVEY §6's pipeline surface.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "NGRAM_N", "BENCH_MOD", "SAMPLE_RATES", "SAMPLE_DENOM", "LANG_BUDGET",
+    "benchmark_contamination", "stratified_sample", "token_budget_mix",
+]
+
+NGRAM_N = 8           # verbatim 8-gram overlap = standard decontam unit
+BENCH_MOD = 97        # doc_id % 97 == 0 -> held-out "benchmark" doc
+CONTAM_PLANT_N = 3    # first N benchmark docs get a planted leak
+CONTAM_OFFSET = 3_000_000
+CONTAM_PREFIX = "unrelated preamble text then "
+SAMPLE_DENOM = 1_000_000
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "zh": 0.1}
+DEFAULT_RATE = 0.05   # languages outside the table
+LANG_BUDGET = 2_000   # tokens kept per language by the mixture
+
+
+def _docs(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "text", "lang"))
+
+
+def _ngrams(F, toks_col, n: int):
+    """Distinct word n-grams of a bound token-array column (same
+    materialized-column caveat as dedup._shingles)."""
+    def gram(x, i):
+        pieces = [x] + [F.element_at(toks_col, i + 1 + j)
+                        for j in range(1, n)]
+        return F.when(i + n - 1 < F.size(toks_col),
+                      F.concat_ws(" ", *pieces))
+
+    return F.array_distinct(F.filter(
+        F.transform(toks_col, gram), lambda s: s.isNotNull()))
+
+
+def benchmark_contamination(spark, sf_dir: str, n: int = NGRAM_N):
+    """Training docs contaminated by the held-out benchmark split
+    (doc_id % BENCH_MOD == 0): any shared verbatim n-gram flags the
+    doc. Returns (doc_id, n_shared_ngrams, n_benchmark_docs).
+
+    The gram join key is the md5 of the gram (fixed width beats
+    shuffling long strings); the benchmark side is broadcast — it is
+    bounded by the benchmark suite's size, not the corpus.
+
+    The test corpora have no natural verbatim 8-gram leakage at the
+    larger scale factors, so (dedup-plant pattern) the corpus is
+    augmented with CONTAM_PLANT_N training docs that embed a benchmark
+    doc's text behind an unrelated prefix — mirrored verbatim in the
+    DuckDB oracle, making the green row non-vacuous at every sf."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    leaks = (docs.where((F.col("doc_id") % BENCH_MOD == 0)
+                        & (F.col("doc_id") < CONTAM_PLANT_N * BENCH_MOD))
+             .select((F.col("doc_id") + CONTAM_OFFSET).alias("doc_id"),
+                     F.concat(F.lit(CONTAM_PREFIX),
+                              F.col("text")).alias("text"),
+                     "lang"))
+    docs = docs.unionByName(leaks)
+    toks = docs.select("doc_id", dedup_norm(F, F.col("text")).alias("tk"))
+    grams = toks.select(
+        "doc_id", F.explode(_ngrams(F, F.col("tk"), n)).alias("g"))
+    grams = grams.select("doc_id", F.md5(F.col("g")).alias("gh"))
+    bench = (grams.where(F.col("doc_id") % BENCH_MOD == 0)
+             .select(F.col("doc_id").alias("bench_doc_id"), "gh"))
+    train = grams.where(F.col("doc_id") % BENCH_MOD != 0)
+    return (train.join(F.broadcast(bench), "gh")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("gh").cast("long")
+                 .alias("n_shared_ngrams"),
+                 F.count_distinct("bench_doc_id").cast("long")
+                 .alias("n_benchmark_docs")))
+
+
+def _keep_hash(F, doc_id_col, salt: str):
+    """Deterministic uniform-ish value in [0, SAMPLE_DENOM): md5 of the
+    salted doc_id, top 60 bits, mod the denominator. Engine-portable
+    (mirrored in the DuckDB oracle) and stable across runs/partitions —
+    the property RNG sampling cannot give a resumable 10^12-doc job."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), doc_id_col.cast("string"))),
+        1, 15), 16, 10).cast("long")
+    return h % SAMPLE_DENOM
+
+
+def stratified_sample(spark, sf_dir: str):
+    """Per-language deterministic sampling at SAMPLE_RATES: keep a doc
+    iff hash(doc_id) mod 1e6 < rate * 1e6. Pure Catalyst (one CASE on
+    lang + one hash filter), no shuffle at all — the filter rides the
+    scan."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    # integer thresholds precomputed once (shared with the oracle) so
+    # no float-rounding divergence can exist between engines
+    thr = F.lit(int(DEFAULT_RATE * SAMPLE_DENOM))
+    for lang, r in SAMPLE_RATES.items():
+        thr = F.when(F.col("lang") == lang,
+                     F.lit(int(r * SAMPLE_DENOM))).otherwise(thr)
+    keep = _keep_hash(F, F.col("doc_id"), "strat") < thr
+    return docs.where(keep).select("doc_id", "lang")
+
+
+def token_budget_mix(spark, sf_dir: str, budget: int = LANG_BUDGET):
+    """Cap each language's contribution at `budget` tokens: docs are
+    taken in deterministic hash order (an engine-portable shuffle)
+    until the language's running token total passes the budget; a doc
+    is kept iff it STARTS inside the budget, so every language gets at
+    least one doc and the cap overshoots by at most one document.
+    Returns (doc_id, lang, n_tokens, cum_tokens)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    toked = docs.select(
+        "doc_id", "lang",
+        F.size(dedup_norm(F, F.col("text"))).cast("long").alias("n_tokens"),
+        _keep_hash(F, F.col("doc_id"), "mix").alias("pri"))
+    w = (Window.partitionBy("lang").orderBy("pri", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    mixed = toked.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+    return (mixed.where(F.col("cum_tokens") - F.col("n_tokens")
+                        < F.lit(budget))
+            .select("doc_id", "lang", "n_tokens", "cum_tokens"))
+
+
+def dedup_norm(F, col):
+    """Shared whitespace-normalized tokenization (dedup._norm_tokens)."""
+    from paddleocr_spark.operators.dedup import _norm_tokens
+
+    return _norm_tokens(F, col)
