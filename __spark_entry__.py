@@ -275,6 +275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
         "fingerprints": text.fingerprints,
+        "repetition_scores": text.repetition_scores,
+        "redact_pii": text.redact_pii,
         # corpus curation (training-data selection)
         "benchmark_contamination": curation.benchmark_contamination,
         "stratified_sample": curation.stratified_sample,
@@ -747,6 +749,54 @@ def oracle_sql() -> dict[str, str]:
                        (acc, x) -> (acc * {text.ROLL_BASE} + x)
                                    % {text.ROLL_MOD}) AS rolling_hash
             FROM n
+        """,
+        "repetition_scores": f"""
+            WITH tk AS (
+              SELECT doc_id::bigint AS doc_id,
+                     string_split({_NORM}, ' ') AS tk
+              FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(tk)),
+                              i -> concat_ws(' ', tk[i], tk[i+1]))) AS bg
+                   FROM tk),
+            bc AS (SELECT doc_id, bg, count(*) AS c
+                   FROM bg GROUP BY doc_id, bg),
+            bd AS (SELECT doc_id,
+                          round(max(c)::double / sum(c), 6)
+                              AS top_bigram_frac,
+                          round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+                                ::double / sum(c), 6) AS dup_bigram_frac
+                   FROM bc GROUP BY doc_id),
+            w AS (SELECT doc_id, unnest(tk) AS w FROM tk),
+            wc AS (SELECT doc_id, w, count(*) AS c
+                   FROM w GROUP BY doc_id, w),
+            wd AS (SELECT doc_id, round(max(c)::double / sum(c), 6)
+                              AS top_word_frac
+                   FROM wc GROUP BY doc_id)
+            SELECT bd.doc_id, top_bigram_frac, dup_bigram_frac,
+                   top_word_frac
+            FROM bd JOIN wd ON bd.doc_id = wd.doc_id
+        """,
+        "redact_pii": f"""
+            WITH pdocs AS (
+              SELECT doc_id::bigint AS doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id::bigint + {text.PII_OFFSET} AS doc_id,
+                     text || ' contact user' || doc_id::bigint::varchar
+                          || '@example.com or 555-'
+                          || lpad(doc_id::bigint::varchar, 4, '0')
+                          || ' today' AS text
+              FROM documents WHERE doc_id < {text.PII_PLANT_N})
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{text.EMAIL_RE}'))::bigint
+                       AS n_emails,
+                   len(regexp_extract_all(text, '{text.PHONE_RE}'))::bigint
+                       AS n_phones,
+                   md5(regexp_replace(
+                       regexp_replace(text, '{text.EMAIL_RE}',
+                                      '[EMAIL]', 'g'),
+                       '{text.PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+            FROM pdocs
         """,
         "benchmark_contamination": f"""
             WITH cdocs AS (

@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "ser_token_metric",
     "kie_node_metric",
     "ct_metric",
+    "repetition_scores",
+    "redact_pii",
     "benchmark_contamination",
     "stratified_sample",
     "token_budget_mix",

@@ -18,10 +18,18 @@ from paddleocr_spark.corpus import BOILERPLATE_RE
 
 __all__ = [
     "STOPWORDS", "tokens_col", "clean_documents", "token_stats",
-    "quality_scores", "fingerprints",
+    "quality_scores", "fingerprints", "repetition_scores", "redact_pii",
+    "EMAIL_RE", "PHONE_RE", "PII_PLANT_N", "PII_OFFSET",
 ]
 
 STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "on"]
+
+# PII patterns kept to the regex subset with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB) — no backrefs, no lookaround
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+PII_PLANT_N = 20       # first N docs get a planted PII-bearing copy
+PII_OFFSET = 4_000_000
 
 
 def tokens_col(col):
@@ -120,3 +128,83 @@ def fingerprints(spark, sf_dir: str):
         F.array_min(F.transform(toks, word_hash)).alias("min_word_hash"),
         rolling.alias("rolling_hash"),
     )
+
+
+def repetition_scores(spark, sf_dir: str):
+    """Gopher-style repetition signals per document: the fraction of
+    all bigrams taken by the single most frequent bigram, the fraction
+    of bigram mass in bigrams occurring more than once, and the
+    fraction of tokens taken by the most frequent word. High values
+    flag boilerplate/spam for a pretraining filter.
+
+    Plan shape: two explodes feeding two map-side-combinable groupBy
+    chains (bigram side, word side) joined on doc_id — at 10^12 docs
+    each chain shuffles one partial row per (partition, doc, key) and
+    the join keys are the doc ids, never the text."""
+    from pyspark.sql import functions as F
+
+    df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+          .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+    toks = df.select(
+        "doc_id",
+        F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "),
+                " ").alias("tk"))
+    bigrams = toks.select("doc_id", F.explode(F.filter(
+        F.transform(F.col("tk"),
+                    lambda x, i: F.when(i + 1 < F.size(F.col("tk")),
+                                        F.concat_ws(" ", x,
+                                                    F.element_at(
+                                                        F.col("tk"), i + 2)))),
+        lambda s: s.isNotNull())).alias("bg"))
+    bg_counts = bigrams.groupBy("doc_id", "bg").count()
+    bg_doc = bg_counts.groupBy("doc_id").agg(
+        F.round(F.max("count") / F.sum("count"), 6)
+        .alias("top_bigram_frac"),
+        F.round(F.sum(F.when(F.col("count") > 1, F.col("count"))
+                      .otherwise(F.lit(0))) / F.sum("count"), 6)
+        .alias("dup_bigram_frac"))
+    words = toks.select("doc_id", F.explode("tk").alias("w"))
+    w_doc = (words.groupBy("doc_id", "w").count()
+             .groupBy("doc_id")
+             .agg(F.round(F.max("count") / F.sum("count"), 6)
+                  .alias("top_word_frac")))
+    return bg_doc.join(w_doc, "doc_id")
+
+
+def _pii_docs(spark, sf_dir: str):
+    """documents ∪ planted PII-bearing copies (the synthetic corpus has
+    no natural emails/phones, so redact_pii plants deterministic ones —
+    mirrored verbatim in the DuckDB oracle)."""
+    from pyspark.sql import functions as F
+
+    df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+          .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+    pii = (df.where(F.col("doc_id") < PII_PLANT_N)
+           .select((F.col("doc_id") + PII_OFFSET).alias("doc_id"),
+                   F.concat(F.col("text"),
+                            F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com or 555-"),
+                            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+                            F.lit(" today")).alias("text")))
+    return df.unionByName(pii)
+
+
+def redact_pii(spark, sf_dir: str):
+    """PII scrub: count and redact email addresses and phone numbers
+    (pure JVM regexp — one scan, no shuffle). Returns per-doc match
+    counts plus the md5 of the redacted text (compact value check; the
+    redacted text itself stays executor-side)."""
+    from pyspark.sql import functions as F
+
+    df = _pii_docs(spark, sf_dir)
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "[EMAIL]"),
+        PHONE_RE, "[PHONE]")
+    return df.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).cast("long")
+        .alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PHONE_RE)).cast("long")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"))

@@ -59,3 +59,31 @@ def test_token_budget_mix_caps_each_language(spark):
         for d in docs:
             run += d.n_tokens
             assert d.cum_tokens == run
+
+
+def test_redact_pii_finds_only_planted_pii(spark):
+    from paddleocr_spark.operators import text as t
+
+    rows = t.redact_pii(spark, SF_DIR).collect()
+    planted = {r.doc_id: r for r in rows if r.doc_id >= t.PII_OFFSET}
+    assert len(planted) == t.PII_PLANT_N
+    for r in planted.values():
+        assert r.n_emails == 1 and r.n_phones == 1
+    for r in rows:
+        if r.doc_id < t.PII_OFFSET:
+            assert r.n_emails == 0 and r.n_phones == 0
+
+
+def test_repetition_scores_bounds_and_known_repeats(spark):
+    from paddleocr_spark.operators import text as t
+
+    rows = t.repetition_scores(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 < r.top_bigram_frac <= 1
+        assert 0 <= r.dup_bigram_frac <= 1
+        assert 0 < r.top_word_frac <= 1
+        # the single most frequent bigram is part of the duplicated
+        # mass whenever any duplication exists
+        if r.dup_bigram_frac > 0:
+            assert r.top_bigram_frac <= r.dup_bigram_frac
