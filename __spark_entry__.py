@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": text.fingerprints,
         "repetition_scores": text.repetition_scores,
         "redact_pii": text.redact_pii,
+        "bpe_token_stats": text.bpe_token_stats,
         # corpus curation (training-data selection)
         "benchmark_contamination": curation.benchmark_contamination,
         "stratified_sample": curation.stratified_sample,
@@ -749,6 +750,25 @@ def oracle_sql() -> dict[str, str]:
                        (acc, x) -> (acc * {text.ROLL_BASE} + x)
                                    % {text.ROLL_MOD}) AS rolling_hash
             FROM n
+        """,
+        "bpe_token_stats": f"""
+            WITH bdocs AS (
+              SELECT doc_id::bigint AS doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id::bigint + {text.BPE_OFFSET} AS doc_id,
+                     text || '{text.BPE_SUFFIX.replace("'", "''")}' AS text
+              FROM documents WHERE doc_id < {text.BPE_PLANT_N})
+            SELECT doc_id,
+                   len(string_split_regex(trim(lower(text)), '\\s+'))::bigint
+                       AS n_ws_tokens,
+                   len(regexp_extract_all(lower(text),
+                                          '{text.BPE_RE}'))::bigint
+                       AS n_bpe_tokens,
+                   round(len(regexp_extract_all(lower(text),
+                                                '{text.BPE_RE}'))::double
+                         / len(string_split_regex(trim(lower(text)),
+                                                  '\\s+')), 6) AS fertility
+            FROM bdocs
         """,
         "repetition_scores": f"""
             WITH tk AS (

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "kie_node_metric",
     "ct_metric",
     "repetition_scores",
+    "bpe_token_stats",
     "redact_pii",
     "benchmark_contamination",
     "stratified_sample",

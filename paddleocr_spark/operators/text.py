@@ -208,3 +208,39 @@ def redact_pii(spark, sf_dir: str):
         F.regexp_count(F.col("text"), F.lit(PHONE_RE)).cast("long")
         .alias("n_phones"),
         F.md5(redacted).alias("redacted_md5"))
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+# marks — the GPT-2-style split reduced to the regex subset with
+# identical Java/RE2 semantics. The corpus is punctuation-free, so a
+# planted suffix of contractions/numbers/punctuation keeps the
+# subword-vs-whitespace divergence observable.
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+BPE_PLANT_N = 30
+BPE_OFFSET = 5_000_000
+BPE_SUFFIX = " it's a well-known fact: 3.14 > 2, (obviously)!"
+
+
+def bpe_token_stats(spark, sf_dir: str):
+    """Whitespace vs BPE-ish-regex token counts per document, plus
+    fertility (regex tokens per whitespace token — the cost estimate a
+    tokenizer-budget planner needs). Pure JVM regexp, one scan, no
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+          .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+    planted = (df.where(F.col("doc_id") < BPE_PLANT_N)
+               .select((F.col("doc_id") + BPE_OFFSET).alias("doc_id"),
+                       F.concat(F.col("text"),
+                                F.lit(BPE_SUFFIX)).alias("text")))
+    df = df.unionByName(planted)
+    low = F.lower(F.col("text"))
+    n_ws = F.size(F.split(F.trim(low), r"\s+")).cast("long")
+    n_bpe = F.size(F.regexp_extract_all(low, F.lit(BPE_RE), F.lit(0))) \
+        .cast("long")
+    return df.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(n_bpe.cast("double") / n_ws, 6).alias("fertility"))
