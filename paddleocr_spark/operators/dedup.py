@@ -375,40 +375,21 @@ def duplicate_clusters(spark, sf_dir: str, threshold: float = 0.7,
 
     The DuckDB oracle computes the same fixpoint as a recursive CTE —
     an independent algorithm (BFS closure, not label propagation), so
-    the hash match checks the component semantics, not the code."""
+    the hash match checks the component semantics, not the code.
+    For deep/adversarial graphs, operators.graph also provides the
+    O(log n)-round large-star/small-star variant (property-tested
+    equal to this one and to a union-find)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    from paddleocr_spark.operators._cache import eager_persist
+    from paddleocr_spark.operators.graph import connected_components
 
     edges = near_dup_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b")
-    sym = (edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-           .unionByName(
-               edges.select(F.col("doc_b").alias("src"),
-                            F.col("doc_a").alias("dst"))))
-    sym = eager_persist(sym)
-    labels = (sym.select(F.col("src").alias("node")).distinct()
-              .select("node", F.col("node").alias("lbl")))
-    labels = eager_persist(labels)
-    for _ in range(max_iters):
-        prop = (sym.join(labels, sym.src == labels.node)
-                .select(F.col("dst").alias("node"), F.col("lbl")))
-        new_labels = (labels.unionByName(prop)
-                      .groupBy("node").agg(F.min("lbl").alias("lbl")))
-        new_labels = eager_persist(new_labels)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.lbl") != F.col("o.lbl"))
-                   .count())
-        labels = new_labels
-        if changed == 0:
-            break
-    else:  # pragma: no cover - planted clusters have diameter <= 2
-        raise RuntimeError(f"label propagation: no fixpoint in "
-                           f"{max_iters} rounds")
+    labels = connected_components(edges, "doc_a", "doc_b",
+                                  max_iters=max_iters)
     size = F.count("*").over(Window.partitionBy("cluster_id")).cast("long")
     return (labels.select(F.col("node").alias("doc_id"),
-                          F.col("lbl").alias("cluster_id"))
+                          F.col("label").alias("cluster_id"))
             .withColumn("cluster_size", size))
 
 
