@@ -356,6 +356,26 @@ def _run_stress_study() -> dict:
                .collect()[0])
         res["band_occupancy_max_naive"] = int(occ["mx"])
         res["band_occupancy_median"] = int(occ["med"])
+
+        # cluster formation at stress scale: connected components over
+        # the exact-first candidate graph — the full fuzzy-dedup path
+        # (signatures → bands → candidates → components) at 52.5k docs
+        from paddleocr_spark.operators.graph import _propagation
+
+        t0 = time.time()
+        pairs = lsh_candidate_pairs_df(corpus, exact_first=True).persist()
+        labels, rounds = _propagation(pairs, "doc_a", "doc_b", 50)
+        res["cluster_nodes"] = labels.count()
+        cstats = (labels.groupBy("label").count()
+                  .agg(F.count("*").alias("ncl"),
+                       F.max("count").alias("mx")).collect()[0])
+        res["cluster_sec"] = round(time.time() - t0, 2)
+        res["cluster_rounds"] = rounds
+        res["n_clusters"] = int(cstats["ncl"])
+        res["max_cluster_size"] = int(cstats["mx"])
+        pairs.unpersist()
+        release_persisted(spark)
+
         corpus.unpersist()
         return res
     finally:
