@@ -15,8 +15,8 @@ from paddleocr_spark.corpus import docs_schema
 from paddleocr_spark.operators.extract import extract_spans
 
 __all__ = ["incremental_extract", "windowed_event_counts",
-           "streaming_exact_dedup", "streaming_page_ingest",
-           "streaming_partitioned_events"]
+           "streaming_exact_dedup", "streaming_fuzzy_dedup",
+           "streaming_page_ingest", "streaming_partitioned_events"]
 
 
 def incremental_extract(spark, docs_dir: str, media_df, out_dir: str,
@@ -143,6 +143,158 @@ def streaming_partitioned_events(spark, events_dir: str, out_dir: str,
             .format("parquet")
             .partitionBy("event_day")
             .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def streaming_fuzzy_dedup(spark, docs_dir: str, index_dir: str,
+                          out_dir: str, checkpoint_dir: str,
+                          threshold: float = 0.7):
+    """Incremental MinHash-LSH near-duplicate dedup over a growing
+    corpus: each micro-batch is checked against EVERY doc ever kept,
+    then appended to the index.
+
+    Why not the streaming state store: fuzzy dedup needs corpus-
+    lifetime state (the band index of every kept doc, forever), and
+    Spark's dedup state is watermark-bounded by design. So the state
+    here is a persisted parquet INDEX TABLE under ``index_dir`` —
+    ``sigs/`` holds (doc_id, sig: array<long>[128]), ``bands/`` holds
+    (doc_id, band, band_hash) — the same
+    materialize-signatures-as-their-own-table pattern the batch
+    operators document for 100 TB (`operators/dedup.py`). Per batch:
+
+    1. signatures + band rows for the batch (one groupBy, as in batch);
+    2. candidates vs the index: equi-join on (band, band_hash) —
+       partitioned by the band key, never O(corpus) per doc;
+    3. candidates within the batch: band self-join (a < b);
+    4. verify by signature-estimated Jaccard (fraction of equal
+       minhash components; 128 hashes -> sigma ~= 0.04 at t=0.7). The
+       index stores fixed-width 1 KB signatures, never shingle sets,
+       so verification needs no second look at historical text;
+    5. drop batch docs near an indexed doc; among the remainder, form
+       duplicate components (min-label propagation, the batch twin's
+       exact semantics) and keep min doc_id per component;
+    6. append survivors' sig + band rows to the index and their doc
+       rows to ``out_dir``.
+
+    Semantics are ONLINE-GREEDY: a doc is dropped iff it is near a doc
+    that was itself KEPT (index docs are all keepers). On similarity
+    chains A~B~C with A!~C arriving in different batches this keeps
+    {A, C} where the all-at-once batch job keeps {A} — the documented
+    divergence of every incremental dedup; on clique-shaped duplicate
+    groups (the common case: perturbed copies of one original) the
+    two agree exactly. Delivery: the streaming checkpoint makes each
+    micro-batch process once on the happy path; a crash mid-epoch can
+    replay an append (at-least-once) — production closes that with
+    per-epoch staging dirs or a transactional (Iceberg) append, both
+    orthogonal to the dedup logic here. Returns the StreamingQuery."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.operators._cache import (
+        eager_persist,
+        release_persisted,
+    )
+    from paddleocr_spark.operators.dedup import (
+        N_HASHES,
+        _band_hashes,
+        _signatures,
+    )
+    from paddleocr_spark.operators.graph import connected_components
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(docs_dir))
+
+    sig_dir = os.path.join(index_dir, "sigs")
+    band_dir = os.path.join(index_dir, "bands")
+
+    def _est_jaccard(sa, sb):
+        # fraction of equal minhash components = E[Jaccard]
+        eq = F.zip_with(sa, sb, lambda x, y: x.eqNullSafe(y).cast("int"))
+        return (F.aggregate(eq, F.lit(0), lambda acc, v: acc + v)
+                / F.lit(float(N_HASHES)))
+
+    def process(batch_df, epoch_id: int):
+        batch_df = batch_df.select("doc_id", "text")
+        sig = _signatures(F, batch_df).select(
+            "doc_id",
+            F.array(*[F.col(f"mh{i}") for i in range(N_HASHES)])
+            .alias("sig"))
+        sig = eager_persist(sig)
+        bands = eager_persist(_band_hashes(
+            F, sig.select("doc_id",
+                          *[F.element_at("sig", i + 1).alias(f"mh{i}")
+                            for i in range(N_HASHES)])))
+
+        dropped = None
+        if os.path.exists(sig_dir):
+            idx_bands = spark.read.parquet(band_dir)
+            idx_sigs = spark.read.parquet(sig_dir)
+            cross = (idx_bands.alias("i")
+                     .join(bands.alias("n"), ["band", "band_hash"])
+                     .select(F.col("i.doc_id").alias("old_id"),
+                             F.col("n.doc_id").alias("new_id"))
+                     .distinct())
+            verified = (cross
+                        .join(idx_sigs.select(
+                            F.col("doc_id").alias("old_id"),
+                            F.col("sig").alias("so")), "old_id")
+                        .join(sig.select(
+                            F.col("doc_id").alias("new_id"),
+                            F.col("sig").alias("sn")), "new_id")
+                        .where(_est_jaccard(F.col("so"), F.col("sn"))
+                               >= threshold))
+            dropped = verified.select(
+                F.col("new_id").alias("doc_id")).distinct()
+
+        fresh = (batch_df.join(dropped, "doc_id", "left_anti")
+                 if dropped is not None else batch_df)
+        fresh_sig = (sig.join(dropped, "doc_id", "left_anti")
+                     if dropped is not None else sig)
+        fresh_bands = (bands.join(dropped, "doc_id", "left_anti")
+                       if dropped is not None else bands)
+
+        # within-batch duplicate components among the remainder —
+        # min-label propagation, exactly the batch twin's clustering
+        a = fresh_bands.alias("a")
+        b = fresh_bands.alias("b")
+        within = (a.join(b, ["band", "band_hash"])
+                  .where(F.col("a.doc_id") < F.col("b.doc_id"))
+                  .select(F.col("a.doc_id").alias("doc_a"),
+                          F.col("b.doc_id").alias("doc_b"))
+                  .distinct())
+        within = (within
+                  .join(fresh_sig.select(
+                      F.col("doc_id").alias("doc_a"),
+                      F.col("sig").alias("sa")), "doc_a")
+                  .join(fresh_sig.select(
+                      F.col("doc_id").alias("doc_b"),
+                      F.col("sig").alias("sb")), "doc_b")
+                  .where(_est_jaccard(F.col("sa"), F.col("sb"))
+                         >= threshold)
+                  .select("doc_a", "doc_b"))
+        labels = connected_components(within)
+        losers = (labels.groupBy("label")
+                  .agg(F.min("node").alias("keeper"))
+                  .join(labels, "label")
+                  .where(F.col("node") != F.col("keeper"))
+                  .select(F.col("node").alias("doc_id")))
+        survivors = fresh.join(losers, "doc_id", "left_anti")
+        surv_ids = losers.select("doc_id")  # anti side reused below
+
+        (survivors.write.mode("append").parquet(out_dir))
+        (fresh_sig.join(surv_ids, "doc_id", "left_anti")
+         .write.mode("append").parquet(sig_dir))
+        (fresh_bands.join(surv_ids, "doc_id", "left_anti")
+         .write.mode("append").parquet(band_dir))
+        release_persisted(spark)
+
+    return (stream.writeStream
+            .foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
