@@ -28,6 +28,7 @@ from paddleocr_spark.operators import (
     bucketing,
     curation,
     dedup,
+    html_extract,
     partitioning,
     kie,
     metrics,
@@ -278,6 +279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": text.repetition_scores,
         "redact_pii": text.redact_pii,
         "bpe_token_stats": text.bpe_token_stats,
+        "html_main_content": html_extract.html_main_content,
         # corpus curation (training-data selection)
         "benchmark_contamination": curation.benchmark_contamination,
         "stratified_sample": curation.stratified_sample,
@@ -817,6 +819,28 @@ def oracle_sql() -> dict[str, str]:
                                       '[EMAIL]', 'g'),
                        '{text.PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
             FROM pdocs
+        """,
+        # mirrors operators/html_extract.py: the page template is
+        # deterministic, so the expected DOM-extraction output is
+        # computable straight from the text column — title from the
+        # template, main text = normalized article + the fixed second
+        # paragraph, constant keep/drop counts (2 kept; dropped = the
+        # short h1, the link farm, the teaser). The Spark side must
+        # actually parse the HTML (incl. decoding the planted & < >
+        # escapes) to reproduce these values.
+        "html_main_content": f"""
+            SELECT doc_id::bigint AS doc_id,
+                   'Doc ' || doc_id::varchar AS title,
+                   trim(regexp_replace(
+                       CASE WHEN doc_id < {html_extract.ENTITY_PLANT_N}
+                            THEN text || '{html_extract.ENTITY_SUFFIX}'
+                            ELSE text END,
+                       '\\s+', ' ', 'g'))
+                     || chr(10) || chr(10) || '{html_extract.PARA2}'
+                     AS main_text,
+                   2::bigint AS n_blocks_kept,
+                   3::bigint AS n_blocks_dropped
+            FROM documents
         """,
         "benchmark_contamination": f"""
             WITH cdocs AS (

@@ -1,0 +1,205 @@
+"""HTML main-content extraction: tolerant tokenizer + block
+segmentation + boilerpipe/readability-style heuristics. Pure Python —
+the DOM walk is genuinely unexpressible in Catalyst, so this is the
+one text operator that earns its Arrow-batched UDF (driven through
+mapInPandas in ``operators/html_extract.py``; no per-row Python).
+
+North-rule item: "main-content extraction (HTML boilerplate strip,
+PDF/layout parse, DOM heuristics)". The PDF/layout half lives in
+``kernels/pdf.py`` + the det/layout pipeline; this module is the
+HTML/DOM half. Reference analogue: the reference has no HTML path (it
+is an OCR engine) — the heuristics here follow the published
+boilerpipe line (Kohlschütter et al., WSDM 2010: text blocks scored by
+length and link density) re-expressed from scratch.
+
+Determinism contract (the DuckDB oracle depends on it): block text is
+normalized as ``" ".join(text.split())``; kept blocks are joined by
+``"\\n\\n"`` in document order; a block survives iff its normalized
+length >= MIN_BLOCK_CHARS and its link density (anchor chars / total
+chars, measured on normalized fragment text) <= MAX_LINK_DENSITY.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["main_content", "tokenize", "MIN_BLOCK_CHARS",
+           "MAX_LINK_DENSITY", "DROP_TAGS", "BLOCK_TAGS"]
+
+MIN_BLOCK_CHARS = 25
+MAX_LINK_DENSITY = 1 / 3
+
+# subtrees that are never main content
+DROP_TAGS = frozenset(
+    "script style nav header footer aside form noscript template "
+    "svg iframe".split())
+# tags that delimit text blocks
+BLOCK_TAGS = frozenset(
+    "p div section article main li ul ol h1 h2 h3 h4 h5 h6 td th tr "
+    "table blockquote pre figure figcaption hr body".split())
+# void elements: no closing tag ever arrives
+VOID_TAGS = frozenset(
+    "br img hr input meta link area base col embed source track "
+    "wbr".split())
+# raw-text elements: content scanned verbatim to the closing tag
+RAWTEXT_TAGS = frozenset(("script", "style", "textarea", "title"))
+
+_ENTITIES = {"amp": "&", "lt": "<", "gt": ">", "quot": '"',
+             "apos": "'", "nbsp": " "}
+_ENT_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z]+);")
+_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9:-]*)"      # slash, name
+    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)"  # attrs ('>' inside quotes ok)
+    r">")
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+
+
+def _decode_entities(s: str) -> str:
+    def sub(m: re.Match) -> str:
+        body = m.group(1)
+        if body.startswith("#"):
+            try:
+                code = (int(body[2:], 16) if body[1] in "xX"
+                        else int(body[1:]))
+                return chr(code) if 0 < code < 0x110000 else m.group(0)
+            except ValueError:
+                return m.group(0)
+        return _ENTITIES.get(body.lower(), m.group(0))
+
+    return _ENT_RE.sub(sub, s)
+
+
+def tokenize(html: str):
+    """Yield ('open'|'close'|'text', value) tolerantly: comments and
+    doctypes skipped, raw-text element bodies never re-parsed, bare
+    '<' that opens no tag treated as text."""
+    html = _COMMENT_RE.sub(" ", html)
+    i, n = 0, len(html)
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            yield ("text", html[i:])
+            return
+        if lt > i:
+            yield ("text", html[i:lt])
+        if html.startswith("<!", lt) or html.startswith("<?", lt):
+            gt = html.find(">", lt)
+            i = n if gt < 0 else gt + 1
+            continue
+        m = _TAG_RE.match(html, lt)
+        if m is None:  # stray '<'
+            yield ("text", "<")
+            i = lt + 1
+            continue
+        closing, name = m.group(1), m.group(2).lower()
+        i = m.end()
+        if closing:
+            yield ("close", name)
+            continue
+        self_closed = m.group(3).rstrip().endswith("/")
+        yield ("open", name)
+        if name in VOID_TAGS or self_closed:
+            yield ("close", name)
+        elif name in RAWTEXT_TAGS:
+            end = re.search(rf"</{name}\s*>", html[i:], re.I)
+            if end is None:
+                yield ("text", html[i:])
+                yield ("close", name)
+                return
+            yield ("text", html[i:i + end.start()])
+            yield ("close", name)
+            i = i + end.end()
+
+
+def main_content(html: str) -> dict:
+    """Extract the main content of one HTML document.
+
+    Returns {title, main_text, n_blocks_kept, n_blocks_dropped,
+    link_density} — link_density is the whole-document anchor-char
+    fraction (diagnostic), the keep decision uses per-block density.
+    """
+    title_parts: list[str] = []
+    h1_parts: list[str] = []
+    # current block accumulator: [text_fragments, anchor_chars]
+    blocks: list[tuple[str, int]] = []
+    frags: list[str] = []
+    anchor_chars = 0
+    skip = 0
+    anchor_depth = 0
+    in_title = False
+    in_h1 = False
+
+    def flush() -> None:
+        nonlocal frags, anchor_chars
+        if frags:
+            blocks.append(("".join(frags), anchor_chars))
+        frags, anchor_chars = [], 0
+
+    for kind, val in tokenize(html):
+        if kind == "open":
+            if val in DROP_TAGS:
+                skip += 1
+            elif skip == 0:
+                if val == "title":
+                    in_title = True
+                elif val == "a":
+                    anchor_depth += 1
+                elif val == "h1":
+                    in_h1 = True
+                if val in ("br",):
+                    frags.append(" ")
+                if val in BLOCK_TAGS:
+                    flush()
+        elif kind == "close":
+            if val in DROP_TAGS:
+                skip = max(0, skip - 1)
+            elif skip == 0:
+                if val == "title":
+                    in_title = False
+                elif val == "a":
+                    anchor_depth = max(0, anchor_depth - 1)
+                elif val == "h1":
+                    in_h1 = False
+                if val in BLOCK_TAGS:
+                    flush()
+        else:
+            if skip:
+                continue
+            text = _decode_entities(val)
+            if in_title:
+                title_parts.append(text)
+                continue
+            if in_h1:
+                h1_parts.append(text)
+            frags.append(text)
+            if anchor_depth > 0:
+                anchor_chars += len(" ".join(text.split()))
+    flush()
+
+    kept: list[str] = []
+    dropped = 0
+    total_chars = 0
+    total_anchor = 0
+    for raw, a_chars in blocks:
+        norm = " ".join(raw.split())
+        if not norm:
+            continue
+        total_chars += len(norm)
+        total_anchor += min(a_chars, len(norm))
+        density = a_chars / len(norm)
+        if len(norm) >= MIN_BLOCK_CHARS and density <= MAX_LINK_DENSITY:
+            kept.append(norm)
+        else:
+            dropped += 1
+
+    title = " ".join("".join(title_parts).split())
+    if not title:
+        title = " ".join("".join(h1_parts).split())
+    return {
+        "title": title,
+        "main_text": "\n\n".join(kept),
+        "n_blocks_kept": len(kept),
+        "n_blocks_dropped": dropped,
+        "link_density": (round(total_anchor / total_chars, 6)
+                         if total_chars else 0.0),
+    }

@@ -1,0 +1,95 @@
+"""DOM tokenizer + main-content heuristics on the hairy-HTML corners."""
+
+from paddleocr_spark.kernels.html import (
+    MIN_BLOCK_CHARS,
+    main_content,
+    tokenize,
+)
+
+ARTICLE = ("The quick brown fox jumps over the lazy dog while the "
+           "band plays on in the background.")
+PARA2 = ("A second paragraph long enough to clear the minimum block "
+         "length threshold easily.")
+
+
+def test_basic_extraction():
+    html = (f"<html><head><title>My Page</title>"
+            f"<style>p {{ color: red; }}</style></head>"
+            f"<body><nav><a href='/'>Home</a> <a href='/x'>X</a></nav>"
+            f"<p>{ARTICLE}</p><p>{PARA2}</p>"
+            f"<footer>Copyright 2026 all rights reserved forever"
+            f"</footer></body></html>")
+    r = main_content(html)
+    assert r["title"] == "My Page"
+    assert r["main_text"] == f"{ARTICLE}\n\n{PARA2}"
+    assert r["n_blocks_kept"] == 2
+    # nav/footer subtrees never even reach the block scorer
+    assert "Home" not in r["main_text"]
+    assert "Copyright" not in r["main_text"]
+
+
+def test_link_density_drops_link_farm():
+    links = " ".join(f"<a href='/{i}'>related article number {i}</a>"
+                     for i in range(8))
+    html = f"<body><p>{ARTICLE}</p><div>{links}</div></body>"
+    r = main_content(html)
+    assert r["main_text"] == ARTICLE
+    assert r["n_blocks_dropped"] == 1
+
+
+def test_short_block_dropped_and_threshold_boundary():
+    short = "x" * (MIN_BLOCK_CHARS - 1)
+    exact = "y" * MIN_BLOCK_CHARS
+    r = main_content(f"<body><p>{short}</p><p>{exact}</p></body>")
+    assert r["main_text"] == exact
+    assert r["n_blocks_dropped"] == 1
+
+
+def test_script_with_angle_brackets_and_comment_with_tags():
+    html = (f"<body><script>if (a < b) {{ document.write('<p>js</p>') }}"
+            f"</script><!-- <p>ghost paragraph</p> -->"
+            f"<p>{ARTICLE}</p></body>")
+    r = main_content(html)
+    assert r["main_text"] == ARTICLE
+    assert "js" not in r["main_text"]
+    assert "ghost" not in r["main_text"]
+
+
+def test_entities_attrs_void_and_self_closing():
+    html = (f'<body><p data-x="a > b" class=\'q\'>Tom &amp; Jerry say '
+            f'&quot;hi&quot; &#65;&#x42; and more words to pass the '
+            f'length bar<br/>second line</p><img src="x.png"/></body>')
+    r = main_content(html)
+    assert 'Tom & Jerry say "hi" AB' in r["main_text"]
+    # <br> is a space, not a block boundary
+    assert "bar second line" in r["main_text"]
+
+
+def test_unclosed_p_and_h1_title_fallback():
+    html = (f"<body><h1>Fallback Title</h1><p>{ARTICLE}<p>{PARA2}"
+            f"</body>")
+    r = main_content(html)
+    assert r["title"] == "Fallback Title"
+    # both paragraphs recovered despite missing </p>
+    assert ARTICLE in r["main_text"] and PARA2 in r["main_text"]
+
+
+def test_nested_drop_tags_and_stray_lt():
+    html = (f"<body><nav><div><a href='/'>deep nav</a></div></nav>"
+            f"<p>{ARTICLE} 2 < 3 holds</p></body>")
+    r = main_content(html)
+    assert "deep nav" not in r["main_text"]
+    assert "2 < 3 holds" in r["main_text"]
+
+
+def test_tokenizer_unterminated_rawtext():
+    toks = list(tokenize("<p>hello</p><script>var x = 1"))
+    assert ("text", "var x = 1") in toks
+    assert toks[-1] == ("close", "script")
+
+
+def test_whole_document_link_density_diagnostic():
+    html = (f"<body><p>{ARTICLE}</p>"
+            f"<p><a href='/'>{'link text here ' * 5}</a></p></body>")
+    r = main_content(html)
+    assert 0.0 < r["link_density"] < 1.0
