@@ -93,3 +93,47 @@ def test_whole_document_link_density_diagnostic():
             f"<p><a href='/'>{'link text here ' * 5}</a></p></body>")
     r = main_content(html)
     assert 0.0 < r["link_density"] < 1.0
+
+
+# --- robustness: at 10^12 docs the parser sees every malformed page
+# on the web; it must never raise and must keep its output contract ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_soup = st.text(
+    alphabet=st.sampled_from(list(
+        "<>/&;=\"' abcdefghijklmnop!-#x123\n\tp")),
+    max_size=400)
+_tags = st.lists(st.sampled_from(
+    ["<p>", "</p>", "<div>", "</div>", "<a href='/x'>", "</a>",
+     "<script>", "</script>", "<nav>", "</nav>", "<!-- c -->",
+     "<br/>", "<title>", "</title>", "&amp;", "&#65;", "&bogus;",
+     "plain words here ", "<p", "< p>", "<>"]),
+    max_size=30).map("".join)
+
+
+@given(st.one_of(_soup, _tags))
+@settings(max_examples=300, deadline=None)
+def test_main_content_total_on_arbitrary_input(html):
+    r = main_content(html)
+    assert isinstance(r["title"], str)
+    assert isinstance(r["main_text"], str)
+    assert r["n_blocks_kept"] >= 0 and r["n_blocks_dropped"] >= 0
+    assert 0.0 <= r["link_density"] <= 1.0
+    for block in filter(None, r["main_text"].split("\n\n")):
+        # block text is whitespace-normalized
+        assert block == " ".join(block.split())
+        assert len(block) >= MIN_BLOCK_CHARS
+    assert r["n_blocks_kept"] == (
+        len([b for b in r["main_text"].split("\n\n") if b])
+        if r["main_text"] else 0)
+
+
+@given(st.one_of(_soup, _tags))
+@settings(max_examples=300, deadline=None)
+def test_tokenize_reconstructs_all_text(html):
+    # tokenizer is total and yields only the three kinds
+    for kind, val in tokenize(html):
+        assert kind in ("open", "close", "text")
+        assert isinstance(val, str)
