@@ -283,13 +283,13 @@ def streaming_fuzzy_dedup(spark, docs_dir: str, index_dir: str,
                   .join(labels, "label")
                   .where(F.col("node") != F.col("keeper"))
                   .select(F.col("node").alias("doc_id")))
-        survivors = fresh.join(losers, "doc_id", "left_anti")
-        surv_ids = losers.select("doc_id")  # anti side reused below
+        loser_ids = losers.select("doc_id")
+        survivors = fresh.join(loser_ids, "doc_id", "left_anti")
 
         (survivors.write.mode("append").parquet(out_dir))
-        (fresh_sig.join(surv_ids, "doc_id", "left_anti")
+        (fresh_sig.join(loser_ids, "doc_id", "left_anti")
          .write.mode("append").parquet(sig_dir))
-        (fresh_bands.join(surv_ids, "doc_id", "left_anti")
+        (fresh_bands.join(loser_ids, "doc_id", "left_anti")
          .write.mode("append").parquet(band_dir))
         release_persisted(spark)
 
