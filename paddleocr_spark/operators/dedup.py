@@ -44,6 +44,7 @@ __all__ = [
     "lsh_candidate_pairs", "near_dup_pairs", "simhash32",
     "minhash_signatures_df", "lsh_candidate_pairs_df",
     "simhash_near_dups", "duplicate_clusters", "fuzzy_dedup_survivors",
+    "build_near_dup_edges",
     "HAM_BLOCKS", "MAX_HAMMING",
 ]
 
@@ -355,6 +356,39 @@ def simhash_near_dups(spark, sf_dir: str, max_hamming: int = MAX_HAMMING):
             .select("doc_a", "doc_b", "hamming"))
 
 
+def _edges_dir(n_docs: int, threshold: float) -> str:
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.abspath(os.path.join(here, "..", "..", ".cache",
+                                        "near_dup_edges"))
+    return os.path.join(
+        root, f"v1_n{n_docs}_t{threshold}_k{N_HASHES}"
+              f"b{N_BANDS}s{SHINGLE_N}")
+
+
+def build_near_dup_edges(spark, sf_dir: str,
+                         threshold: float = 0.7) -> str:
+    """Build (or load) the persisted near-dup edge table for this
+    corpus — the "at production scale the edge list is its own table"
+    pattern, made real (same build-once shape as the IVF index in
+    operators/similarity.py): the signatures→bands→candidates→verify
+    chain runs ONCE and every downstream consumer (cluster formation,
+    survivor selection, incremental re-runs) reads (doc_a, doc_b,
+    jaccard) rows from parquet. Keyed by corpus size + every dedup
+    parameter, so a parameter change can never serve stale edges.
+    Returns the table directory."""
+    import os
+
+    n = _augmented_docs(spark, sf_dir).count()
+    out = _edges_dir(n, threshold)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    near_dup_pairs(spark, sf_dir, threshold).write \
+        .mode("overwrite").parquet(out)
+    return out
+
+
 def duplicate_clusters(spark, sf_dir: str, threshold: float = 0.7,
                        max_iters: int = 20):
     """Connected components over the verified near-dup graph: every
@@ -384,7 +418,12 @@ def duplicate_clusters(spark, sf_dir: str, threshold: float = 0.7,
 
     from paddleocr_spark.operators.graph import connected_components
 
-    edges = near_dup_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    # read the edge list from its persisted table (built on first use)
+    # — cluster formation and survivor selection are incremental jobs
+    # over the edges, not re-runs of the LSH chain
+    edges = (spark.read
+             .parquet(build_near_dup_edges(spark, sf_dir, threshold))
+             .select("doc_a", "doc_b"))
     labels = connected_components(edges, "doc_a", "doc_b",
                                   max_iters=max_iters)
     size = F.count("*").over(Window.partitionBy("cluster_id")).cast("long")
