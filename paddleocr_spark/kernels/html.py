@@ -61,6 +61,12 @@ def _decode_entities(s: str) -> str:
             try:
                 code = (int(body[2:], 16) if body[1] in "xX"
                         else int(body[1:]))
+                if 0xD800 <= code <= 0xDFFF:
+                    # a lone surrogate is a valid Python str but NOT
+                    # valid UTF-8 — it would crash the Arrow transfer
+                    # of the very mapInPandas stage this kernel feeds;
+                    # html.unescape maps these to U+FFFD, so do we
+                    return "�"
                 return chr(code) if 0 < code < 0x110000 else m.group(0)
             except ValueError:
                 return m.group(0)

@@ -40,7 +40,7 @@ __all__ = [
     "N_HASHES", "N_BANDS", "ROWS_PER_BAND", "MINHASH_PRIME", "AFFINE",
     "SHINGLE_N", "NEAR_PLANT_N", "NEAR_PLANT_OFFSET", "NEAR_PLANT_SUFFIX",
     "EXACT_PLANT_N", "EXACT_PLANT_OFFSET",
-    "exact_dedup", "minhash_signatures",
+    "norm_content", "exact_dedup", "minhash_signatures",
     "lsh_candidate_pairs", "near_dup_pairs", "simhash32",
     "minhash_signatures_df", "lsh_candidate_pairs_df",
     "simhash_near_dups", "duplicate_clusters", "fuzzy_dedup_survivors",
@@ -70,8 +70,17 @@ AFFINE = [(int(a), int(b))
 del _rng
 
 
+def norm_content(F, col):
+    """THE content normalization (lowercase, collapsed whitespace,
+    trimmed). Batch exact-dedup, simhash, fingerprints, and the
+    streaming exact-dedup all key on md5 of THIS expression — their
+    batch==streaming and Spark==DuckDB-oracle equalities are
+    load-bearing, so there is exactly one copy of it."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
 def _norm_tokens(F, col):
-    return F.split(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "), " ")
+    return F.split(norm_content(F, col), " ")
 
 
 def _word_hash(F, w, salt: int):
@@ -154,7 +163,7 @@ def exact_dedup(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     df = _augmented_docs(spark, sf_dir)
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    norm = norm_content(F, F.col("text"))
     return (df.select(F.md5(norm).alias("content_md5"), "doc_id")
             .groupBy("content_md5")
             .agg(F.count("*").cast("long").alias("n_docs"),
@@ -242,7 +251,7 @@ def lsh_candidate_pairs_df(docs_df, exact_first: bool = False):
 
     docs = docs_df
     if exact_first:
-        norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        norm = norm_content(F, F.col("text"))
         docs = (docs_df
                 .withColumn("content_md5", F.md5(norm))
                 .groupBy("content_md5")
@@ -356,14 +365,26 @@ def simhash_near_dups(spark, sf_dir: str, max_hamming: int = MAX_HAMMING):
             .select("doc_a", "doc_b", "hamming"))
 
 
-def _edges_dir(n_docs: int, threshold: float) -> str:
+def _edges_dir(sf_dir: str, threshold: float) -> str:
+    """Cache key = corpus IDENTITY (absolute path + source-table
+    mtime, so a regenerated corpus at the same path re-keys) + every
+    dedup parameter (so a parameter change re-keys). No count scan —
+    a cache hit must cost nothing."""
+    import hashlib
     import os
 
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = int(os.path.getmtime(src))
+    except OSError:
+        mtime = 0
+    ident = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
     here = os.path.dirname(os.path.abspath(__file__))
     root = os.path.abspath(os.path.join(here, "..", "..", ".cache",
                                         "near_dup_edges"))
     return os.path.join(
-        root, f"v1_n{n_docs}_t{threshold}_k{N_HASHES}"
+        root, f"v2_{ident}_t{threshold}_k{N_HASHES}"
               f"b{N_BANDS}s{SHINGLE_N}")
 
 
@@ -375,13 +396,10 @@ def build_near_dup_edges(spark, sf_dir: str,
     operators/similarity.py): the signatures→bands→candidates→verify
     chain runs ONCE and every downstream consumer (cluster formation,
     survivor selection, incremental re-runs) reads (doc_a, doc_b,
-    jaccard) rows from parquet. Keyed by corpus size + every dedup
-    parameter, so a parameter change can never serve stale edges.
-    Returns the table directory."""
+    jaccard) rows from parquet. Returns the table directory."""
     import os
 
-    n = _augmented_docs(spark, sf_dir).count()
-    out = _edges_dir(n, threshold)
+    out = _edges_dir(sf_dir, threshold)
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
     near_dup_pairs(spark, sf_dir, threshold).write \

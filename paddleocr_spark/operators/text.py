@@ -111,7 +111,9 @@ def fingerprints(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    from paddleocr_spark.operators.dedup import norm_content
+
+    norm = norm_content(F, F.col("text"))
     toks = F.split(norm, " ")
     # 60-bit salted word hash from md5 — same construction as
     # dedup._word_hash(salt=0) and the DuckDB oracle
@@ -143,12 +145,13 @@ def repetition_scores(spark, sf_dir: str):
     the join keys are the doc ids, never the text."""
     from pyspark.sql import functions as F
 
+    from paddleocr_spark.operators.dedup import norm_content
+
     df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
           .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
     toks = df.select(
         "doc_id",
-        F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "),
-                " ").alias("tk"))
+        F.split(norm_content(F, F.col("text")), " ").alias("tk"))
     bigrams = toks.select("doc_id", F.explode(F.filter(
         F.transform(F.col("tk"),
                     lambda x, i: F.when(i + 1 < F.size(F.col("tk")),

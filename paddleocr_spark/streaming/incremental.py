@@ -81,7 +81,9 @@ def streaming_exact_dedup(spark, docs_dir: str, watermark: str = "1 hour"):
                       "source string, n_chars long")
               .option("maxFilesPerTrigger", 4)
               .parquet(docs_dir))
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    from paddleocr_spark.operators.dedup import norm_content
+
+    norm = norm_content(F, F.col("text"))
     return (stream
             .withColumn("content_md5", F.md5(norm))
             .withColumn("arrival", F.current_timestamp())
@@ -123,17 +125,22 @@ def streaming_page_ingest(spark, files_dir: str, out_dir: str,
 
 
 def streaming_partitioned_events(spark, events_dir: str, out_dir: str,
-                                 checkpoint_dir: str):
+                                 checkpoint_dir: str, schema=None):
     """Stream events into the SAME day-partitioned, pruning-ready
     layout that ``operators/partitioning.py`` builds in batch: a native
     parquet sink with ``partitionBy(event_day)``, so the landing table
     is immediately partition-prunable by any day-window query — no
     post-hoc re-layout job. Exactly-once via the streaming checkpoint;
     batch == streaming layout is asserted in the tests. Returns the
-    StreamingQuery."""
+    StreamingQuery.
+
+    Pass ``schema`` explicitly to start the stream BEFORE any events
+    have landed (the production posture); the batch-inference fallback
+    below needs at least one parquet file present."""
     from paddleocr_spark.operators.partitioning import epoch_day
 
-    schema = spark.read.parquet(events_dir).schema
+    if schema is None:
+        schema = spark.read.parquet(events_dir).schema
     stream = (spark.readStream
               .schema(schema)
               .option("maxFilesPerTrigger", 8)
@@ -186,9 +193,15 @@ def streaming_fuzzy_dedup(spark, docs_dir: str, index_dir: str,
     groups (the common case: perturbed copies of one original) the
     two agree exactly. Delivery: the streaming checkpoint makes each
     micro-batch process once on the happy path; a crash mid-epoch can
-    replay an append (at-least-once) — production closes that with
-    per-epoch staging dirs or a transactional (Iceberg) append, both
-    orthogonal to the dedup logic here. Returns the StreamingQuery."""
+    replay an append (at-least-once), and because the three per-epoch
+    appends (out, sigs, bands) are not one atomic commit, a crash
+    BETWEEN them can leave the index missing one epoch's rows for one
+    half (bounded recall loss for that epoch's docs, never a wrong
+    drop — the existence guard below additionally keeps a half-created
+    index from ever being read as whole). Production closes both gaps
+    the same way: per-epoch staging dirs or a transactional (Iceberg)
+    append, orthogonal to the dedup logic here. Returns the
+    StreamingQuery."""
     import os
 
     from pyspark.sql import functions as F
@@ -231,7 +244,11 @@ def streaming_fuzzy_dedup(spark, docs_dir: str, index_dir: str,
                             for i in range(N_HASHES)])))
 
         dropped = None
-        if os.path.exists(sig_dir):
+        # require BOTH halves: a crash between the two index appends
+        # must degrade to "index treated as absent this epoch" (the
+        # replay re-appends, covered by the at-least-once caveat),
+        # never to an unreadable or silently-partial index
+        if os.path.exists(sig_dir) and os.path.exists(band_dir):
             idx_bands = spark.read.parquet(band_dir)
             idx_sigs = spark.read.parquet(sig_dir)
             cross = (idx_bands.alias("i")
@@ -278,12 +295,10 @@ def streaming_fuzzy_dedup(spark, docs_dir: str, index_dir: str,
                          >= threshold)
                   .select("doc_a", "doc_b"))
         labels = connected_components(within)
-        losers = (labels.groupBy("label")
-                  .agg(F.min("node").alias("keeper"))
-                  .join(labels, "label")
-                  .where(F.col("node") != F.col("keeper"))
-                  .select(F.col("node").alias("doc_id")))
-        loser_ids = losers.select("doc_id")
+        # the component label IS the minimum node id (graph.py
+        # contract), so losers are simply node != label
+        loser_ids = (labels.where(F.col("node") != F.col("label"))
+                     .select(F.col("node").alias("doc_id")))
         survivors = fresh.join(loser_ids, "doc_id", "left_anti")
 
         (survivors.write.mode("append").parquet(out_dir))
@@ -291,7 +306,12 @@ def streaming_fuzzy_dedup(spark, docs_dir: str, index_dir: str,
          .write.mode("append").parquet(sig_dir))
         (fresh_bands.join(loser_ids, "doc_id", "left_anti")
          .write.mode("append").parquet(band_dir))
-        release_persisted(spark)
+        # no session arg: foreachBatch hands the body a NEW wrapped
+        # SparkSession per epoch (pyspark 4.1 ForeachBatchFunction),
+        # so eager_persist registered under THAT session — releasing
+        # by the outer `spark` would free nothing and every epoch's
+        # sig/bands/CC caches would leak for the stream's lifetime
+        release_persisted()
 
     return (stream.writeStream
             .foreachBatch(process)

@@ -137,3 +137,12 @@ def test_tokenize_reconstructs_all_text(html):
     for kind, val in tokenize(html):
         assert kind in ("open", "close", "text")
         assert isinstance(val, str)
+
+
+def test_surrogate_entity_never_reaches_output():
+    # &#xD800; is tag-soup-legal but a lone surrogate would crash the
+    # Arrow serialization downstream; it must decode to U+FFFD
+    html = "<body><p>bad char &#xD800; inside a long enough block of text</p></body>"
+    r = main_content(html)
+    assert "�" in r["main_text"]
+    r["main_text"].encode("utf-8")  # must be valid UTF-8
