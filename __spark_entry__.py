@@ -280,6 +280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": text.redact_pii,
         "bpe_token_stats": text.bpe_token_stats,
         "html_main_content": html_extract.html_main_content,
+        "html_links": html_extract.html_links,
+        "html_pagerank": html_extract.html_pagerank,
         # corpus curation (training-data selection)
         "benchmark_contamination": curation.benchmark_contamination,
         "stratified_sample": curation.stratified_sample,
@@ -526,6 +528,65 @@ def _emb_bands_sql(src: str) -> str:
         selects.append(f"SELECT vec_id, emb, {band} AS band, "
                        f"({' + '.join(bits)})::int AS bucket FROM {src}")
     return "bk AS (" + "\nUNION ALL\n".join(selects) + ")"
+
+
+def _html_links_oracle() -> str:
+    """7 anchors per page in template order: 3 nav constants, the 3
+    LINK_COEFFS doc links, the footer /tos."""
+    parts = [
+        "SELECT doc_id::bigint AS doc_id, 0::bigint AS pos,"
+        " '/' AS href FROM documents",
+        "SELECT doc_id::bigint, 1::bigint, '/about' FROM documents",
+        "SELECT doc_id::bigint, 2::bigint, '/contact' FROM documents",
+    ]
+    for i, (a, b) in enumerate(html_extract.LINK_COEFFS):
+        parts.append(
+            f"SELECT doc_id::bigint, {3 + i}::bigint,"
+            f" '/doc/' || (({a} * doc_id + {b}) % n.n)::varchar"
+            f" FROM documents, n")
+    parts.append(
+        "SELECT doc_id::bigint, 6::bigint, '/tos' FROM documents")
+    union = "\nUNION ALL\n".join(parts)
+    return (f"WITH n AS (SELECT COUNT(*) AS n FROM documents)\n{union}")
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Fixed-point PageRank, iterations unrolled as plain CTEs —
+    independent of the Spark loop, bit-exact by integer arithmetic
+    (DuckDB '//' == Spark 'div' on positive BIGINTs; the HUGEINT sum
+    is cast back to BIGINT)."""
+    scale = html_extract.PR_SCALE
+    edge_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id::bigint AS src,"
+        f" (({a} * doc_id + {b}) % n.n)::bigint AS dst"
+        f" FROM documents, n"
+        for a, b in html_extract.LINK_COEFFS)
+    sql = [
+        "WITH n AS (SELECT COUNT(*) AS n FROM documents),",
+        f"edges AS (SELECT DISTINCT src, dst FROM ({edge_selects})),",
+        "outdeg AS (SELECT src, COUNT(*)::bigint AS deg"
+        " FROM edges GROUP BY src),",
+        "r0 AS (SELECT doc_id::bigint AS doc_id,"
+        f" ({scale} // n.n)::bigint AS r FROM documents, n),",
+    ]
+    for k in range(1, iters + 1):
+        sql.append(
+            f"r{k} AS ("
+            f" SELECT d.doc_id,"
+            f" (({15 * scale // 100} // n.n)"
+            f"  + (85 * COALESCE(inf.s, 0)) // 100)::bigint AS r"
+            f" FROM (SELECT doc_id::bigint AS doc_id FROM documents) d"
+            f" CROSS JOIN n"
+            f" LEFT JOIN ("
+            f"   SELECT e.dst AS doc_id,"
+            f"          CAST(SUM(p.r // o.deg) AS BIGINT) AS s"
+            f"   FROM edges e"
+            f"   JOIN r{k - 1} p ON p.doc_id = e.src"
+            f"   JOIN outdeg o ON o.src = e.src"
+            f"   GROUP BY e.dst) inf USING (doc_id)),")
+    sql[-1] = sql[-1].rstrip(",")
+    sql.append(f"SELECT doc_id, r AS rank_fp FROM r{iters}")
+    return "\n".join(sql)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -842,6 +903,15 @@ def oracle_sql() -> dict[str, str]:
                    3::bigint AS n_blocks_dropped
             FROM documents
         """,
+        # the template emits exactly 7 anchors per page in a fixed
+        # order; the 3 /doc/ hrefs come from the LINK_COEFFS formulas
+        # — the Spark side must PARSE the HTML to reproduce this
+        "html_links": _html_links_oracle(),
+        # independent PageRank twin: the 10 iterations are UNROLLED
+        # as plain CTEs (no recursive aggregation), fixed-point BIGINT
+        # arithmetic throughout so the match is bit-exact, not
+        # tolerance-based
+        "html_pagerank": _pagerank_oracle(html_extract.PR_ITERS),
         "benchmark_contamination": f"""
             WITH cdocs AS (
               SELECT doc_id::bigint AS doc_id, text FROM documents

@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "repetition_scores",
     "bpe_token_stats",
     "html_main_content",
+    "html_links",
+    "html_pagerank",
     "redact_pii",
     "benchmark_contamination",
     "stratified_sample",

@@ -23,8 +23,9 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["main_content", "tokenize", "MIN_BLOCK_CHARS",
-           "MAX_LINK_DENSITY", "DROP_TAGS", "BLOCK_TAGS"]
+__all__ = ["main_content", "tokenize", "tokenize_ex", "extract_links",
+           "MIN_BLOCK_CHARS", "MAX_LINK_DENSITY", "DROP_TAGS",
+           "BLOCK_TAGS"]
 
 MIN_BLOCK_CHARS = 25
 MAX_LINK_DENSITY = 1 / 3
@@ -75,46 +76,75 @@ def _decode_entities(s: str) -> str:
     return _ENT_RE.sub(sub, s)
 
 
-def tokenize(html: str):
-    """Yield ('open'|'close'|'text', value) tolerantly: comments and
-    doctypes skipped, raw-text element bodies never re-parsed, bare
-    '<' that opens no tag treated as text."""
+def tokenize_ex(html: str):
+    """Yield ('open'|'close'|'text', value, attrs_str) tolerantly:
+    comments and doctypes skipped, raw-text element bodies never
+    re-parsed, bare '<' that opens no tag treated as text. attrs_str
+    is the raw attribute slice for 'open' events, '' otherwise."""
     html = _COMMENT_RE.sub(" ", html)
     i, n = 0, len(html)
     while i < n:
         lt = html.find("<", i)
         if lt < 0:
-            yield ("text", html[i:])
+            yield ("text", html[i:], "")
             return
         if lt > i:
-            yield ("text", html[i:lt])
+            yield ("text", html[i:lt], "")
         if html.startswith("<!", lt) or html.startswith("<?", lt):
             gt = html.find(">", lt)
             i = n if gt < 0 else gt + 1
             continue
         m = _TAG_RE.match(html, lt)
         if m is None:  # stray '<'
-            yield ("text", "<")
+            yield ("text", "<", "")
             i = lt + 1
             continue
         closing, name = m.group(1), m.group(2).lower()
         i = m.end()
         if closing:
-            yield ("close", name)
+            yield ("close", name, "")
             continue
-        self_closed = m.group(3).rstrip().endswith("/")
-        yield ("open", name)
+        attrs = m.group(3)
+        self_closed = attrs.rstrip().endswith("/")
+        yield ("open", name, attrs)
         if name in VOID_TAGS or self_closed:
-            yield ("close", name)
+            yield ("close", name, "")
         elif name in RAWTEXT_TAGS:
             end = re.search(rf"</{name}\s*>", html[i:], re.I)
             if end is None:
-                yield ("text", html[i:])
-                yield ("close", name)
+                yield ("text", html[i:], "")
+                yield ("close", name, "")
                 return
-            yield ("text", html[i:i + end.start()])
-            yield ("close", name)
+            yield ("text", html[i:i + end.start()], "")
+            yield ("close", name, "")
             i = i + end.end()
+
+
+def tokenize(html: str):
+    """('open'|'close'|'text', value) pairs — tokenize_ex without the
+    attribute slice."""
+    for kind, val, _ in tokenize_ex(html):
+        yield (kind, val)
+
+
+# unquoted values consume until whitespace or '>' (HTML5 §13.1.2.3 —
+# a trailing '/' is part of the value, matching browser behavior)
+_HREF_RE = re.compile(
+    r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+
+
+def extract_links(html: str) -> list:
+    """Every anchor href in document order (entity-decoded), including
+    boilerplate subtrees — link-graph construction wants the nav links
+    too; filtering to content links is the caller's query predicate."""
+    out = []
+    for kind, val, attrs in tokenize_ex(html):
+        if kind == "open" and val == "a":
+            m = _HREF_RE.search(attrs)
+            if m is not None:
+                href = next(g for g in m.groups() if g is not None)
+                out.append(_decode_entities(href))
+    return out
 
 
 def main_content(html: str) -> dict:

@@ -21,12 +21,20 @@ embarrassingly parallel, no shuffle, column-pruned to (doc_id, html).
 from __future__ import annotations
 
 __all__ = ["ENTITY_PLANT_N", "PARA2", "htmlize_documents",
-           "html_main_content"]
+           "html_main_content", "html_links", "html_link_graph",
+           "html_pagerank", "LINK_COEFFS", "PR_ITERS", "PR_SCALE"]
 
 ENTITY_PLANT_N = 10
 ENTITY_SUFFIX = " AT&T says 2<3 & 4>1"
 PARA2 = ("Closing thoughts follow in a second paragraph long enough "
          "to clear the minimum block threshold.")
+# the related-links block points at 3 other docs of the SAME corpus:
+# dst_i = (a_i * doc_id + b_i) mod N — a deterministic link graph the
+# oracle reproduces from the same formulas (collisions and self-loops
+# are kept: they exist on the real web too and both sides agree)
+LINK_COEFFS = ((7, 1), (13, 5), (31, 11))
+PR_ITERS = 10
+PR_SCALE = 10 ** 12  # fixed-point: rank 1.0 == 10^12
 
 _RESULT_SCHEMA = ("doc_id long, title string, main_text string, "
                   "n_blocks_kept long, n_blocks_dropped long")
@@ -39,6 +47,10 @@ def htmlize_documents(spark, sf_dir: str):
 
     df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
           .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+    # corpus size as a broadcast one-row cross join (plan-time, no
+    # driver action) — the link formulas need N
+    n_row = df.agg(F.count("*").alias("_n"))
+    df = df.crossJoin(F.broadcast(n_row))
     body = F.when(F.col("doc_id") < ENTITY_PLANT_N,
                   F.concat(F.col("text"), F.lit(ENTITY_SUFFIX))) \
             .otherwise(F.col("text"))
@@ -46,6 +58,12 @@ def htmlize_documents(spark, sf_dir: str):
         F.regexp_replace(
             F.regexp_replace(body, "&", "&amp;"), "<", "&lt;"),
         ">", "&gt;")
+    related = [F.lit("<div class='related'>")]
+    for a, b in LINK_COEFFS:
+        dst = (F.col("doc_id") * a + b) % F.col("_n")
+        related += [F.lit("<a href='/doc/"), dst, F.lit("'>doc "),
+                    dst, F.lit("</a> ")]
+    related.append(F.lit("</div>"))
     html = F.concat(
         F.lit("<html><head><title>Doc "), F.col("doc_id"),
         F.lit("</title><style>body{margin:0}</style></head><body>"),
@@ -53,8 +71,7 @@ def htmlize_documents(spark, sf_dir: str):
               "<a href='/contact'>Contact</a></nav>"),
         F.lit("<h1>Doc "), F.col("doc_id"), F.lit("</h1>"),
         F.lit("<p>"), esc, F.lit("</p>"),
-        F.lit("<div class='related'><a href='/r1'>related article one"
-              "</a> <a href='/r2'>related article two</a></div>"),
+        *related,
         F.lit("<p>"), F.lit(PARA2), F.lit("</p>"),
         F.lit("<p>Read more</p>"),
         F.lit("<footer>(c) 2026 Example Corp. All rights reserved. "
@@ -89,3 +106,99 @@ def html_main_content(spark, sf_dir: str):
             })
 
     return docs.mapInPandas(extract, schema=_RESULT_SCHEMA)
+
+
+def html_links(spark, sf_dir: str):
+    """(doc_id, pos, href) for every anchor in every page, in document
+    order — one Arrow-batched pass with the same tokenizer the
+    main-content extractor uses (so script bodies and comments can
+    never fake a link). On this template each page yields 7 rows: the
+    3 nav links, the 3 related-doc links, the footer /tos."""
+    from pyspark.sql import functions as F
+
+    docs = htmlize_documents(spark, sf_dir)
+
+    def extract(batches):
+        import pandas as pd
+
+        from paddleocr_spark.kernels.html import extract_links
+
+        for pdf in batches:
+            ids, poss, hrefs = [], [], []
+            for doc_id, h in zip(pdf["doc_id"], pdf["html"]):
+                for pos, href in enumerate(extract_links(h)):
+                    ids.append(doc_id)
+                    poss.append(pos)
+                    hrefs.append(href)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "pos": pd.Series(poss, dtype="int64"),
+                "href": pd.Series(hrefs, dtype="object"),
+            })
+
+    return docs.mapInPandas(
+        extract, schema="doc_id long, pos long, href string")
+
+
+def html_link_graph(spark, sf_dir: str):
+    """Distinct (src, dst) edges of the intra-corpus link graph:
+    /doc/<id> hrefs parsed back to ids. Collisions between the three
+    formulas collapse under DISTINCT; self-loops are kept."""
+    from pyspark.sql import functions as F
+
+    return (html_links(spark, sf_dir)
+            .where(F.col("href").startswith("/doc/"))
+            .select(F.col("doc_id").alias("src"),
+                    F.expr("CAST(substring(href, 6) AS BIGINT)")
+                    .alias("dst"))
+            .distinct())
+
+
+def html_pagerank(spark, sf_dir: str, iters: int = PR_ITERS):
+    """Deterministic fixed-point PageRank over the extracted link
+    graph — the canonical web-scale iterative DataFrame job.
+
+    All arithmetic is 64-bit integer on ranks scaled by PR_SCALE
+    (rank 1.0 == 10^12): contribution = rank DIV outdeg, damping =
+    (85 * inflow) DIV 100 + (15 * PR_SCALE DIV 100) DIV N. Integer
+    sums are order-independent, so the result is bit-exact across
+    partitionings, engines, and the DuckDB oracle's unrolled-CTE
+    twin — no float-summation-order caveats. Each round is one join +
+    one map-side-combinable sum; per-round localCheckpoint keeps the
+    logical plan flat (the operators/graph.py lesson). Every node has
+    outdegree >= 1 by construction, so no dangling-mass term."""
+    from pyspark.sql import functions as F
+
+    edges = html_link_graph(spark, sf_dir)
+    nodes = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .select(F.col("doc_id").cast("long").alias("doc_id")))
+    n_row = nodes.agg(F.count("*").alias("_n"))
+    nodes = nodes.crossJoin(F.broadcast(n_row))
+
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # `div` is Spark's true 64-bit integer division — NOT `/` +
+    # cast(long), which routes through a double and can round across
+    # an integer boundary once N or the ranks grow
+    base = F.expr(f"{15 * PR_SCALE // 100} div _n")
+    ranks = nodes.select(
+        "doc_id", "_n",
+        F.expr(f"{PR_SCALE} div _n").alias("rank_fp"))
+    ranks = ranks.localCheckpoint(eager=True)
+
+    for _ in range(iters):
+        contrib = (ranks
+                   .join(outdeg, ranks.doc_id == outdeg.src)
+                   .select(F.col("doc_id").alias("c_src"),
+                           F.expr("rank_fp div deg").alias("c")))
+        inflow = (edges.join(contrib, edges.src == F.col("c_src"))
+                  .groupBy("dst").agg(F.sum("c").alias("inflow")))
+        ranks = (nodes
+                 .join(inflow, nodes.doc_id == inflow.dst, "left")
+                 .select(
+                     "doc_id", "_n",
+                     (base + F.expr(
+                         "(85 * coalesce(inflow, 0L)) div 100"))
+                     .alias("rank_fp")))
+        ranks = ranks.localCheckpoint(eager=True)
+
+    return ranks.select("doc_id", "rank_fp")

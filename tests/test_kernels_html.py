@@ -146,3 +146,36 @@ def test_surrogate_entity_never_reaches_output():
     r = main_content(html)
     assert "�" in r["main_text"]
     r["main_text"].encode("utf-8")  # must be valid UTF-8
+
+
+def test_extract_links_corners():
+    from paddleocr_spark.kernels.html import extract_links
+
+    html = ("<nav><a href='/'>H</a> <a href=\"/a&amp;b\">amp</a></nav>"
+            "<p><a href=/bare/x>bare</a>"
+            "<a HREF='/upper'>case</a>"
+            "<a nohref>none</a>"
+            "<a href=''>empty</a></p>"
+            "<script>var s = '<a href=/fake>never</a>';</script>"
+            "<!-- <a href='/ghost'>x</a> -->")
+    assert extract_links(html) == ["/", "/a&b", "/bare/x", "/upper", ""]
+
+
+def test_extract_links_document_order_matches_template():
+    # the operator layer's 7-anchor contract on the page template
+    from paddleocr_spark.kernels.html import extract_links
+    from paddleocr_spark.operators.html_extract import LINK_COEFFS
+
+    n, doc_id = 500, 42
+    related = "".join(
+        f"<a href='/doc/{(a * doc_id + b) % n}'>doc x</a> "
+        for a, b in LINK_COEFFS)
+    html = (f"<body><nav><a href='/'>H</a> <a href='/about'>A</a> "
+            f"<a href='/contact'>C</a></nav><p>text</p>"
+            f"<div>{related}</div>"
+            f"<footer><a href='/tos'>T</a></footer></body>")
+    links = extract_links(html)
+    assert links[:3] == ["/", "/about", "/contact"]
+    assert links[3:6] == [f"/doc/{(a * doc_id + b) % n}"
+                          for a, b in LINK_COEFFS]
+    assert links[6] == "/tos"
