@@ -154,7 +154,8 @@ def html_link_graph(spark, sf_dir: str):
             .distinct())
 
 
-def html_pagerank(spark, sf_dir: str, iters: int = PR_ITERS):
+def html_pagerank(spark, sf_dir: str, iters: int = PR_ITERS,
+                  checkpoint: bool = True):
     """Deterministic fixed-point PageRank over the extracted link
     graph — the canonical web-scale iterative DataFrame job.
 
@@ -183,7 +184,8 @@ def html_pagerank(spark, sf_dir: str, iters: int = PR_ITERS):
     ranks = nodes.select(
         "doc_id", "_n",
         F.expr(f"{PR_SCALE} div _n").alias("rank_fp"))
-    ranks = ranks.localCheckpoint(eager=True)
+    if checkpoint:
+        ranks = ranks.localCheckpoint(eager=True)
 
     for _ in range(iters):
         contrib = (ranks
@@ -199,6 +201,7 @@ def html_pagerank(spark, sf_dir: str, iters: int = PR_ITERS):
                      (base + F.expr(
                          "(85 * coalesce(inflow, 0L)) div 100"))
                      .alias("rank_fp")))
-        ranks = ranks.localCheckpoint(eager=True)
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
 
     return ranks.select("doc_id", "rank_fp")

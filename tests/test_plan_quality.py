@@ -273,3 +273,30 @@ def test_codegen_spans_exist(spark):
         assert wholestage_codegen_spans(df) >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_html_pipeline_prunes_columns(spark):
+    """The HTML construction must read only doc_id + text from the
+    documents scan — a page builder that drags lang/source/n_chars
+    through the Arrow stage reads 2x the bytes for nothing."""
+    from paddleocr_spark.operators import html_extract
+
+    df = html_extract.html_main_content(spark, SF)
+    schemas = scan_read_schema(df)
+    assert schemas, "no parquet scan found"
+    assert all(set(s) <= {"doc_id", "text"} for s in schemas), schemas
+
+
+def test_pagerank_no_cartesian_beyond_count_broadcast(spark):
+    """Each PageRank round must be equi-joins + one map-side-
+    combinable sum. The ONLY nested-loop join allowed is the
+    broadcast of the one-row corpus-count used by the link formulas
+    and the damping base."""
+    from paddleocr_spark.operators import html_extract
+    from paddleocr_spark.plans.inspect import formatted_plan
+
+    df = html_extract.html_pagerank(spark, SF, iters=2,
+                                    checkpoint=False)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
