@@ -170,13 +170,20 @@ def html_pagerank(spark, sf_dir: str, iters: int = PR_ITERS,
     outdegree >= 1 by construction, so no dangling-mass term."""
     from pyspark.sql import functions as F
 
-    edges = html_link_graph(spark, sf_dir)
+    from paddleocr_spark.operators._cache import eager_persist
+
+    # extract the link graph ONCE — every round joins it, and an
+    # unpersisted edge list would re-run the whole HTML parse per
+    # round (measured 17 s -> ~4 s at sf0.1). At production scale the
+    # graph is its own table written by the link-extraction job.
+    edges = eager_persist(html_link_graph(spark, sf_dir))
     nodes = (spark.read.parquet(f"{sf_dir}/documents.parquet")
              .select(F.col("doc_id").cast("long").alias("doc_id")))
     n_row = nodes.agg(F.count("*").alias("_n"))
     nodes = nodes.crossJoin(F.broadcast(n_row))
 
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    outdeg = eager_persist(
+        edges.groupBy("src").agg(F.count("*").alias("deg")))
     # `div` is Spark's true 64-bit integer division — NOT `/` +
     # cast(long), which routes through a double and can round across
     # an integer boundary once N or the ranks grow
