@@ -181,6 +181,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             break  # entropy-coded data follows at offset i
     if frame is None or scan_comps is None:
         raise ValueError("truncated JPEG (no SOF/SOS)")
+    if len(scan_comps) != len(frame["comps"]):
+        # a legal baseline file may carry one scan per component;
+        # decoding only the first with interleaved-MCU geometry would
+        # mis-assemble luma and zero the chroma — refuse explicitly
+        raise ValueError("non-interleaved (multi-scan) baseline JPEG "
+                         "unsupported")
 
     # unstuff entropy bytes; note restart-marker positions
     ecs = bytearray()

@@ -60,8 +60,12 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             raise ValueError("unterminated PDF object")
         if sm and sm.start() < end_plain:
             head = data[body_start:sm.start()]
-            lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
-            if not lm:
+            # the lookahead form (\d+)(?!\s+\d+\s+R) BACKTRACKS on
+            # multi-digit indirect refs ('/Length 12 0 R' would match
+            # with length=1); match the optional ref explicitly and
+            # reject it instead
+            lm = re.search(rb"/Length\s+(\d+)(\s+\d+\s+R)?", head)
+            if not lm or lm.group(2):
                 raise ValueError(
                     "PDF stream with missing/indirect /Length "
                     "unsupported")
@@ -158,11 +162,16 @@ def decode_pdf_pages(data: bytes) -> list[np.ndarray]:
     if not is_pdf(data):
         raise ValueError("not a PDF")
     objects = _scan_objects(data)
-    tm = re.search(rb"trailer(.*?)(?:startxref|%%EOF)", data, re.DOTALL)
-    if not tm:
+    # use the LAST trailer: _scan_objects keeps the latest definition
+    # of every object, and in an incrementally-updated PDF only the
+    # final trailer's /Root is consistent with that view (the first
+    # trailer would walk a stale catalog over updated objects)
+    trailers = re.findall(rb"trailer(.*?)(?:startxref|%%EOF)", data,
+                          re.DOTALL)
+    if not trailers:
         raise ValueError("no PDF trailer (cross-reference streams "
                          "unsupported)")
-    root = _ref(tm.group(1), b"/Root")
+    root = _ref(trailers[-1], b"/Root")
     if root is None:
         raise ValueError("PDF trailer without /Root")
     pages_root = _ref(objects[root][0], b"/Pages")

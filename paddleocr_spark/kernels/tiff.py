@@ -68,6 +68,12 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
         for e in range(n_entries):
             p = ifd_off + 2 + 12 * e
             tag, vtype, count = struct.unpack(bo + "HHI", data[p:p + 8])
+            if vtype not in _TYPE_SIZE:
+                # RATIONAL/ASCII/etc metadata (XResolution, DateTime,
+                # Software...) is standard in real scanner output —
+                # skip tags the decoder never consults instead of
+                # failing the whole file on them
+                continue
             tags[tag] = _read_values(data, bo, vtype, count,
                                      data[p + 8:p + 12])
         (ifd_off,) = struct.unpack(
@@ -86,6 +92,11 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
             raise ValueError("only 8-bit TIFF samples supported")
         if photo not in (0, 1, 2) or spp not in (1, 3):
             raise ValueError("only gray/RGB TIFF supported")
+        if tags.get(284, [1])[0] != 1:
+            # planar (RRR..GGG..BBB) data reshaped as interleaved
+            # would be silently scrambled — the explicit error the
+            # module contract promises
+            raise ValueError("planar-configuration TIFF unsupported")
         offsets = tags[273]
         counts = tags[279]
         raw = b"".join(data[o:o + c] for o, c in zip(offsets, counts))

@@ -115,14 +115,19 @@ def encode_y4m(frames, fps=(25, 1), cs: str = "420") -> bytes:
 
 
 def yuv420_to_rgb(frame: dict) -> np.ndarray:
-    """BT.601 full-range YUV → RGB uint8 (H, W, 3); chroma upsampled
-    by nearest-neighbour (the deterministic choice — no interpolation
-    ambiguity across engines)."""
+    """BT.601 full-range YUV → RGB uint8 (H, W, 3); 420 chroma
+    upsampled by nearest-neighbour (the deterministic choice — no
+    interpolation ambiguity across engines). 444 frames (chroma
+    already full-size) pass through without the 2x repeat — repeating
+    a full-size plane would stretch its top-left quadrant over the
+    image and silently wreck the colors of any non-constant frame."""
     y = frame["y"].astype(np.float64)
-    u = frame["u"].repeat(2, axis=0).repeat(2, axis=1).astype(np.float64)
-    v = frame["v"].repeat(2, axis=0).repeat(2, axis=1).astype(np.float64)
-    u = u[:y.shape[0], :y.shape[1]] - 128.0
-    v = v[:y.shape[0], :y.shape[1]] - 128.0
+    u, v = frame["u"], frame["v"]
+    if u.shape != y.shape:
+        u = u.repeat(2, axis=0).repeat(2, axis=1)
+        v = v.repeat(2, axis=0).repeat(2, axis=1)
+    u = u[:y.shape[0], :y.shape[1]].astype(np.float64) - 128.0
+    v = v[:y.shape[0], :y.shape[1]].astype(np.float64) - 128.0
     r = y + 1.402 * v
     g = y - 0.344136 * u - 0.714136 * v
     b = y + 1.772 * u

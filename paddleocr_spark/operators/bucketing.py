@@ -32,6 +32,7 @@ happens once per ingest, which is the production shape.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import functions as F
@@ -43,10 +44,9 @@ N_BUCKETS = 8
 
 
 def _cache_root() -> str:
-    return os.path.join(
-        os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))),
-        ".cache", "bucketed")
+    from paddleocr_spark.cachedir import cache_root
+
+    return cache_root("bucketed")
 
 
 def write_bucketed(df, name: str, path: str, keys, n_buckets: int = N_BUCKETS,
@@ -61,6 +61,13 @@ def write_bucketed(df, name: str, path: str, keys, n_buckets: int = N_BUCKETS,
         w = w.sortBy(*([sort_cols] if isinstance(sort_cols, str)
                        else list(sort_cols)))
     w.saveAsTable(name)
+    # record the written bucket count next to the data: re-attaching
+    # with a DIFFERENT count than the files were hashed with would
+    # silently drop join rows, so register_bucketed validates this
+    with open(os.path.join(path, "_bucket_spec.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets,
+                   "keys": keys,
+                   "sort_cols": sort_cols}, f)
 
 
 def register_bucketed(spark, name: str, path: str, key: str,
@@ -71,7 +78,19 @@ def register_bucketed(spark, name: str, path: str, key: str,
     so declaring the same spec over the same files is exact. This is
     the write-once production shape; correctness is guarded by the
     values test in test_plan_quality.py (a wrong bucket mapping would
-    drop join rows, not just slow down)."""
+    drop join rows, not just slow down). The count is validated
+    against the _bucket_spec.json the writer left with the data — a
+    mismatched declaration is exactly such a silent wrong-bucket
+    mapping."""
+    spec_path = os.path.join(path, "_bucket_spec.json")
+    if os.path.exists(spec_path):
+        with open(spec_path) as f:
+            written = json.load(f)["n_buckets"]
+        if written != n_buckets:
+            raise ValueError(
+                f"bucketed data at {path} was written with "
+                f"{written} buckets; refusing to register it as "
+                f"{n_buckets}")
     cols = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                      for f in spark.read.parquet(path).schema.fields)
     spark.sql(

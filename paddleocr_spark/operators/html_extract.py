@@ -180,7 +180,10 @@ def html_pagerank(spark, sf_dir: str, iters: int = PR_ITERS,
     nodes = (spark.read.parquet(f"{sf_dir}/documents.parquet")
              .select(F.col("doc_id").cast("long").alias("doc_id")))
     n_row = nodes.agg(F.count("*").alias("_n"))
-    nodes = nodes.crossJoin(F.broadcast(n_row))
+    # nodes is joined in EVERY round (same access pattern as edges) —
+    # persist it too, or each eager round re-scans the parquet and
+    # recomputes the count aggregation
+    nodes = eager_persist(nodes.crossJoin(F.broadcast(n_row)))
 
     outdeg = eager_persist(
         edges.groupBy("src").agg(F.count("*").alias("deg")))

@@ -35,10 +35,9 @@ def epoch_day(col: str = "ts"):
 
 
 def _cache_root() -> str:
-    return os.path.join(
-        os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))),
-        ".cache", "partitioned")
+    from paddleocr_spark.cachedir import cache_root
+
+    return cache_root("partitioned")
 
 
 def ensure_partitioned_events(spark, sf_dir: str) -> str:

@@ -185,9 +185,9 @@ def ensure_av_store(root: str) -> str:
 
 
 def _store_root() -> str:
-    return os.path.join(
-        os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))), ".cache")
+    from paddleocr_spark.cachedir import cache_root
+
+    return cache_root()
 
 
 def audio_features(spark, sf_dir: str):

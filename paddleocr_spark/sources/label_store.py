@@ -115,9 +115,9 @@ PGNET_SPEC = [exp for f in (0, 1) for _, exp in _pg_rows(f)
 
 
 def _store_root() -> str:
-    return os.path.join(
-        os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))), ".cache")
+    from paddleocr_spark.cachedir import cache_root
+
+    return cache_root()
 
 
 def ensure_label_store(root: str) -> str:

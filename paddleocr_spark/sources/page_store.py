@@ -114,10 +114,9 @@ def paged_store_pages(spark, sf_dir: str):
         read_binary_files,
     )
 
-    cache_root = os.path.join(
-        os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))), ".cache")
-    store = ensure_page_store(cache_root)
+    from paddleocr_spark.cachedir import cache_root
+
+    store = ensure_page_store(cache_root())
 
     def dec(batches):
         import os as _os

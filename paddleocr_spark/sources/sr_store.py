@@ -85,9 +85,9 @@ def ensure_sr_store(root: str) -> str:
 
 
 def _store_root() -> str:
-    return os.path.join(
-        os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))), ".cache")
+    from paddleocr_spark.cachedir import cache_root
+
+    return cache_root()
 
 
 def sr_pairs_filtered(spark, sf_dir: str):
