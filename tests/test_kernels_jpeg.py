@@ -138,3 +138,30 @@ def test_422_mcu_geometry():
     d422 = decode_jpeg(encode_jpeg(grad, quant=1, subsampling="422"))
     d420 = decode_jpeg(encode_jpeg(grad, quant=1, subsampling="420"))
     assert _maxdiff(d422, grad) <= _maxdiff(d420, grad)
+
+
+def test_multiscan_baseline_raises():
+    """ns != number of frame components (legal baseline, one scan per
+    component) must raise, never mis-assemble."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from paddleocr_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    data = encode_jpeg(np.full((16, 16, 3), 128, dtype=np.uint8))
+    i = data.find(b"\xff\xda")
+    assert i > 0
+    (seg_len,) = struct.unpack(">H", data[i + 2:i + 4])
+    old = data[i + 4:i + 2 + seg_len]
+    ns = old[0]
+    assert ns == 3
+    # rewrite SOS to cover only the first component
+    new_payload = bytes([1]) + old[1:3] + old[1 + 2 * ns:]
+    patched = (data[:i + 2]
+               + struct.pack(">H", len(new_payload) + 2)
+               + new_payload
+               + data[i + 2 + seg_len:])
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(patched)

@@ -206,3 +206,36 @@ def test_explode_pages_quarantines_corrupt_containers(spark, tmp_path):
     errs = page_errors(explode_pages(files, on_error="quarantine")).collect()
     assert len(errs) == 1
     assert errs[0].path.endswith("bad.pdf") and "ValueError" in errs[0].error
+
+
+def test_indirect_multidigit_length_raises():
+    """'/Length 12 0 R' must raise, not backtrack to length=1."""
+    import pytest
+
+    from paddleocr_spark.kernels.pdf import _scan_objects
+
+    body = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Length 12 0 R >>\nstream\n"
+            b"0123456789ab\nendstream\nendobj\n")
+    with pytest.raises(ValueError, match="indirect"):
+        _scan_objects(body)
+
+
+def test_incremental_update_uses_last_trailer():
+    """An appended update's trailer must win over the original."""
+    import numpy as np
+
+    from paddleocr_spark.kernels.pdf import decode_pdf_pages, encode_pdf
+
+    base = encode_pdf([np.full((8, 8, 3), 10, dtype=np.uint8)],
+                      image_filter="FlateDecode")
+    # simulate an incremental update: append a second full revision
+    # (new objects reusing the same numbers + a second trailer). The
+    # object scan keeps the LAST definitions; the walk must use the
+    # LAST trailer to stay consistent.
+    update = encode_pdf([np.full((8, 8, 3), 200, dtype=np.uint8)],
+                        image_filter="FlateDecode")
+    data = base + update[update.find(b"\n") + 1:]  # drop dup %PDF line
+    pages = decode_pdf_pages(data)
+    assert len(pages) == 1
+    assert int(pages[0][0, 0, 0]) == 200

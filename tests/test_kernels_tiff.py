@@ -154,3 +154,53 @@ def test_tiff_binaryfile_to_det_ingest(spark, tmp_path):
     assert got["d0.tiff"] == (3, True)
     assert got["d1.tiff"] == (1, False)
     assert got["d2.tiff"] == (2, True)
+
+
+def _with_extra_entry(data: bytes, tag: int, vtype: int, count: int,
+                      value_word: bytes) -> bytes:
+    """Rewrite a single-IFD encode_tiff output to append one extra IFD
+    entry (entries must stay tag-sorted ascending per spec, so pick
+    tags above 279)."""
+    import struct
+
+    (ifd_off,) = struct.unpack("<I", data[4:8])
+    (n,) = struct.unpack("<H", data[ifd_off:ifd_off + 2])
+    entries = data[ifd_off + 2:ifd_off + 2 + 12 * n]
+    extra = struct.pack("<HHI", tag, vtype, count) + value_word
+    out = bytearray(data[:ifd_off])
+    out += struct.pack("<H", n + 1) + entries + extra
+    out += struct.pack("<I", 0)  # next-IFD pointer
+    return bytes(out)
+
+
+def test_rational_metadata_tags_are_skipped():
+    """Real scanner TIFFs carry XResolution (type 5 RATIONAL) and
+    friends; they must be ignored, not fatal."""
+    import struct
+
+    import numpy as np
+
+    from paddleocr_spark.kernels.tiff import decode_tiff, encode_tiff
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    data = encode_tiff([img])
+    # XResolution, RATIONAL, offset points anywhere (value unused)
+    data = _with_extra_entry(data, 282, 5, 1, struct.pack("<I", 8))
+    pages = decode_tiff(data)
+    assert len(pages) == 1
+    assert (pages[0] == img).all()
+
+
+def test_planar_configuration_raises():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from paddleocr_spark.kernels.tiff import decode_tiff, encode_tiff
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    data = _with_extra_entry(encode_tiff([img]), 284, 3, 1,
+                             struct.pack("<HH", 2, 0))
+    with pytest.raises(ValueError, match="planar"):
+        decode_tiff(data)

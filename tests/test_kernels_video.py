@@ -114,3 +114,21 @@ def test_video_frame_feature_stage(spark):
     got = [r["mean_luma"] for r in rows
            if r["ref"] == "v0" and r["frame_idx"] == 1][0]
     assert got == want
+
+
+def test_yuv444_chroma_passes_through_full_size():
+    """A non-constant 444 frame must use its full-resolution chroma —
+    the 420 upsampler would stretch the top-left quadrant."""
+    import numpy as np
+
+    from paddleocr_spark.kernels.video import yuv420_to_rgb
+
+    h = w = 4
+    y = np.full((h, w), 128, dtype=np.uint8)
+    u = np.full((h, w), 128, dtype=np.uint8)
+    v = np.full((h, w), 128, dtype=np.uint8)
+    v[3, 3] = 255  # red only in the bottom-right pixel
+    rgb = yuv420_to_rgb({"y": y, "u": u, "v": v})
+    assert rgb[3, 3, 0] > 200          # the red pixel is red
+    assert rgb[0, 0, 0] == 128         # the rest untouched
+    assert (rgb[:3, :3] == 128).all()  # no quadrant stretching

@@ -300,3 +300,24 @@ def test_pagerank_no_cartesian_beyond_count_broadcast(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert has_partial_aggregate(df)
+
+
+def test_bucket_count_mismatch_refused(spark, tmp_path):
+    """Re-attaching bucketed files with a different bucket count must
+    raise — a mismatched declaration silently drops join rows."""
+    import pytest
+
+    from paddleocr_spark.operators.bucketing import (
+        register_bucketed,
+        write_bucketed,
+    )
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    path = str(tmp_path / "b")
+    write_bucketed(df, "bspec_t1", path, "k", n_buckets=8)
+    spark.sql("DROP TABLE IF EXISTS bspec_t1")
+    with pytest.raises(ValueError, match="8 buckets"):
+        register_bucketed(spark, "bspec_t2", path, "k", n_buckets=4)
+    register_bucketed(spark, "bspec_t3", path, "k", n_buckets=8)
+    assert spark.table("bspec_t3").count() == 100
+    spark.sql("DROP TABLE IF EXISTS bspec_t3")
