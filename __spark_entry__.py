@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": curation.benchmark_contamination,
         "stratified_sample": curation.stratified_sample,
         "token_budget_mix": curation.token_budget_mix,
+        "curated_corpus": curation.curated_corpus,
         # --- dedup (oracle-checked) ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_signatures": dedup.minhash_signatures,
@@ -912,6 +913,59 @@ def oracle_sql() -> dict[str, str]:
         # arithmetic throughout so the match is bit-exact, not
         # tolerance-based
         "html_pagerank": _pagerank_oracle(html_extract.PR_ITERS),
+        # the four-stage pipeline composed as CTEs: the same template
+        # main-text expression as html_main_content, the same quality
+        # formula as quality_scores (over the extracted text), the
+        # same keep-hash sampling as stratified_sample (salt 'cur'),
+        # the same window cap as token_budget_mix
+        "curated_corpus": f"""
+            WITH m AS (
+              SELECT doc_id::bigint AS doc_id, lang,
+                     trim(regexp_replace(
+                         CASE WHEN doc_id < {html_extract.ENTITY_PLANT_N}
+                              THEN text || '{html_extract.ENTITY_SUFFIX}'
+                              ELSE text END,
+                         '\\s+', ' ', 'g'))
+                       || chr(10) || chr(10) || '{html_extract.PARA2}'
+                       AS mt
+              FROM documents),
+            s AS (
+              SELECT doc_id, lang,
+                     len(regexp_split_to_array(mt, '\\s+'))::bigint
+                         AS n_tokens,
+                     round(0.4 * (len(list_filter(
+                               regexp_split_to_array(mt, '\\s+'),
+                               x -> x IN ({stop_list})))::double
+                             / len(regexp_split_to_array(mt, '\\s+')))
+                         + 0.3 * least(
+                               len(regexp_split_to_array(mt, '\\s+'))
+                               / 100.0, 1.0)
+                         + 0.3 * (length(regexp_replace(
+                               lower(mt), '[^a-z]', '', 'g'))::double
+                             / length(mt)), 6) AS quality,
+                     md5(mt) AS main_md5
+              FROM m),
+            f AS (
+              SELECT *, {_wh('cur', 'doc_id::bigint::varchar')}
+                        % {curation.SAMPLE_DENOM} AS pri
+              FROM s WHERE quality >= {curation.QUALITY_MIN}),
+            g AS (
+              SELECT * FROM f
+              WHERE pri < CASE {' '.join(
+                  f"WHEN lang = '{lg}' THEN "
+                  f"{int(r * curation.SAMPLE_DENOM)}"
+                  for lg, r in curation.SAMPLE_RATES.items())}
+                   ELSE {int(curation.DEFAULT_RATE
+                             * curation.SAMPLE_DENOM)} END),
+            w AS (
+              SELECT doc_id, lang, n_tokens, quality, main_md5,
+                     sum(n_tokens) OVER (
+                         PARTITION BY lang ORDER BY pri, doc_id
+                         ROWS UNBOUNDED PRECEDING)::bigint AS cum_tokens
+              FROM g)
+            SELECT doc_id, lang, n_tokens, quality, main_md5, cum_tokens
+            FROM w WHERE cum_tokens - n_tokens < {curation.LANG_BUDGET}
+        """,
         "benchmark_contamination": f"""
             WITH cdocs AS (
               SELECT doc_id::bigint AS doc_id, text FROM documents

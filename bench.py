@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "benchmark_contamination",
     "stratified_sample",
     "token_budget_mix",
+    "curated_corpus",
     "exact_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",

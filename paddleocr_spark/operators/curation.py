@@ -27,7 +27,9 @@ from __future__ import annotations
 
 __all__ = [
     "NGRAM_N", "BENCH_MOD", "SAMPLE_RATES", "SAMPLE_DENOM", "LANG_BUDGET",
+    "QUALITY_MIN",
     "benchmark_contamination", "stratified_sample", "token_budget_mix",
+    "curated_corpus",
 ]
 
 NGRAM_N = 8           # verbatim 8-gram overlap = standard decontam unit
@@ -159,3 +161,73 @@ def dedup_norm(F, col):
     from paddleocr_spark.operators.dedup import _norm_tokens
 
     return _norm_tokens(F, col)
+
+
+QUALITY_MIN = 0.45  # keeps ~70% of the synthetic corpus (measured
+                    # quartiles 0.44/0.50 at sf0.01) — both branches
+                    # of the filter are exercised
+
+
+def curated_corpus(spark, sf_dir: str, budget: int = LANG_BUDGET):
+    """The end-to-end training-data curation pipeline as ONE
+    declarative job: DOM main-content extraction → quality filter →
+    deterministic per-language stratified sampling → per-language
+    token budget. Every stage is an operator this module (or
+    html_extract/text) already ships alone; this query is the
+    composition a real corpus build runs, and its DuckDB oracle
+    composes the same four stages as CTEs.
+
+    Scale shape: the only Python is the Arrow-batched DOM parse; the
+    quality ratios are pure Catalyst over its output; the stratified
+    keep is a scan-riding filter; the budget cap is one per-language
+    window. The doc_id equi-join back to the documents table for the
+    lang column is co-partitioned by bucketing both sides on doc_id
+    at production scale (operators/bucketing.py). The quality filter
+    compares ROUNDED (6 dp) scores so the cross-engine comparison can
+    never straddle a ulp."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from paddleocr_spark.operators.html_extract import html_main_content
+    from paddleocr_spark.operators.text import STOPWORDS
+
+    mc = html_main_content(spark, sf_dir).select("doc_id", "main_text")
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    df = mc.join(langs, "doc_id")
+
+    toks = F.split(F.col("main_text"), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(toks)
+    stop_ratio = (F.size(F.filter(
+        toks, lambda w: F.array_contains(stop_arr, w))).cast("double")
+        / n_tok)
+    alpha_ratio = (F.length(F.regexp_replace(F.lower(F.col("main_text")),
+                                             "[^a-z]", ""))
+                   / F.length("main_text"))
+    quality = F.round(0.4 * stop_ratio
+                      + 0.3 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+                      + 0.3 * alpha_ratio, 6)
+
+    scored = df.select(
+        "doc_id", "lang",
+        n_tok.cast("long").alias("n_tokens"),
+        quality.alias("quality"),
+        F.md5("main_text").alias("main_md5"))
+    kept = scored.where(F.col("quality") >= QUALITY_MIN)
+
+    thr = F.lit(int(DEFAULT_RATE * SAMPLE_DENOM))
+    for lang, r in SAMPLE_RATES.items():
+        thr = F.when(F.col("lang") == lang,
+                     F.lit(int(r * SAMPLE_DENOM))).otherwise(thr)
+    sampled = (kept
+               .withColumn("pri", _keep_hash(F, F.col("doc_id"), "cur"))
+               .where(F.col("pri") < thr))
+
+    w = (Window.partitionBy("lang").orderBy("pri", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    mixed = sampled.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+    return (mixed.where(F.col("cum_tokens") - F.col("n_tokens")
+                        < F.lit(budget))
+            .select("doc_id", "lang", "n_tokens", "quality",
+                    "main_md5", "cum_tokens"))
