@@ -412,6 +412,56 @@ def _run_stress_study() -> dict:
         time.sleep(5)
 
 
+def _run_html_throughput(master_cores: int) -> dict:
+    """Fresh session at local[N]: steady-state pages/sec for the DOM
+    main-content extraction over a 40x-tiled 200k-page corpus (the
+    sf0.1 documents replicated with shifted ids into a temp documents
+    table, so the html queries' sf_dir contract holds). One untimed
+    warm pass, then the timed pass — the N-vs-4N evidence for the
+    north rule's named HTML/DOM operator."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.operators.html_extract import html_main_content
+    from paddleocr_spark.session import get_spark
+
+    spark = get_spark(f"bench_html_{master_cores}",
+                      master=f"local[{master_cores}]",
+                      shuffle_partitions=master_cores)
+    tmp = tempfile.mkdtemp(prefix="html_scale_")
+    try:
+        base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        tiles = [base.select((F.col("doc_id").cast("long")
+                              + 1_000_000 * k).alias("doc_id"),
+                             *[c for c in base.columns if c != "doc_id"])
+                 for k in range(40)]
+        tiled = tiles[0]
+        for t in tiles[1:]:
+            tiled = tiled.unionByName(t)
+        # write enough splits that BOTH parallelism levels have
+        # abundant tasks — a ~10-file corpus caps the scan at 10
+        # tasks and silently flattens the local[32] measurement
+        tiled.repartition(128).write.mode("overwrite") \
+            .parquet(f"{tmp}/documents.parquet")
+        n = spark.read.parquet(f"{tmp}/documents.parquet").count()
+        _warm_workers(spark, master_cores)
+        df = html_main_content(spark, tmp)
+        df.write.mode("overwrite") \
+            .format("noop").save()  # warm pass, untimed
+        dt = float("inf")  # best-of-3, same protocol as the extract
+        for _ in range(3):  # scaling study (GC/host noise rejection)
+            t0 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            dt = min(dt, time.time() - t0)
+        return {"n_pages": n, "pages_per_sec": round(n / dt, 1)}
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+        time.sleep(10)
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from paddleocr_spark.session import get_spark
@@ -460,6 +510,19 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_STRESS"):
         out["stress_dedup"] = _run_stress_study()
+
+    if os.environ.get("SPARK_GRAFT_HTML_SCALING"):
+        pair = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "8,32")
+        lo, hi = (int(x) for x in pair.split(","))
+        r_lo = _run_html_throughput(lo)
+        r_hi = _run_html_throughput(hi)
+        out["html_scaling"] = {
+            "n_pages": r_lo["n_pages"],
+            f"pages_per_sec_local[{lo}]": r_lo["pages_per_sec"],
+            f"pages_per_sec_local[{hi}]": r_hi["pages_per_sec"],
+            "efficiency": round((r_hi["pages_per_sec"]
+                                 / r_lo["pages_per_sec"]) / (hi / lo), 3),
+        }
 
     if os.environ.get("SPARK_GRAFT_SCALING"):
         pair = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "8,32")
