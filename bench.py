@@ -10,6 +10,13 @@ Env knobs:
                        and report throughput at both + scaling
                        efficiency (the sandbox substitute for the
                        N-vs-4N-executor criterion; see BASELINE.md)
+  SPARK_GRAFT_HTML_SCALING  same N-vs-4N study for the HTML/DOM
+                       main-content extraction (200k tiled pages)
+  SPARK_GRAFT_SKEW     hot-doc salting study (pathological span counts)
+  SPARK_GRAFT_STRESS   dedup/ANN stress at ~52.5k docs with a planted
+                       hot band + cluster formation
+  SPARK_GRAFT_SCALING_PAIR  "lo,hi" cores for the scaling studies
+                       (default "8,32")
 
 Corpus synthesis is cached under .cache/ and excluded from timings —
 the benchmark measures the extraction/query jobs, not data generation.

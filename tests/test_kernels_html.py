@@ -179,3 +179,12 @@ def test_extract_links_document_order_matches_template():
     assert links[3:6] == [f"/doc/{(a * doc_id + b) % n}"
                           for a, b in LINK_COEFFS]
     assert links[6] == "/tos"
+
+
+@given(st.one_of(_soup, _tags))
+@settings(max_examples=300, deadline=None)
+def test_extract_links_total(html):
+    from paddleocr_spark.kernels.html import extract_links
+
+    links = extract_links(html)
+    assert all(isinstance(x, str) for x in links)

@@ -107,3 +107,30 @@ def test_streaming_fuzzy_dedup_two_waves(spark, tmp_path):
     q.awaitTermination(240)
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == expected | {201}
+
+
+def test_half_written_index_treated_as_absent(spark, tmp_path):
+    """A crash between the two index appends must degrade to
+    'index absent this epoch', never an unreadable index: only sigs/
+    present -> the batch still processes, and afterwards both halves
+    exist."""
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    idx = tmp_path / "index"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # simulate the crash artifact: sigs/ exists, bands/ does not
+    (spark.createDataFrame([(999, [1] * 128)],
+                           "doc_id long, sig array<long>")
+     .write.parquet(str(idx / "sigs")))
+
+    wave = [(0, _doc(0)), (1, _doc(1))]
+    (spark.createDataFrame(wave, "doc_id long, text string")
+     .coalesce(1).write.parquet(str(docs_dir / "w1")))
+    q = streaming_fuzzy_dedup(spark, str(docs_dir) + "/w*", str(idx),
+                              out, ckpt)
+    q.awaitTermination(240)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {0, 1}
+    assert (idx / "bands" / "_SUCCESS").exists()
