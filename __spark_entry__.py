@@ -49,8 +49,18 @@ HEAVY_FRAC = 0.01
 # Synthetic interleaved corpus (BASELINE.json input_hint shape), cached
 # per scale so repeated queries()/bench calls don't re-synthesize.
 
+_CORPUS_SIZE_CACHE: dict[str, int] = {}
+
+
 def _corpus_size(spark: SparkSession, sf_dir: str) -> int:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    """Memoized per sf_dir: ~20 extraction/metric queries call
+    corpus_paths per suite run, and without the memo each one paid a
+    redundant count job over the same immutable test parquet."""
+    key = os.path.abspath(sf_dir)
+    if key not in _CORPUS_SIZE_CACHE:
+        _CORPUS_SIZE_CACHE[key] = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet").count())
+    return _CORPUS_SIZE_CACHE[key]
 
 
 def corpus_paths(spark: SparkSession, sf_dir: str,
@@ -604,11 +614,16 @@ def oracle_sql() -> dict[str, str]:
         pass  # oracle queries will surface the miss explicitly
     # refined-IVF oracle reads the persisted index tables; materialize
     # via the NumPy twin if the Spark build hasn't run yet (the two
-    # builders produce identical values — tests/test_similarity_ivf.py)
+    # builders produce identical values — tests/test_similarity_ivf.py).
+    # The index is corpus-specific (identity-keyed), so the oracle must
+    # point at the index for the sf the compare RUNS at: the driver
+    # compares at sf0.01 (the default); the parity tests export
+    # PARITY_SF_DIR so the oracle follows their scale.
+    _oracle_sf = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
     try:
-        ivf_idx = similarity.write_ivf_index_numpy("/root/testdata/sf0.01")
+        ivf_idx = similarity.write_ivf_index_numpy(_oracle_sf)
     except Exception:
-        ivf_idx = similarity.ivf_dir(500)
+        ivf_idx = similarity.ivf_dir(_oracle_sf)
     g = lambda name: f"read_parquet('{gdir}/{name}.parquet')"
     return {
         "extract_full": f"""

@@ -148,8 +148,14 @@ def write_store_manifest(spark, store_path: str):
     O(files) driver memory at PLAN time."""
     import os as _os
 
-    names = [_os.path.basename(f) for f in _list_store_files(store_path)]
-    root = store_path
+    files = _list_store_files(store_path)
+    names = [_os.path.basename(f) for f in files]
+    # degenerate stores: a single parquet FILE is a valid store
+    # (_list_store_files supports it) — footers must open the file
+    # itself, not <file>/<file>; an empty store still writes an empty
+    # manifest rather than crashing repartition(0)
+    root = (_os.path.dirname(store_path)
+            if _os.path.isfile(store_path) else store_path)
 
     def footer(batches):
         import os as _os2
@@ -168,8 +174,8 @@ def write_store_manifest(spark, store_path: str):
                 {"file": files, "n_rows": rows, "n_bytes": bts})
 
     (spark.createDataFrame([(n,) for n in names], "file string")
-     .repartition(min(len(names),
-                      spark.sparkContext.defaultParallelism))
+     .repartition(max(1, min(len(names),
+                             spark.sparkContext.defaultParallelism)))
      .mapInPandas(footer, schema=MANIFEST_SCHEMA)
      .write.mode("overwrite").parquet(manifest_path(store_path)))
 
@@ -220,13 +226,16 @@ def _store_files_df(spark, store_path: str, n_tasks: int):
                             F.floor(F.col("cum") * n_tasks
                                     / F.greatest(F.col("tot_bytes"),
                                                  F.lit(1))))
-                .select(F.concat(F.lit(store_path.rstrip("/") + "/"),
-                                 F.col("file")).alias("path"), "task")
+                .select(F.concat(
+                    F.lit((_os.path.dirname(store_path)
+                           if _os.path.isfile(store_path)
+                           else store_path).rstrip("/") + "/"),
+                    F.col("file")).alias("path"), "task")
                 .repartitionByRange(n_tasks, "task")
                 .select("path"))
     files = _list_store_files(store_path)
     return (spark.createDataFrame([(f,) for f in files], "path string")
-            .repartition(min(len(files), n_tasks)))
+            .repartition(max(1, min(len(files), n_tasks))))
 
 
 def map_media_store(spark, store_path: str, batch_fn, schema,

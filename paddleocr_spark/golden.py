@@ -113,9 +113,10 @@ def compute_goldens(n_docs: int, seed: int = 42, heavy_frac: float = 0.01):
                 if k in gt_keys and p == media[k[0]]["gt_texts"][k[1]])
     det_metric = [{
         "gt_total": g_tot, "det_total": d_tot, "matched_total": m_tot,
-        "precision": round(m_tot / d_tot, 6),
-        "recall": round(m_tot / g_tot, 6),
-        "hmean": round(2 * m_tot / (d_tot + g_tot), 6),
+        "precision": round(m_tot / d_tot, 6) if d_tot else 0.0,
+        "recall": round(m_tot / g_tot, 6) if g_tot else 0.0,
+        "hmean": (round(2 * m_tot / (d_tot + g_tot), 6)
+                  if (d_tot + g_tot) else 0.0),
     }]
 
     # --- det_iou_metric (greedy IoU matching per media) ---

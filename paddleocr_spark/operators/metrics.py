@@ -180,9 +180,13 @@ def corpus_det_metric(media_df, fragments_df):
         F.col("g").cast("long").alias("gt_total"),
         F.col("d").cast("long").alias("det_total"),
         F.col("m").cast("long").alias("matched_total"),
-        F.round(F.col("m") / F.col("d"), 6).alias("precision"),
-        F.round(F.col("m") / F.col("g"), 6).alias("recall"),
-        F.round(2 * F.col("m") / (F.col("d") + F.col("g")), 6).alias("hmean"),
+        F.round(F.when(F.col("d") > 0, F.col("m") / F.col("d"))
+                .otherwise(0.0), 6).alias("precision"),
+        F.round(F.when(F.col("g") > 0, F.col("m") / F.col("g"))
+                .otherwise(0.0), 6).alias("recall"),
+        F.round(F.when((F.col("d") + F.col("g")) > 0,
+                       2 * F.col("m") / (F.col("d") + F.col("g")))
+                .otherwise(0.0), 6).alias("hmean"),
     )
 
 
@@ -228,17 +232,7 @@ def det_iou_metric(media):
                  "gt_boxes"]
     eval_schema = ("media_ref string, matched long, gt_care long, "
                    "det_care long")
-    if isinstance(media, str):
-        from pyspark.sql import SparkSession
-
-        from paddleocr_spark.functions.udfs import map_media_store
-
-        partials = map_media_store(SparkSession.active(), media,
-                                   eval_batches, eval_schema,
-                                   columns=eval_cols)
-    else:
-        partials = media.select(*eval_cols).mapInPandas(
-            eval_batches, schema=eval_schema)
+    partials = _map_media(media, eval_batches, eval_schema, eval_cols)
     totals = partials.agg(F.sum("matched").alias("m"),
                           F.sum("gt_care").alias("g"),
                           F.sum("det_care").alias("d"))

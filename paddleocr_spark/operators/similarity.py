@@ -260,28 +260,21 @@ def _best_cells(F, Window, df, cent, id_col: str, k: int):
             .where(F.col("crk") <= k))
 
 
-def cosine_topk_ivf(spark, sf_dir: str, n_queries: int = N_QUERIES,
-                    k: int = TOP_K, nprobe: int = NPROBE):
-    """IVF approximate top-k: assign every vector to its nearest
-    centroid cell, probe each query's ``nprobe`` nearest cells, exact
-    cosine rerank over the probed cells only."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    emb = _load(spark, sf_dir).withColumn("nrm", _norm(F, F.col("emb")))
-    cent = _centroids(F, emb)
-    assign = (_best_cells(F, Window, emb, cent, "vec_id", 1)
-              .select("vec_id", "cid"))
+def _ivf_probe_rerank(F, Window, emb, cent, assign, n_queries: int,
+                      k: int, nprobe: int):
+    """Shared IVF query path: probe each query's ``nprobe`` nearest
+    cells, exact-rerank the probed cells' members (rank ties to the
+    smaller vec_id). Both IVF variants differ only in where (cent,
+    assign) come from."""
     members = (emb.join(assign, "vec_id")
                .select("cid", "vec_id", "emb", "nrm"))
-
     queries = (emb.where(F.col("vec_id") < n_queries)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("emb").alias("qemb"),
                        F.col("nrm").alias("qnrm")))
     probes = (_best_cells(
         F, Window,
-        queries.select(F.col("query_id"), F.col("qemb").alias("emb"),
+        queries.select("query_id", F.col("qemb").alias("emb"),
                        F.col("qnrm").alias("nrm")),
         cent, "query_id", nprobe)
         .select("query_id", "cid"))
@@ -298,6 +291,22 @@ def cosine_topk_ivf(spark, sf_dir: str, n_queries: int = N_QUERIES,
     return (cand.withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "vec_id", "cosine"))
+
+
+def cosine_topk_ivf(spark, sf_dir: str, n_queries: int = N_QUERIES,
+                    k: int = TOP_K, nprobe: int = NPROBE):
+    """IVF approximate top-k: assign every vector to its nearest
+    centroid cell, probe each query's ``nprobe`` nearest cells, exact
+    cosine rerank over the probed cells only."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = _load(spark, sf_dir).withColumn("nrm", _norm(F, F.col("emb")))
+    cent = _centroids(F, emb)
+    assign = (_best_cells(F, Window, emb, cent, "vec_id", 1)
+              .select("vec_id", "cid"))
+    return _ivf_probe_rerank(F, Window, emb, cent, assign,
+                             n_queries, k, nprobe)
 
 
 # --- refined IVF: Lloyd-iterated centroids, persisted index ----------
@@ -323,11 +332,23 @@ def _ivf_root() -> str:
     return os.path.abspath(os.path.join(here, "..", "..", ".cache", "ivf"))
 
 
-def ivf_dir(n_vecs: int) -> str:
+def ivf_dir(sf_dir: str) -> str:
+    """Index cache key = corpus IDENTITY (absolute path + embeddings
+    mtime) + hyperparameters — a different corpus with the same row
+    count must never be served a foreign index (same rule as the
+    near-dup edge table in operators/dedup.py)."""
+    import hashlib
     import os
 
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtime = int(os.path.getmtime(src))
+    except OSError:
+        mtime = 0
+    ident = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
     return os.path.join(_ivf_root(),
-                        f"v1_n{n_vecs}_k{N_CENTROIDS}_i{N_LLOYD}")
+                        f"v2_{ident}_k{N_CENTROIDS}_i{N_LLOYD}")
 
 
 def _refine_centroids(F, emb, cent, Window):
@@ -358,8 +379,7 @@ def build_ivf_index(spark, sf_dir: str, iters: int = N_LLOYD) -> str:
     from pyspark.sql import functions as F
 
     emb = _load(spark, sf_dir).withColumn("nrm", _norm(F, F.col("emb")))
-    n = emb.count()
-    out = ivf_dir(n)
+    out = ivf_dir(sf_dir)
     if os.path.exists(os.path.join(out, "assign", "_SUCCESS")):
         return out
     cent = _centroids(F, emb)
@@ -387,14 +407,29 @@ def ivf_index_numpy(sf_dir: str, iters: int = N_LLOYD):
     emb = np.asarray(tb["embedding"].to_pylist(), dtype=np.float64)
     order = np.argsort(vec_ids)
     vec_ids, emb = vec_ids[order], emb[order]
-    nrm = np.sqrt((emb * emb).sum(axis=1))
+    def _seq_sq(a):
+        # sequential per-dim fold == Spark's F.aggregate(acc + v*v);
+        # numpy's .sum/@ use pairwise summation, which can land on the
+        # other side of a rounding boundary in the last ulp
+        acc = np.zeros(a.shape[0])
+        for d in range(a.shape[1]):
+            acc = acc + a[:, d] * a[:, d]
+        return acc
+
+    def _seq_dot(a, b):
+        acc = np.zeros((a.shape[0], b.shape[0]))
+        for d in range(a.shape[1]):
+            acc = acc + np.outer(a[:, d], b[:, d])
+        return acc
+
+    nrm = np.sqrt(_seq_sq(emb))
 
     cids = vec_ids[vec_ids < N_CENTROIDS]
     cents = emb[vec_ids < N_CENTROIDS]
 
     def assign_all(cids, cents):
-        cn = np.sqrt((cents * cents).sum(axis=1))
-        cos = np.round(emb @ cents.T / np.outer(nrm, cn), 9)
+        cn = np.sqrt(_seq_sq(cents))
+        cos = np.round(_seq_dot(emb, cents) / np.outer(nrm, cn), 9)
         # ties to the smaller cid: columns are cid-ascending, argmax
         # takes the first maximum
         return cids[np.argmax(cos, axis=1)]
@@ -424,7 +459,7 @@ def write_ivf_index_numpy(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     cents, assign = ivf_index_numpy(sf_dir)
-    out = ivf_dir(len(assign))
+    out = ivf_dir(sf_dir)
     if os.path.exists(os.path.join(out, "assign", "_SUCCESS")):
         return out
     os.makedirs(os.path.join(out, "centroids"), exist_ok=True)
@@ -467,28 +502,5 @@ def cosine_topk_ivf_refined(spark, sf_dir: str,
             .withColumn("cnrm", _norm(F, F.col("cemb"))))
     assign = spark.read.parquet(os.path.join(idx, "assign"))
     emb = _load(spark, sf_dir).withColumn("nrm", _norm(F, F.col("emb")))
-    members = (emb.join(assign, "vec_id")
-               .select("cid", "vec_id", "emb", "nrm"))
-    queries = (emb.where(F.col("vec_id") < n_queries)
-               .select(F.col("vec_id").alias("query_id"),
-                       F.col("emb").alias("qemb"),
-                       F.col("nrm").alias("qnrm")))
-    probes = (_best_cells(
-        F, Window,
-        queries.select("query_id", F.col("qemb").alias("emb"),
-                       F.col("qnrm").alias("nrm")),
-        cent, "query_id", nprobe)
-        .select("query_id", "cid"))
-    cand = (probes.join(queries, "query_id")
-            .join(members, "cid")
-            .where(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", "vec_id",
-                    F.round(_dot(F, F.col("qemb"), F.col("emb"))
-                            / (F.col("qnrm") * F.col("nrm")), 6)
-                    .alias("cosine"))
-            .dropDuplicates(["query_id", "vec_id"]))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("vec_id"))
-    return (cand.withColumn("rank", F.row_number().over(w).cast("int"))
-            .where(F.col("rank") <= k)
-            .select("query_id", "rank", "vec_id", "cosine"))
+    return _ivf_probe_rerank(F, Window, emb, cent, assign,
+                             n_queries, k, nprobe)

@@ -12,6 +12,9 @@ import __spark_entry__ as entry_mod
 from tests.oracle_harness import compare, duckdb_run
 
 SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+# sf-dependent oracles (the persisted IVF index) must follow the scale
+# this run compares at
+os.environ["PARITY_SF_DIR"] = SF_DIR
 
 ORACLES = entry_mod.oracle_sql()
 QUERIES = entry_mod.queries()

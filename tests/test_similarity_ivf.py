@@ -29,8 +29,7 @@ def test_dataframe_lloyd_matches_numpy_twin(spark, tmp_path):
     the DuckDB oracle can read whichever one materialized it."""
     import shutil
 
-    n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
-    shutil.rmtree(similarity.ivf_dir(n), ignore_errors=True)
+    shutil.rmtree(similarity.ivf_dir(SF), ignore_errors=True)
     _, cents_df, assign_df = _spark_index(spark)
     cents_np, assign_np = similarity.ivf_index_numpy(SF)
     assert set(cents_df) == set(cents_np)

@@ -45,3 +45,49 @@ def test_stateful_sessionize_equals_batch(spark, tmp_path):
             for r in event_sessions(spark, SF).collect()}
     assert got == want
     assert len(want) > 0
+
+
+def test_out_of_order_event_bridges_provisional_sessions(spark, tmp_path):
+    """Batch 1 shows user events at t=0 and t=2000 (gap 2000 > 1800);
+    a LATE admissible event at t=300 arrives in batch 2 and fills the
+    gap — the batch twin sees ONE session of 3 events, and so must the
+    stream (an eager-close design freezes the split at 2)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def _pdf(rows):
+        return pd.DataFrame({
+            "user_id": [r[0] for r in rows],
+            "ts": [base + pd.Timedelta(seconds=r[1]) for r in rows],
+            "event_type": "x", "value": 1.0,
+        })
+
+    events_dir = tmp_path / "ev"
+    events_dir.mkdir()
+    b1 = spark.createDataFrame(_pdf([(7, 0), (7, 2000)]))
+    b2 = spark.createDataFrame(_pdf([(7, 300)]))
+    flush = spark.createDataFrame(_pdf([(999999, 10_000_000)]))
+    for i, df in enumerate((b1, b2, flush)):
+        df.coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / f"w{i}"))
+        import shutil as _sh
+
+        _sh.copy(next((tmp_path / f"w{i}").glob("part-*.parquet")),
+                 events_dir / f"part-{i}.parquet")
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(events_dir)))
+    q = (sessionize_stream(stream)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("ooo_sessions")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.user_id, r.n_sessions, r.n_events)
+           for r in spark.sql("SELECT * FROM ooo_sessions").collect()
+           if r.user_id != 999999}
+    assert got == {(7, 1, 3)}
