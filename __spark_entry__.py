@@ -210,29 +210,38 @@ def _q_filter_lang_length(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_chars").cast("long").alias("total_chars")))
 
 
-def _q_ser_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kie_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decoded fragments all five KIE queries consume, persisted
+    ONCE per session (operators._cache.pinned_persist — survives the
+    per-query release): the extract-once / analyze-many layout. The
+    media_path is content-addressed (corpus cache version + n), so the
+    pin can never serve a different corpus."""
+    from paddleocr_spark.operators._cache import pinned_persist
+
     _, media_path = corpus_paths(spark, sf_dir)
-    return kie.ser_entities(decode_media_store(spark, media_path))
+    return pinned_persist(
+        spark, f"kie_fragments:{media_path}",
+        lambda: decode_media_store(spark, media_path))
+
+
+def _q_ser_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kie.ser_entities(_kie_fragments(spark, sf_dir))
 
 
 def _q_re_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, media_path = corpus_paths(spark, sf_dir)
-    return kie.re_pairs(decode_media_store(spark, media_path))
+    return kie.re_pairs(_kie_fragments(spark, sf_dir))
 
 
 def _q_kie_re_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, media_path = corpus_paths(spark, sf_dir)
-    return kie.kie_re_metric(decode_media_store(spark, media_path))
+    return kie.kie_re_metric(_kie_fragments(spark, sf_dir))
 
 
 def _q_ser_token_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, media_path = corpus_paths(spark, sf_dir)
-    return kie.ser_token_metric(decode_media_store(spark, media_path))
+    return kie.ser_token_metric(_kie_fragments(spark, sf_dir))
 
 
 def _q_kie_node_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, media_path = corpus_paths(spark, sf_dir)
-    return kie.kie_node_metric(decode_media_store(spark, media_path))
+    return kie.kie_node_metric(_kie_fragments(spark, sf_dir))
 
 
 def _q_sampled_union(spark: SparkSession, sf_dir: str) -> DataFrame:
