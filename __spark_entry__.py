@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": text.redact_pii,
         "bpe_token_stats": text.bpe_token_stats,
         "html_main_content": html_extract.html_main_content,
+        "corpus_profile": text.corpus_profile,
         "html_links": html_extract.html_links,
         "html_pagerank": html_extract.html_pagerank,
         # corpus curation (training-data selection)
@@ -927,6 +928,17 @@ def oracle_sql() -> dict[str, str]:
                    2::bigint AS n_blocks_kept,
                    3::bigint AS n_blocks_dropped
             FROM documents
+        """,
+        "corpus_profile": f"""
+            SELECT lang,
+                   count(*)::bigint AS n_docs,
+                   sum(n_chars)::bigint AS total_chars,
+                   round(quantile_cont(n_chars, 0.25), 6) AS chars_p25,
+                   round(quantile_cont(n_chars, 0.5), 6) AS chars_p50,
+                   round(quantile_cont(n_chars, 0.75), 6) AS chars_p75,
+                   round(quantile_cont(n_chars, 0.95), 6) AS chars_p95,
+                   count(DISTINCT source)::bigint AS n_sources
+            FROM documents GROUP BY lang
         """,
         # the template emits exactly 7 anchors per page in a fixed
         # order; the 3 /doc/ hrefs come from the LINK_COEFFS formulas

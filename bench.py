@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "sampled_union",
     "filter_lang_length",
     "token_stats",
+    "corpus_profile",
     "fingerprints",
     "event_hourly",
     "event_type_majority",

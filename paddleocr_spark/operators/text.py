@@ -17,7 +17,8 @@ from __future__ import annotations
 from paddleocr_spark.corpus import BOILERPLATE_RE
 
 __all__ = [
-    "STOPWORDS", "tokens_col", "clean_documents", "token_stats",
+    "STOPWORDS", "PROFILE_QS", "tokens_col", "clean_documents",
+    "corpus_profile", "token_stats",
     "quality_scores", "fingerprints", "repetition_scores", "redact_pii",
     "EMAIL_RE", "PHONE_RE", "PII_PLANT_N", "PII_OFFSET",
 ]
@@ -247,3 +248,37 @@ def bpe_token_stats(spark, sf_dir: str):
         n_ws.alias("n_ws_tokens"),
         n_bpe.alias("n_bpe_tokens"),
         F.round(n_bpe.cast("double") / n_ws, 6).alias("fertility"))
+
+
+PROFILE_QS = (0.25, 0.5, 0.75, 0.95)
+
+
+def corpus_profile(spark, sf_dir: str):
+    """Per-language corpus profile: doc/char totals, EXACT interpolated
+    length quantiles, and distinct-source counts — the profiling pass a
+    training-data pipeline runs before curation decisions.
+
+    Quantiles here are Spark's exact ``percentile`` aggregate (linear
+    interpolation — the same definition as DuckDB ``quantile_cont``,
+    so the oracle matches value-for-value). At 10^12 rows the exact
+    sort-based aggregate gives way to the mergeable-sketch form
+    (``approx_percentile``/KLL, ``approx_count_distinct``/HLL) — the
+    swap is one function name per column, and the sketch path's error
+    envelope vs this exact result is pinned in
+    tests/test_corpus_profile.py rather than the oracle (sketch
+    internals are engine-specific by design)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = ", ".join(f"{q}D" for q in PROFILE_QS)
+    pct = F.expr(f"percentile(n_chars, array({qs}))")
+    return (df.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.round(pct[0], 6).alias("chars_p25"),
+                 F.round(pct[1], 6).alias("chars_p50"),
+                 F.round(pct[2], 6).alias("chars_p75"),
+                 F.round(pct[3], 6).alias("chars_p95"),
+                 F.countDistinct("source").cast("long")
+                 .alias("n_sources"))
+            .orderBy("lang"))
