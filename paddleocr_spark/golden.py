@@ -26,6 +26,7 @@ from .corpus import dequantize_map
 from .extract_core import decode_media_row, master_html_for_row
 from .kernels.db import db_postprocess
 from .kernels.eval_det_iou import evaluate_image
+from .kernels.reading_order import sorted_boxes
 from .reference_path import golden_corpus
 
 __all__ = ["levenshtein", "compute_goldens", "materialize_goldens",
@@ -45,8 +46,9 @@ GOLDEN_FILES = [
     "golden_ct_metric.parquet",
 ]
 
-_FRAG_COLS = ["frag_idx", "box_idx", "out_kind", "out_text", "conf",
-              "cls_label", "cls_score", "aux"]
+# fragment column order shared with the Spark UDF so oracle
+# and pipeline schemas stay in lockstep
+from .functions.udfs import _FRAG_COLS  # noqa: E402
 
 
 def levenshtein(a: str, b: str) -> int:
@@ -102,8 +104,9 @@ def compute_goldens(n_docs: int, seed: int = 42, heavy_frac: float = 0.01):
     all_num = len(gt_keys)
     rec_metric = [{
         "correct_num": correct, "all_num": all_num,
-        "acc": round(correct / all_num, 6),
-        "norm_edit_dis": round(1.0 - sum(dists) / len(dists), 6),
+        "acc": round(correct / all_num, 6) if all_num else 0.0,
+        "norm_edit_dis": (round(1.0 - sum(dists) / len(dists), 6)
+                          if dists else 0.0),
     }]
 
     # full-join counts per media, then the combine_results finalize
@@ -189,7 +192,13 @@ def compute_goldens(n_docs: int, seed: int = 42, heavy_frac: float = 0.01):
             n_words += n
 
         pm = dequantize_map(m["det_map"], int(m["det_h"]), int(m["det_w"]))
-        pred_boxes = db_postprocess(pm, [float(x) for x in m["shape_list"]])
+        # rec_logits/gt_texts are stored in sorted_boxes order
+        # (corpus.media_record) — pred_boxes must be sorted the same
+        # way or texts[pi] belongs to a DIFFERENT box (27% of media on
+        # this corpus have a same-row pair whose connected-component
+        # order differs from the tol-10 reading order)
+        pred_boxes = sorted_boxes(
+            db_postprocess(pm, [float(x) for x in m["shape_list"]]))
         gt_items = [(np.asarray(b, dtype=np.float64).reshape(4, 2),
                      _norm(m["gt_texts"][i]))
                     for i, b in enumerate(m["gt_boxes"])]
@@ -207,11 +216,13 @@ def compute_goldens(n_docs: int, seed: int = 42, heavy_frac: float = 0.01):
         e_d += len(pred_boxes)
 
     sr = [{"n_media": len(media),
-           "mean_psnr": round(sum(psnrs) / len(psnrs), 6),
-           "mean_ssim": round(sum(ssims) / len(ssims), 6)}]
+           "mean_psnr": round(sum(psnrs) / len(psnrs), 6) if psnrs else 0.0,
+           "mean_ssim": round(sum(ssims) / len(ssims), 6) if ssims else 0.0}]
     can = [{"n_words": int(n_words),
-            "word_rate": round(word_right / n_words, 6),
-            "exp_rate": round(exp_right / n_words, 6)}]
+            "word_rate": (round(word_right / n_words, 6)
+                          if n_words else 0.0),
+            "exp_rate": (round(exp_right / n_words, 6)
+                         if n_words else 0.0)}]
     e2e = [{"matched_total": e_m, "gt_total": e_g, "det_total": e_d,
             "precision": round(e_m / e_d, 6) if e_d else 0.0,
             "recall": round(e_m / e_g, 6) if e_g else 0.0,
@@ -264,6 +275,31 @@ def compute_goldens(n_docs: int, seed: int = 42, heavy_frac: float = 0.01):
 
 _INT32_COLS = {"order", "frag_idx", "box_idx"}
 
+# bump when golden SEMANTICS change (e.g. the e2e sorted-boxes
+# alignment fix) so cached goldens from older code recompute instead
+# of silently serving stale values
+GOLDEN_VERSION = 2
+
+_GOLDEN_COLS = {
+    "golden_spans": ["doc_id", "order", "kind", "text", "media_ref",
+                     "conf"],
+    "golden_fragments": ["media_ref", *_FRAG_COLS],
+    "golden_master_html": ["media_ref", "master_html"],
+    "golden_sr_metric": ["n_media", "mean_psnr", "mean_ssim"],
+    "golden_can_metric": ["n_words", "word_rate", "exp_rate"],
+    "golden_e2e_metric": ["matched_total", "gt_total", "det_total",
+                          "precision", "recall", "f_score_e2e"],
+    "golden_ct_metric": ["total_num_gt", "total_num_det",
+                         "recall", "precision", "f_score"],
+    "golden_rec_metric": ["correct_num", "all_num", "acc",
+                          "norm_edit_dis"],
+    "golden_det_metric": ["gt_total", "det_total", "matched_total",
+                          "precision", "recall", "hmean"],
+    "golden_det_iou_metric": ["matched_total", "gt_total", "det_total",
+                              "precision", "recall", "hmean"],
+    "golden_table_structure_metric": ["correct_num", "all_num", "acc"],
+}
+
 
 def materialize_goldens(path: str, n_docs: int, seed: int = 42,
                         heavy_frac: float = 0.01, force: bool = False):
@@ -275,13 +311,27 @@ def materialize_goldens(path: str, n_docs: int, seed: int = 42,
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if not force and all(os.path.exists(os.path.join(path, f))
-                         for f in GOLDEN_FILES):
+    version_file = os.path.join(path, "golden_version.txt")
+
+    def _cached_version() -> int:
+        try:
+            with open(version_file) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return 0
+
+    if (not force
+            and _cached_version() == GOLDEN_VERSION
+            and all(os.path.exists(os.path.join(path, f))
+                    for f in GOLDEN_FILES)):
         return
     os.makedirs(path, exist_ok=True)
     tables = compute_goldens(n_docs, seed, heavy_frac)
     for name, rows in tables.items():
-        df = pd.DataFrame(rows)
+        # empty tables still need their column schema (a zero-column
+        # parquet file breaks every downstream read_parquet oracle)
+        df = pd.DataFrame(rows, columns=_GOLDEN_COLS[name]
+                          if not rows else None)
         for c in df.columns:
             if c in _INT32_COLS:
                 df[c] = df[c].astype(np.int32)
@@ -291,3 +341,5 @@ def materialize_goldens(path: str, n_docs: int, seed: int = 42,
                 df[c] = df[c].astype(np.int64)
         pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
                        os.path.join(path, f"{name}.parquet"))
+    with open(version_file, "w") as f:
+        f.write(str(GOLDEN_VERSION))

@@ -16,8 +16,10 @@ identical):
 
 - output written under   <out>/spans/bucket=<b>/
 - checkpoint rows under  <out>/checkpoint/ with schema
-  (run_id, bucket, doc_count, span_count, wall_ms,
-   input_snapshot, code_version, completed_at_ms)
+  (run_id, bucket, n_buckets, doc_count, span_count, wall_ms,
+   input_snapshot, code_version, completed_at_ms) — n_buckets is
+   validated on resume: the same run_id can never continue under a
+   different partitioning
 - resume = anti-join pending buckets against completed checkpoint rows
   (idempotent: a bucket's spans directory is overwritten atomically by
   dynamic partition overwrite before its checkpoint row is appended, so
@@ -34,21 +36,41 @@ from paddleocr_spark.operators.extract import extract_spans
 
 __all__ = ["run_with_checkpoint", "completed_buckets", "read_output"]
 
-CHECKPOINT_SCHEMA = ("run_id string, bucket int, doc_count long, "
+CHECKPOINT_SCHEMA = ("run_id string, bucket int, n_buckets int, "
+                     "doc_count long, "
                      "span_count long, wall_ms long, input_snapshot string, "
                      "code_version string, completed_at_ms long")
 
 
-def completed_buckets(spark, out_dir: str, run_id: str) -> set[int]:
+def completed_buckets(spark, out_dir: str, run_id: str,
+                      n_buckets: int | None = None) -> set[int]:
+    """Buckets already checkpointed for ``run_id``. When ``n_buckets``
+    is given, a checkpoint row recorded under a DIFFERENT bucket count
+    raises — resuming the same run_id with a changed partitioning
+    would silently skip wrong buckets and drop documents."""
     from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
 
     ckpt = os.path.join(out_dir, "checkpoint")
     try:
         df = spark.read.parquet(ckpt)
-    except Exception:
-        return set()
+    except AnalysisException as e:
+        # only "nothing checkpointed yet" means a fresh start; any
+        # OTHER read error (permissions, corruption) must surface —
+        # swallowing it would silently restart a 10^12-doc run
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return set()
+        raise
     rows = (df.where(F.col("run_id") == run_id)
-            .select("bucket").distinct().collect())
+            .select("bucket", "n_buckets").distinct().collect())
+    if n_buckets is not None:
+        seen = {r.n_buckets for r in rows}
+        if seen - {n_buckets}:
+            raise ValueError(
+                f"run_id {run_id!r} was checkpointed with "
+                f"n_buckets={sorted(seen)}; refusing to resume with "
+                f"n_buckets={n_buckets} (wrong buckets would be "
+                f"skipped and documents dropped)")
     return {r.bucket for r in rows}
 
 
@@ -64,11 +86,32 @@ def run_with_checkpoint(spark, docs_df, media_df, out_dir: str,
     0 forces the plain per-doc window."""
     from pyspark.sql import functions as F
 
-    done = completed_buckets(spark, out_dir, run_id)
+    done = completed_buckets(spark, out_dir, run_id, n_buckets)
     todo = [b for b in range(n_buckets) if b not in done]
     spans_dir = os.path.join(out_dir, "spans")
     ckpt_dir = os.path.join(out_dir, "checkpoint")
     bucket_of = F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+
+    # the store decode is the job's dominant cost and is the same for
+    # every bucket — decode ONCE and share (was O(n_buckets x decode));
+    # likewise resolve the auto-salt statistic once over all docs
+    from paddleocr_spark.functions.udfs import (
+        decode_media,
+        decode_media_store,
+    )
+    from paddleocr_spark.operators._cache import (
+        eager_persist,
+        release_persisted,
+    )
+    from paddleocr_spark.operators.extract import SALT_WIDTH
+
+    if salt_width is None:
+        max_spans = docs_df.agg(
+            F.max(F.size("spans")).alias("m")).collect()[0]["m"] or 0
+        salt_width = SALT_WIDTH if max_spans > SALT_WIDTH else 0
+    fragments = eager_persist(
+        decode_media_store(spark, media_df) if isinstance(media_df, str)
+        else decode_media(media_df))
 
     processed = []
     for i, b in enumerate(todo):
@@ -76,9 +119,8 @@ def run_with_checkpoint(spark, docs_df, media_df, out_dir: str,
             break
         t0 = time.time()
         docs_b = docs_df.where(bucket_of == b)
-        kw = {} if salt_width is None else {"salt_width": salt_width}
-        out = extract_spans(docs_b, media_df, **kw) \
-            .withColumn("bucket", F.lit(b))
+        out = extract_spans(docs_b, media_df, salt_width=salt_width,
+                            fragments_df=fragments)
         (out.write.mode("overwrite")
          .parquet(os.path.join(spans_dir, f"bucket={b}")))
         written = spark.read.parquet(os.path.join(spans_dir, f"bucket={b}"))
@@ -86,11 +128,13 @@ def run_with_checkpoint(spark, docs_df, media_df, out_dir: str,
             F.countDistinct("doc_id").alias("docs"),
             F.count("*").alias("spans")).collect()[0]
         wall_ms = int((time.time() - t0) * 1000)
-        row = [(run_id, b, int(stats.docs), int(stats.spans), wall_ms,
-                input_snapshot, __version__, int(time.time() * 1000))]
+        row = [(run_id, b, n_buckets, int(stats.docs), int(stats.spans),
+                wall_ms, input_snapshot, __version__,
+                int(time.time() * 1000))]
         (spark.createDataFrame(row, schema=CHECKPOINT_SCHEMA)
          .write.mode("append").parquet(ckpt_dir))
         processed.append(b)
+    release_persisted(spark)
     return processed
 
 

@@ -85,7 +85,8 @@ def explode_spans(docs_df):
 
 def extract_spans(docs_df, media, decode_partitions: int | None = None,
                   salt_width: int | str = "auto",
-                  keep_offset: bool = False):
+                  keep_offset: bool = False,
+                  fragments_df=None):
     """docs + media store → ordered span rows
     (doc_id, order, kind, text, media_ref, conf).
 
@@ -108,12 +109,21 @@ def extract_spans(docs_df, media, decode_partitions: int | None = None,
         max_spans = docs_df.agg(
             F.max(F.size("spans")).alias("m")).collect()[0]["m"] or 0
         salt_width = SALT_WIDTH if max_spans > SALT_WIDTH else 0
-    if isinstance(media, str):
+    if fragments_df is not None:
+        # pre-decoded fragments (the checkpoint loop decodes the store
+        # ONCE and shares it across buckets instead of paying the
+        # dominant decode cost per bucket)
+        fragments = fragments_df
+    elif isinstance(media, str):
         fragments = decode_media_store(docs_df.sparkSession, media)
     else:
         fragments = decode_media(media, repartition=decode_partitions)
     frags = fragments.select(
         F.col("media_ref").alias("join_key"),
+        # second join key: fragments only ever match MEDIA spans — a
+        # pathological media_ref that collides with the synthetic text
+        # key ('t#<doc>#<offset>') must not fan a text row out
+        F.lit(1).alias("jk_media"),
         "frag_idx",
         F.col("out_kind").alias("f_kind"),
         F.col("out_text").alias("f_text"),
@@ -131,9 +141,12 @@ def extract_spans(docs_df, media, decode_partitions: int | None = None,
                          F.when(F.col("kind") == "media",
                                 F.col("media_ref"))
                          .otherwise(F.concat(F.lit("t#"), F.col("doc_id"),
-                                             F.lit("#"), F.col("offset")))))
+                                             F.lit("#"), F.col("offset"))))
+             .withColumn("jk_media",
+                         F.when(F.col("kind") == "media", F.lit(1))
+                         .otherwise(F.lit(0))))
 
-    joined = spans.join(frags, "join_key", "left")
+    joined = spans.join(frags, ["join_key", "jk_media"], "left")
     unioned = (joined
                .where(((F.col("kind") == "text")
                        & (F.length("clean") > 0))

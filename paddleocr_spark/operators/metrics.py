@@ -371,6 +371,7 @@ def e2e_metric(media):
         from paddleocr_spark.kernels.ctc import ctc_decode
         from paddleocr_spark.kernels.db import db_postprocess
         from paddleocr_spark.kernels.eval_det_iou import poly_iou
+        from paddleocr_spark.kernels.reading_order import sorted_boxes
 
         def norm(t):
             return "".join(c for c in t.lower() if c.isalnum())
@@ -382,8 +383,11 @@ def e2e_metric(media):
                 d = row._asdict()
                 pm = dequantize_map(d["det_map"], int(d["det_h"]),
                                     int(d["det_w"]))
-                pred_boxes = db_postprocess(
-                    pm, [float(x) for x in d["shape_list"]])
+                # rec_logits are stored in sorted_boxes order — sort
+                # pred_boxes the same way or texts[pi] pairs with a
+                # DIFFERENT box (same fix as golden.py's e2e twin)
+                pred_boxes = sorted_boxes(db_postprocess(
+                    pm, [float(x) for x in d["shape_list"]]))
                 texts = []
                 for lg in d["rec_logits"]:
                     t, _ = ctc_decode(

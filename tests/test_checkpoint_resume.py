@@ -71,3 +71,24 @@ def test_checkpoint_metrics_rows(spark, corpus, tmp_path):
     assert total_docs == expected
     total_spans = sum(r.span_count for r in rows)
     assert total_spans == extract_spans(docs, media).count()
+
+
+def test_resume_with_different_bucket_count_refused(spark, tmp_path):
+    """Re-running the same run_id with a changed --buckets must raise:
+    completed bucket ids under a different partitioning would be
+    skipped wrongly and documents silently dropped."""
+    import pytest
+
+    from paddleocr_spark.corpus import synthesize_docs, synthesize_media
+    from paddleocr_spark.operators.checkpoint import run_with_checkpoint
+
+    docs = synthesize_docs(spark, 8, seed=5, heavy_frac=0.0)
+    media = synthesize_media(spark, docs, seed=5)
+    media.write.mode("overwrite").parquet(str(tmp_path / "m"))
+    media = spark.read.parquet(str(tmp_path / "m"))
+    out = str(tmp_path / "out")
+    run_with_checkpoint(spark, docs, media, out, "runX", n_buckets=4,
+                        fail_after_buckets=2)
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_with_checkpoint(spark, docs, media, out, "runX",
+                            n_buckets=8)
