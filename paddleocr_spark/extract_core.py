@@ -39,7 +39,13 @@ __all__ = ["clean_text", "decode_media_row", "master_html_for_row",
 # drop_score (toddleocr/engine.py:355, config default 0.5).
 DROP_SCORE = 0.5
 
-_WS = re.compile(r"\s+")
+# ASCII-mode \s: Java regex (the Spark twin clean_text_col) matches
+# only ASCII whitespace by default, while Python's \s is Unicode-wide
+# (U+00A0, U+2028, ...). The (?a) flag pins this reference path to the
+# Spark semantics so 'bit-identical on any input' stays true — on a
+# real web corpus NBSP-separated tokens would otherwise collapse here
+# but not in the pipeline.
+_WS = re.compile(r"(?a)\s+")
 _BP = re.compile(BOILERPLATE_RE)
 
 _CHARSET = build_charset()
@@ -68,7 +74,10 @@ def clean_text(text: str) -> str:
     """Boilerplate strip + whitespace collapse. MUST stay equivalent to
     the Spark expression in operators/extract.py and the DuckDB oracle
     SQL (same regexes)."""
-    return _WS.sub(" ", _BP.sub("", text)).strip()
+    # Java's trim() strips code points <= U+0020 only; Python strip()
+    # is Unicode-wide — strip the explicit ASCII set instead
+    return _WS.sub(" ", _BP.sub("", text)).strip(
+        " \t\n\r\f\v\x00\x1c\x1d\x1e\x1f")
 
 
 def _expand_xyxy(box: np.ndarray, h: float, w: float, margin: int = 2):
