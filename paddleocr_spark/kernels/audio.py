@@ -43,6 +43,8 @@ def decode_wav(data: bytes):
     if audio_format != 1:
         raise ValueError(f"only PCM supported (format {audio_format}; "
                          "compressed audio needs external codecs)")
+    if channels < 1:
+        raise ValueError("wav: fmt chunk declares 0 channels")
     if bits == 16:
         samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif bits == 8:

@@ -6,7 +6,7 @@ From-scratch NumPy re-creation of the reference semantics:
 - ``get_mini_boxes`` corner ordering    — ``db.py:142-161``
 - ``box_score_fast``                    — ``db.py:163-178``
 - ``unclip``                            — ``db.py:134-140``
-- ``filter_tag_det_res`` / ``clip_det_res`` / ``order_points_clockwise``
+- ``filter_tag_det_res`` (clipping inlined) / ``order_points_clockwise``
                                         — ``toddleocr/utils/utility.py:216-249``
 
 Pipeline per prob map: threshold-binarize -> connected components ->
@@ -167,13 +167,6 @@ def order_points_clockwise(pts: np.ndarray) -> np.ndarray:
         np.asarray(pts, dtype=np.float64).tolist()
     )
     return np.array(rows, dtype="float32")
-
-
-def clip_det_res(points: np.ndarray, img_height: int, img_width: int) -> np.ndarray:
-    points = points.copy()
-    points[:, 0] = np.clip(points[:, 0], 0, img_width - 1).astype(int)
-    points[:, 1] = np.clip(points[:, 1], 0, img_height - 1).astype(int)
-    return points
 
 
 def filter_tag_det_res(dt_boxes: np.ndarray, img_height: int, img_width: int):

@@ -97,8 +97,14 @@ def decode_png(data: bytes) -> np.ndarray:
                 a = int(cur[i - channels]) if i >= channels else 0
                 c = int(prev[i - channels]) if i >= channels else 0
                 b = int(prev[i])
-                cur[i] = (int(cur[i]) + int(_paeth(
-                    np.uint8(a), np.uint8(b), np.uint8(c)))) & 0xFF
+                # inline predictor: routing each byte through the
+                # vectorized _paeth built three 0-d numpy scalars and
+                # ran the whole ufunc chain per byte (~30x overhead)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) \
+                    else (b if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG filter {ftype}")
         out[y] = cur
@@ -358,9 +364,15 @@ def decode_gif(data: bytes) -> np.ndarray:
         idx = idx.reshape(h, w)
         if ipacked & 0x40:
             idx = _deinterlace(idx)
-        bg = table[bg_idx] if (gct is not None and bg_idx < len(table)) \
+        # the background index refers to the GLOBAL color table (GIF89a
+        # §18) — using a frame's local table painted the background in
+        # the wrong palette
+        bg = gct[bg_idx] if (gct is not None and bg_idx < len(gct)) \
             else np.zeros(3, np.uint8)
         canvas = np.tile(bg.astype(np.uint8), (sh, sw, 1))
+        if top + h > sh or left + w > sw:
+            raise ValueError("gif: image descriptor exceeds the "
+                             "logical screen")
         paint = np.ones((h, w), dtype=bool) if transparent is None \
             else (idx != transparent)
         region = canvas[top:top + h, left:left + w]

@@ -126,6 +126,14 @@ def yuv420_to_rgb(frame: dict) -> np.ndarray:
     if u.shape != y.shape:
         u = u.repeat(2, axis=0).repeat(2, axis=1)
         v = v.repeat(2, axis=0).repeat(2, axis=1)
+        # odd luma dims: floor-divided chroma upsamples one short —
+        # edge-replicate the last row/column (nearest-neighbour,
+        # consistent with the upsampling policy)
+        pads = ((0, max(0, y.shape[0] - u.shape[0])),
+                (0, max(0, y.shape[1] - u.shape[1])))
+        if pads != ((0, 0), (0, 0)):
+            u = np.pad(u, pads, mode="edge")
+            v = np.pad(v, pads, mode="edge")
     u = u[:y.shape[0], :y.shape[1]].astype(np.float64) - 128.0
     v = v[:y.shape[0], :y.shape[1]].astype(np.float64) - 128.0
     r = y + 1.402 * v

@@ -108,10 +108,10 @@ def _keep_hash(F, doc_id_col, salt: str):
     salted doc_id, top 60 bits, mod the denominator. Engine-portable
     (mirrored in the DuckDB oracle) and stable across runs/partitions —
     the property RNG sampling cannot give a resumable 10^12-doc job."""
-    h = F.conv(F.substring(
-        F.md5(F.concat(F.lit(f"{salt}:"), doc_id_col.cast("string"))),
-        1, 15), 16, 10).cast("long")
-    return h % SAMPLE_DENOM
+    from paddleocr_spark.operators.dedup import salted_hash60
+
+    return salted_hash60(F, doc_id_col.cast("string"),
+                         salt) % SAMPLE_DENOM
 
 
 def stratified_sample(spark, sf_dir: str):

@@ -40,7 +40,7 @@ __all__ = [
     "N_HASHES", "N_BANDS", "ROWS_PER_BAND", "MINHASH_PRIME", "AFFINE",
     "SHINGLE_N", "NEAR_PLANT_N", "NEAR_PLANT_OFFSET", "NEAR_PLANT_SUFFIX",
     "EXACT_PLANT_N", "EXACT_PLANT_OFFSET",
-    "norm_content", "exact_dedup", "minhash_signatures",
+    "norm_content", "salted_hash60", "exact_dedup", "minhash_signatures",
     "lsh_candidate_pairs", "near_dup_pairs", "simhash32",
     "minhash_signatures_df", "lsh_candidate_pairs_df",
     "simhash_near_dups", "duplicate_clusters", "fuzzy_dedup_survivors",
@@ -83,12 +83,18 @@ def _norm_tokens(F, col):
     return F.split(norm_content(F, col), " ")
 
 
-def _word_hash(F, w, salt: int):
+def salted_hash60(F, w, salt):
     """60-bit hash_salt(w) = int(md5(salt || ':' || w)[:15], 16).
-    Mirrored exactly by the DuckDB oracle."""
+    Mirrored exactly by the DuckDB oracle (`_wh`). THE deterministic
+    hash for sampling/permutations/priorities across the repo — one
+    copy, in lockstep with its SQL twin."""
     return F.conv(
         F.substring(F.md5(F.concat(F.lit(f"{salt}:"), w)), 1, 15), 16, 10
     ).cast("long")
+
+
+# internal alias (historic name used throughout this module)
+_word_hash = salted_hash60
 
 
 def _augmented_docs(spark, sf_dir: str):

@@ -82,6 +82,10 @@ def event_hourly(spark, sf_dir: str):
     for the oracle compare)."""
     from pyspark.sql import functions as F
 
+    # deliberately (re)pinned here, not only in session.py: the
+    # CORRECTNESS driver runs these queries under ITS OWN session,
+    # which this repo does not build — the UTC pin is load-bearing for
+    # the DuckDB timestamp compare on any host
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
@@ -97,6 +101,10 @@ def event_sessions(spark, sf_dir: str, gap_minutes: int = 30):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    # deliberately (re)pinned here, not only in session.py: the
+    # CORRECTNESS driver runs these queries under ITS OWN session,
+    # which this repo does not build — the UTC pin is load-bearing for
+    # the DuckDB timestamp compare on any host
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts")

@@ -116,11 +116,9 @@ def fingerprints(spark, sf_dir: str):
 
     norm = norm_content(F, F.col("text"))
     toks = F.split(norm, " ")
-    # 60-bit salted word hash from md5 — same construction as
-    # dedup._word_hash(salt=0) and the DuckDB oracle
-    word_hash = lambda w: F.conv(
-        F.substring(F.md5(F.concat(F.lit("0:"), w)), 1, 15), 16, 10
-    ).cast("long")
+    from paddleocr_spark.operators.dedup import salted_hash60
+
+    word_hash = lambda w: salted_hash60(F, w, 0)
     rolling = F.aggregate(
         F.split(norm, ""),
         F.lit(0).cast("long"),

@@ -76,10 +76,9 @@ def read_pgnet_sources(spark, label_files, ratio_list=None,
     for path, ratio in zip(label_files, ratio_list):
         df = read_pgnet_labels(spark, path, delimiter)
         if ratio < 1.0:
-            bucket = F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{seed}:"),
-                                           F.col("img_path"))), 1, 15),
-                16, 10).cast("long") % 1000000
-            df = df.where(bucket < int(ratio * 1000000))
+            from paddleocr_spark.operators.dedup import salted_hash60
+
+            bucket = salted_hash60(F, F.col("img_path"), seed) % 1000000
+            df = df.where(bucket < round(ratio * 1000000))
         out = df if out is None else out.unionByName(df)
     return out

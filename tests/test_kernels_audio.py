@@ -76,3 +76,18 @@ def test_spark_audio_feature_stage(spark, tmp_path):
     # RMS ordering tracks amplitude
     assert got["a0"].mean_rms < got["a1"].mean_rms < got["a2"].mean_rms
     assert abs(got["a2"].mean_rms - 0.8 / np.sqrt(2)) < 5e-3
+
+
+def test_zero_channels_raises_value_error():
+    import struct
+
+    import pytest
+
+    from paddleocr_spark.kernels.audio import decode_wav
+
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    data = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(ValueError, match="channels"):
+        decode_wav(data)

@@ -268,3 +268,47 @@ def test_gif_malformed():
         decode_gif(b"GIF89a" + b"\x00" * 7)  # no blocks
     with pytest.raises(ValueError):
         decode_gif(b"NOTGIF")
+
+
+def test_gif_descriptor_exceeding_screen_raises():
+    """A malformed descriptor larger than the logical screen must
+    raise the module's ValueError, not a numpy IndexError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from paddleocr_spark.kernels.imgcodec import decode_gif, encode_gif
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    data = bytearray(encode_gif(img))
+    # shrink the LOGICAL SCREEN below the (intact) 2x2 descriptor —
+    # the pixel data is all present, so only the bounds guard can
+    # catch the overflow
+    data[6:8] = struct.pack("<H", 1)
+    with pytest.raises(ValueError, match="logical screen"):
+        decode_gif(bytes(data))
+
+
+def test_gif_background_uses_global_table():
+    """A frame covering only part of the screen exposes background
+    pixels — they must come from the GLOBAL color table (GIF89a §18),
+    also through a local-table frame."""
+    import struct
+
+    import numpy as np
+
+    from paddleocr_spark.kernels.imgcodec import decode_gif, encode_gif
+
+    blue = np.full((2, 2, 3), (0, 0, 255), dtype=np.uint8)  # RGB blue
+    data = bytearray(encode_gif(blue))
+    # widen the logical screen so a background strip exists
+    assert data[:6] in (b"GIF89a", b"GIF87a")
+    sw = struct.unpack("<H", data[6:8])[0]
+    data[6:8] = struct.pack("<H", sw + 2)
+    out = decode_gif(bytes(data))  # BGR
+    assert out.shape == (2, 4, 3)
+    # covered area is blue; the background strip is the global table's
+    # bg_idx entry (the same palette here) — crucially NOT garbage
+    assert (out[:, :2] == (255, 0, 0)).all()
+    assert (out[:, 2:] == out[0, 3]).all()

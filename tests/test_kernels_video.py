@@ -132,3 +132,19 @@ def test_yuv444_chroma_passes_through_full_size():
     assert rgb[3, 3, 0] > 200          # the red pixel is red
     assert rgb[0, 0, 0] == 128         # the rest untouched
     assert (rgb[:3, :3] == 128).all()  # no quadrant stretching
+
+
+def test_odd_dimension_420_frame_converts():
+    """decode_y4m accepts odd dims (floor-divided chroma); the RGB
+    conversion must edge-pad instead of crashing on the broadcast."""
+    import numpy as np
+
+    from paddleocr_spark.kernels.video import yuv420_to_rgb
+
+    y = np.full((5, 5), 100, dtype=np.uint8)
+    u = np.full((2, 2), 128, dtype=np.uint8)
+    v = np.full((2, 2), 200, dtype=np.uint8)
+    rgb = yuv420_to_rgb({"y": y, "u": u, "v": v})
+    assert rgb.shape == (5, 5, 3)
+    # edge replication: last row/col carry the nearest chroma
+    assert (rgb[4, 4] == rgb[3, 3]).all()
