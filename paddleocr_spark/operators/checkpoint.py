@@ -88,6 +88,10 @@ def run_with_checkpoint(spark, docs_df, media_df, out_dir: str,
 
     done = completed_buckets(spark, out_dir, run_id, n_buckets)
     todo = [b for b in range(n_buckets) if b not in done]
+    if not todo:
+        # fully-resumed run: nothing to do, so don't pay the store
+        # decode or the salt-statistic pass below
+        return []
     spans_dir = os.path.join(out_dir, "spans")
     ckpt_dir = os.path.join(out_dir, "checkpoint")
     bucket_of = F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
@@ -114,27 +118,33 @@ def run_with_checkpoint(spark, docs_df, media_df, out_dir: str,
         else decode_media(media_df))
 
     processed = []
-    for i, b in enumerate(todo):
-        if fail_after_buckets is not None and i >= fail_after_buckets:
-            break
-        t0 = time.time()
-        docs_b = docs_df.where(bucket_of == b)
-        out = extract_spans(docs_b, media_df, salt_width=salt_width,
-                            fragments_df=fragments)
-        (out.write.mode("overwrite")
-         .parquet(os.path.join(spans_dir, f"bucket={b}")))
-        written = spark.read.parquet(os.path.join(spans_dir, f"bucket={b}"))
-        stats = written.agg(
-            F.countDistinct("doc_id").alias("docs"),
-            F.count("*").alias("spans")).collect()[0]
-        wall_ms = int((time.time() - t0) * 1000)
-        row = [(run_id, b, n_buckets, int(stats.docs), int(stats.spans),
-                wall_ms, input_snapshot, __version__,
-                int(time.time() * 1000))]
-        (spark.createDataFrame(row, schema=CHECKPOINT_SCHEMA)
-         .write.mode("append").parquet(ckpt_dir))
-        processed.append(b)
-    release_persisted(spark)
+    try:
+        for i, b in enumerate(todo):
+            if fail_after_buckets is not None and i >= fail_after_buckets:
+                break
+            t0 = time.time()
+            docs_b = docs_df.where(bucket_of == b)
+            out = extract_spans(docs_b, media_df, salt_width=salt_width,
+                                fragments_df=fragments)
+            (out.write.mode("overwrite")
+             .parquet(os.path.join(spans_dir, f"bucket={b}")))
+            written = spark.read.parquet(
+                os.path.join(spans_dir, f"bucket={b}"))
+            stats = written.agg(
+                F.countDistinct("doc_id").alias("docs"),
+                F.count("*").alias("spans")).collect()[0]
+            wall_ms = int((time.time() - t0) * 1000)
+            row = [(run_id, b, n_buckets, int(stats.docs), int(stats.spans),
+                    wall_ms, input_snapshot, __version__,
+                    int(time.time() * 1000))]
+            (spark.createDataFrame(row, schema=CHECKPOINT_SCHEMA)
+             .write.mode("append").parquet(ckpt_dir))
+            processed.append(b)
+    finally:
+        # a crash mid-bucket must not leave the fragment cache pinned
+        # on a long-lived session (the caller retries run_with_checkpoint
+        # on the same session to resume)
+        release_persisted(spark)
     return processed
 
 

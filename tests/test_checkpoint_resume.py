@@ -52,6 +52,21 @@ def test_resume_equals_clean_run(spark, corpus, tmp_path):
     shutil.rmtree(clean_dir, ignore_errors=True)
 
 
+def test_fully_resumed_run_is_a_noop(spark, corpus, tmp_path):
+    """Re-invoking a completed run must return [] WITHOUT re-decoding
+    the media store (eager_persist would register a cache; the registry
+    must stay empty on the no-op path)."""
+    docs, media = corpus
+    out = str(tmp_path / "done")
+    run_with_checkpoint(spark, docs, media, out, "run1", n_buckets=2)
+
+    from paddleocr_spark.operators import _cache
+    before = {k: len(v) for k, v in _cache._REGISTRY.items()}
+    again = run_with_checkpoint(spark, docs, media, out, "run1", n_buckets=2)
+    assert again == []
+    assert {k: len(v) for k, v in _cache._REGISTRY.items()} == before
+
+
 def test_checkpoint_metrics_rows(spark, corpus, tmp_path):
     docs, media = corpus
     out = str(tmp_path / "m")
