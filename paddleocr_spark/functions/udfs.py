@@ -204,9 +204,16 @@ def _store_files_df(spark, store_path: str, n_tasks: int):
     and range-partition on it — planning is a tiny Spark job over one
     row per file, never an O(files) driver listing, and task sizes
     track bytes (a skewed file-size distribution still packs evenly).
-    The single-partition window over the manifest is fine at this
-    tier; a million-file manifest would pre-aggregate per manifest
-    chunk first.
+
+    The cumulative sum is a DISTRIBUTED prefix sum, not a global-order
+    window: files hash into ``n_tasks`` chunks, the running sum within
+    a chunk is a partitioned window, and each chunk's starting offset
+    comes from the tiny per-chunk byte totals (one row per chunk,
+    broadcast back). Packing only needs SOME deterministic total order
+    for contiguous byte ranges — (chunk, file) is as good as (file) —
+    so no stage ever holds more than ~files/n_tasks rows in one
+    partition, and a million-file manifest plans without a
+    single-partition sort.
     """
     import os as _os
 
@@ -215,13 +222,28 @@ def _store_files_df(spark, store_path: str, n_tasks: int):
 
     man = manifest_path(store_path)
     if _os.path.exists(_os.path.join(man, "_SUCCESS")):
-        w = Window.orderBy("file")
-        tot = F.broadcast(spark.read.parquet(man)
-                          .agg(F.sum("n_bytes").alias("tot_bytes")))
-        return (spark.read.parquet(man)
-                .crossJoin(tot)
+        chunk = F.pmod(F.xxhash64("file"), F.lit(n_tasks)).alias("chunk")
+        man_df = spark.read.parquet(man).withColumn("chunk", chunk)
+        # per-chunk byte totals: <= n_tasks rows; the offset window runs
+        # over this TINY table only (bounded by task count, not files)
+        per_chunk = (man_df.groupBy("chunk")
+                     .agg(F.sum("n_bytes").alias("chunk_bytes")))
+        w_off = Window.orderBy("chunk")
+        offsets = (per_chunk
+                   .withColumn("chunk_off",
+                               F.sum("chunk_bytes").over(w_off)
+                               - F.col("chunk_bytes"))
+                   .crossJoin(F.broadcast(
+                       per_chunk.agg(F.sum("chunk_bytes")
+                                     .alias("tot_bytes"))))
+                   .select("chunk", "chunk_off", "tot_bytes"))
+        w_local = Window.partitionBy("chunk").orderBy("file")
+        return (man_df
+                .join(F.broadcast(offsets), "chunk")
                 .withColumn("cum",
-                            F.sum("n_bytes").over(w) - F.col("n_bytes"))
+                            F.col("chunk_off")
+                            + F.sum("n_bytes").over(w_local)
+                            - F.col("n_bytes"))
                 .withColumn("task",
                             F.floor(F.col("cum") * n_tasks
                                     / F.greatest(F.col("tot_bytes"),

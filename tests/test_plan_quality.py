@@ -101,6 +101,50 @@ def test_media_store_planning_from_manifest(spark):
     assert locs and all("media_manifest" in loc for loc in locs), plan
 
 
+def test_manifest_packing_has_no_global_file_window(spark):
+    """The byte-balanced task packing must compute its cumulative sum
+    as a distributed prefix sum: any window ordered over the per-FILE
+    rows must be partitioned (by chunk); an unpartitioned window may
+    only run over the per-chunk offsets table (rows bounded by task
+    count, not file count)."""
+    import re
+
+    from paddleocr_spark.functions.udfs import _store_files_df
+    from paddleocr_spark.plans.inspect import formatted_plan
+
+    _, media_path = entry_mod.corpus_paths(spark, SF, n_docs=50)
+    files_df = _store_files_df(spark, media_path, n_tasks=8)
+    plan = formatted_plan(files_df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        if re.search(r"\bfile#\d+ ASC", spec):
+            # file-ordered window: first arg must be the chunk column
+            assert spec.lstrip().startswith("chunk#"), spec
+
+
+def test_manifest_packing_is_byte_balanced(spark):
+    """Task packing from the manifest must track BYTES: no task's byte
+    total may exceed 2x the ideal share plus one file (the worst case
+    of contiguous range packing)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.functions.udfs import _store_files_df
+
+    _, media_path = entry_mod.corpus_paths(spark, SF, n_docs=50)
+    files_df = _store_files_df(spark, media_path, n_tasks=4)
+    rows = (files_df.select(F.spark_partition_id().alias("pid"), "path")
+            .collect())
+    by_task: dict[int, int] = {}
+    for r in rows:
+        by_task[r.pid] = by_task.get(r.pid, 0) + _os.path.getsize(r.path)
+    tot = sum(by_task.values())
+    max_file = max(_os.path.getsize(r.path) for r in rows)
+    assert max(by_task.values()) <= tot / 4 * 2 + max_file, by_task
+
+
 def test_manifest_planned_decode_matches_dataframe_decode(spark):
     """Pointer-passing decode planned from the manifest produces the
     same fragments as the generic DataFrame-decode path."""
