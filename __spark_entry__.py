@@ -33,6 +33,7 @@ from paddleocr_spark.operators import (
     kie,
     metrics,
     relational,
+    retrieval,
     similarity,
     text,
 )
@@ -321,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_lsh": similarity.cosine_topk_lsh,
         "cosine_topk_ivf": similarity.cosine_topk_ivf,
         "cosine_topk_ivf_refined": similarity.cosine_topk_ivf_refined,
+        "bm25_topk": retrieval.bm25_topk,
         "embedding_near_dups": similarity.embedding_near_dups,
         # --- metric aggregations (oracle-checked) ---
         "rec_metric_pairs": metrics.rec_metric_pairs,
@@ -359,6 +361,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _BP_RE = "cookie consent banner|all rights reserved|subscribe to our newsletter|privacy policy terms of use|click here to accept"
 _NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_BM25_TERMS_SQL = ", ".join(
+    f"'{t}'" for t in sorted({t for ts in retrieval.BM25_QUERIES.values()
+                              for t in ts}))
+_BM25_QUERIES_SQL = ", ".join(
+    f"('{qid}', '{t}')" for qid, ts in sorted(retrieval.BM25_QUERIES.items())
+    for t in ts)
 _TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
 
@@ -1242,6 +1250,48 @@ def oracle_sql() -> dict[str, str]:
               FROM cand)
             SELECT query_id, rank, vec_id, cosine FROM ranked
             WHERE rank <= {k}
+        """,
+        # BM25 keyword search — per-(doc, term) contributions rounded
+        # to integer micro-units BEFORE the sum (exact BIGINT, immune
+        # to cross-engine summation-order drift); formulas mirror
+        # operators/retrieval.py
+        "bm25_topk": f"""
+            WITH docs AS (
+              SELECT doc_id::bigint AS doc_id,
+                     string_split({_NORM}, ' ') AS tk
+              FROM documents),
+            stats AS (SELECT count(*)::double AS n_docs,
+                             avg(len(tk))::double AS avgdl FROM docs),
+            hits AS (SELECT doc_id, len(tk)::bigint AS dl,
+                            unnest(tk) AS term
+                     FROM docs),
+            tf AS (SELECT doc_id, term, dl, count(*)::bigint AS tf
+                   FROM hits
+                   WHERE term IN ({_BM25_TERMS_SQL})
+                   GROUP BY doc_id, term, dl),
+            tfdf AS (SELECT *,
+                            count(*) OVER (PARTITION BY term)::bigint AS df
+                     FROM tf),
+            q(query_id, term) AS (VALUES {_BM25_QUERIES_SQL}),
+            scored AS (
+              SELECT query_id, doc_id,
+                     sum(CAST(round(
+                         ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * (tf * ({retrieval.BM25_K1} + 1))
+                         / (tf + {retrieval.BM25_K1}
+                            * (1 - {retrieval.BM25_B}
+                               + {retrieval.BM25_B} * dl / avgdl))
+                         * 1e6) AS BIGINT)) AS score_micro
+              FROM tfdf JOIN q USING (term) CROSS JOIN stats
+              GROUP BY query_id, doc_id),
+            ranked AS (SELECT *,
+                              row_number() OVER (
+                                  PARTITION BY query_id
+                                  ORDER BY score_micro DESC, doc_id
+                              )::bigint AS rank
+                       FROM scored)
+            SELECT query_id, rank, doc_id, score_micro FROM ranked
+            WHERE rank <= {retrieval.BM25_TOPK}
         """,
         "cosine_topk_lsh": f"""
             WITH e AS (SELECT vec_id::bigint AS vec_id,

@@ -145,6 +145,21 @@ def test_manifest_packing_is_byte_balanced(spark):
     assert max(by_task.values()) <= tot / 4 * 2 + max_file, by_task
 
 
+def test_bm25_plan_shape(spark):
+    """BM25: query terms and corpus stats broadcast (no shuffled join
+    for the tiny sides), no CartesianProduct, and the documents scans
+    read only doc_id + text."""
+    from paddleocr_spark.operators.retrieval import bm25_topk
+    from paddleocr_spark.plans.inspect import formatted_plan
+
+    df = bm25_topk(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df)
+    for s in scan_read_schema(df):
+        assert set(s) <= {"doc_id", "text"}, s
+
+
 def test_manifest_planned_decode_matches_dataframe_decode(spark):
     """Pointer-passing decode planned from the manifest produces the
     same fragments as the generic DataFrame-decode path."""
