@@ -1014,7 +1014,7 @@ def oracle_sql() -> dict[str, str]:
             WITH cdocs AS (
               SELECT doc_id::bigint AS doc_id, text FROM documents
               UNION ALL
-              SELECT doc_id::bigint + {curation.CONTAM_OFFSET} AS doc_id,
+              SELECT -(doc_id::bigint) - 1 AS doc_id,
                      '{curation.CONTAM_PREFIX}' || text AS text
               FROM documents
               WHERE doc_id % {curation.BENCH_MOD} = 0
@@ -1032,9 +1032,11 @@ def oracle_sql() -> dict[str, str]:
                              for j in range(curation.NGRAM_N))}))))) AS gh
               FROM tk),
             bench AS (SELECT doc_id AS bench_doc_id, gh FROM g
-                      WHERE doc_id % {curation.BENCH_MOD} = 0),
+                      WHERE doc_id % {curation.BENCH_MOD} = 0
+                        AND doc_id < {curation.BENCH_CAP}),
             train AS (SELECT doc_id, gh FROM g
-                      WHERE doc_id % {curation.BENCH_MOD} <> 0)
+                      WHERE doc_id % {curation.BENCH_MOD} <> 0
+                         OR doc_id >= {curation.BENCH_CAP})
             SELECT t.doc_id,
                    count(DISTINCT t.gh)::bigint AS n_shared_ngrams,
                    count(DISTINCT b.bench_doc_id)::bigint

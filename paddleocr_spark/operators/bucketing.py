@@ -85,17 +85,36 @@ def register_bucketed(spark, name: str, path: str, key: str,
     spec_path = os.path.join(path, "_bucket_spec.json")
     if os.path.exists(spec_path):
         with open(spec_path) as f:
-            written = json.load(f)["n_buckets"]
-        if written != n_buckets:
+            written = json.load(f)
+        if written["n_buckets"] != n_buckets:
             raise ValueError(
                 f"bucketed data at {path} was written with "
-                f"{written} buckets; refusing to register it as "
-                f"{n_buckets}")
+                f"{written['n_buckets']} buckets; refusing to register "
+                f"it as {n_buckets}")
+        # the keys/sortedness must match too: declaring CLUSTERED BY a
+        # column the files were NOT hashed on makes Spark elide the
+        # Exchange against the wrong bucket mapping — silent dropped
+        # join rows, no error
+        if written["keys"] != [key]:
+            raise ValueError(
+                f"bucketed data at {path} was hashed on "
+                f"{written['keys']}; refusing to register it as "
+                f"CLUSTERED BY ({key})")
+        wsort = written.get("sort_cols")
+        wsort = [wsort] if isinstance(wsort, str) else wsort
+        # declare SORTED BY only when the files really carry the
+        # bucket-local sort: declaring it over unsorted runs makes
+        # Spark elide the per-task sort and merge-join garbage
+        sorted_by = f"SORTED BY ({key}) " if wsort == [key] else ""
+    else:
+        # no spec alongside the data: nothing proves the sort, so
+        # claim only the clustering the caller asserts
+        sorted_by = ""
     cols = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                      for f in spark.read.parquet(path).schema.fields)
     spark.sql(
         f"CREATE TABLE {name} ({cols}) USING parquet "
-        f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+        f"CLUSTERED BY ({key}) {sorted_by}"
         f"INTO {n_buckets} BUCKETS LOCATION '{path}'")
 
 

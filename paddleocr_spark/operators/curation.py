@@ -34,8 +34,11 @@ __all__ = [
 
 NGRAM_N = 8           # verbatim 8-gram overlap = standard decontam unit
 BENCH_MOD = 97        # doc_id % 97 == 0 -> held-out "benchmark" doc
+BENCH_CAP = 10_000    # ...but only below this id: the benchmark suite
+                      # is a FIXED-SIZE set (<= CAP/MOD docs) however
+                      # large the corpus grows, so the broadcast stays
+                      # bounded by the suite, not the corpus
 CONTAM_PLANT_N = 3    # first N benchmark docs get a planted leak
-CONTAM_OFFSET = 3_000_000
 CONTAM_PREFIX = "unrelated preamble text then "
 SAMPLE_DENOM = 1_000_000
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "zh": 0.1}
@@ -52,16 +55,12 @@ def _docs(spark, sf_dir: str):
 
 
 def _ngrams(F, toks_col, n: int):
-    """Distinct word n-grams of a bound token-array column (same
-    materialized-column caveat as dedup._shingles)."""
-    def gram(x, i):
-        pieces = [x] + [F.element_at(toks_col, i + 1 + j)
-                        for j in range(1, n)]
-        return F.when(i + n - 1 < F.size(toks_col),
-                      F.concat_ws(" ", *pieces))
+    """Distinct word n-grams — dedup's shingle builder with n
+    parameterized (one copy of the transform and of its bound-column
+    evaluation caveat)."""
+    from paddleocr_spark.operators.dedup import _shingles
 
-    return F.array_distinct(F.filter(
-        F.transform(toks_col, gram), lambda s: s.isNotNull()))
+    return _shingles(F, toks_col, n)
 
 
 def benchmark_contamination(spark, sf_dir: str, n: int = NGRAM_N):
@@ -70,20 +69,27 @@ def benchmark_contamination(spark, sf_dir: str, n: int = NGRAM_N):
     doc. Returns (doc_id, n_shared_ngrams, n_benchmark_docs).
 
     The gram join key is the md5 of the gram (fixed width beats
-    shuffling long strings); the benchmark side is broadcast — it is
-    bounded by the benchmark suite's size, not the corpus.
+    shuffling long strings); the benchmark side is broadcast — bounded
+    by BENCH_CAP / BENCH_MOD docs HOWEVER large the corpus grows (a
+    real deployment swaps the modulus slice for the actual held-out
+    benchmark table; the bound is the property that matters).
 
     The test corpora have no natural verbatim 8-gram leakage at the
     larger scale factors, so (dedup-plant pattern) the corpus is
     augmented with CONTAM_PLANT_N training docs that embed a benchmark
     doc's text behind an unrelated prefix — mirrored verbatim in the
-    DuckDB oracle, making the green row non-vacuous at every sf."""
+    DuckDB oracle, making the green row non-vacuous at every sf. The
+    plants live at NEGATIVE doc_ids (-(src+1)), which no real document
+    can hold, so a plant can never merge gram sets with a real doc
+    whatever the corpus size."""
     from pyspark.sql import functions as F
 
     docs = _docs(spark, sf_dir)
+    is_bench = (F.col("doc_id") % BENCH_MOD == 0) & \
+        (F.col("doc_id") < BENCH_CAP)
     leaks = (docs.where((F.col("doc_id") % BENCH_MOD == 0)
                         & (F.col("doc_id") < CONTAM_PLANT_N * BENCH_MOD))
-             .select((F.col("doc_id") + CONTAM_OFFSET).alias("doc_id"),
+             .select((-F.col("doc_id") - 1).alias("doc_id"),
                      F.concat(F.lit(CONTAM_PREFIX),
                               F.col("text")).alias("text"),
                      "lang"))
@@ -92,9 +98,9 @@ def benchmark_contamination(spark, sf_dir: str, n: int = NGRAM_N):
     grams = toks.select(
         "doc_id", F.explode(_ngrams(F, F.col("tk"), n)).alias("g"))
     grams = grams.select("doc_id", F.md5(F.col("g")).alias("gh"))
-    bench = (grams.where(F.col("doc_id") % BENCH_MOD == 0)
+    bench = (grams.where(is_bench)
              .select(F.col("doc_id").alias("bench_doc_id"), "gh"))
-    train = grams.where(F.col("doc_id") % BENCH_MOD != 0)
+    train = grams.where(~is_bench)
     return (train.join(F.broadcast(bench), "gh")
             .groupBy("doc_id")
             .agg(F.count_distinct("gh").cast("long")
@@ -114,6 +120,31 @@ def _keep_hash(F, doc_id_col, salt: str):
                          salt) % SAMPLE_DENOM
 
 
+def _lang_threshold(F):
+    """Per-language integer keep threshold (one CASE on lang).
+    Integer thresholds precomputed once (shared with the oracle) so no
+    float-rounding divergence can exist between engines; one copy
+    shared by stratified_sample and curated_corpus."""
+    thr = F.lit(int(DEFAULT_RATE * SAMPLE_DENOM))
+    for lang, r in SAMPLE_RATES.items():
+        thr = F.when(F.col("lang") == lang,
+                     F.lit(int(r * SAMPLE_DENOM))).otherwise(thr)
+    return thr
+
+
+def _budget_cap(F, Window, df, budget: int):
+    """Per-language token-budget window: running token total in
+    deterministic ('pri', doc_id) order; keep a doc iff it STARTS
+    inside the budget. One copy shared by token_budget_mix and
+    curated_corpus. ``df`` must carry (lang, doc_id, pri, n_tokens)."""
+    w = (Window.partitionBy("lang").orderBy("pri", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    mixed = df.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+    return mixed.where(F.col("cum_tokens") - F.col("n_tokens")
+                       < F.lit(budget))
+
+
 def stratified_sample(spark, sf_dir: str):
     """Per-language deterministic sampling at SAMPLE_RATES: keep a doc
     iff hash(doc_id) mod 1e6 < rate * 1e6. Pure Catalyst (one CASE on
@@ -122,13 +153,7 @@ def stratified_sample(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     docs = _docs(spark, sf_dir)
-    # integer thresholds precomputed once (shared with the oracle) so
-    # no float-rounding divergence can exist between engines
-    thr = F.lit(int(DEFAULT_RATE * SAMPLE_DENOM))
-    for lang, r in SAMPLE_RATES.items():
-        thr = F.when(F.col("lang") == lang,
-                     F.lit(int(r * SAMPLE_DENOM))).otherwise(thr)
-    keep = _keep_hash(F, F.col("doc_id"), "strat") < thr
+    keep = _keep_hash(F, F.col("doc_id"), "strat") < _lang_threshold(F)
     return docs.where(keep).select("doc_id", "lang")
 
 
@@ -147,12 +172,7 @@ def token_budget_mix(spark, sf_dir: str, budget: int = LANG_BUDGET):
         "doc_id", "lang",
         F.size(dedup_norm(F, F.col("text"))).cast("long").alias("n_tokens"),
         _keep_hash(F, F.col("doc_id"), "mix").alias("pri"))
-    w = (Window.partitionBy("lang").orderBy("pri", "doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    mixed = toked.withColumn(
-        "cum_tokens", F.sum("n_tokens").over(w).cast("long"))
-    return (mixed.where(F.col("cum_tokens") - F.col("n_tokens")
-                        < F.lit(budget))
+    return (_budget_cap(F, Window, toked, budget)
             .select("doc_id", "lang", "n_tokens", "cum_tokens"))
 
 
@@ -189,24 +209,18 @@ def curated_corpus(spark, sf_dir: str, budget: int = LANG_BUDGET):
     from pyspark.sql.window import Window
 
     from paddleocr_spark.operators.html_extract import html_main_content
-    from paddleocr_spark.operators.text import STOPWORDS
+    from paddleocr_spark.operators.text import quality_parts
 
     mc = html_main_content(spark, sf_dir).select("doc_id", "main_text")
     langs = _docs(spark, sf_dir).select("doc_id", "lang")
     df = mc.join(langs, "doc_id")
 
+    # same formula as text.quality_scores, applied to the EXTRACTED
+    # main text (already whitespace-normalized by the DOM extractor,
+    # so a plain split replaces tokens_col's trim/lower)
     toks = F.split(F.col("main_text"), r"\s+")
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_tok = F.size(toks)
-    stop_ratio = (F.size(F.filter(
-        toks, lambda w: F.array_contains(stop_arr, w))).cast("double")
-        / n_tok)
-    alpha_ratio = (F.length(F.regexp_replace(F.lower(F.col("main_text")),
-                                             "[^a-z]", ""))
-                   / F.length("main_text"))
-    quality = F.round(0.4 * stop_ratio
-                      + 0.3 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
-                      + 0.3 * alpha_ratio, 6)
+    n_tok, _, _, score = quality_parts(F, F.col("main_text"), toks)
+    quality = F.round(score, 6)
 
     scored = df.select(
         "doc_id", "lang",
@@ -215,19 +229,10 @@ def curated_corpus(spark, sf_dir: str, budget: int = LANG_BUDGET):
         F.md5("main_text").alias("main_md5"))
     kept = scored.where(F.col("quality") >= QUALITY_MIN)
 
-    thr = F.lit(int(DEFAULT_RATE * SAMPLE_DENOM))
-    for lang, r in SAMPLE_RATES.items():
-        thr = F.when(F.col("lang") == lang,
-                     F.lit(int(r * SAMPLE_DENOM))).otherwise(thr)
     sampled = (kept
                .withColumn("pri", _keep_hash(F, F.col("doc_id"), "cur"))
-               .where(F.col("pri") < thr))
+               .where(F.col("pri") < _lang_threshold(F)))
 
-    w = (Window.partitionBy("lang").orderBy("pri", "doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    mixed = sampled.withColumn(
-        "cum_tokens", F.sum("n_tokens").over(w).cast("long"))
-    return (mixed.where(F.col("cum_tokens") - F.col("n_tokens")
-                        < F.lit(budget))
+    return (_budget_cap(F, Window, sampled, budget)
             .select("doc_id", "lang", "n_tokens", "quality",
                     "main_md5", "cum_tokens"))

@@ -93,6 +93,20 @@ def salted_hash60(F, w, salt):
     ).cast("long")
 
 
+SAMPLE_BUCKETS = 1_000_000
+
+
+def ratio_keep(F, key_col, ratio: float, salt):
+    """Deterministic ratio-sampling predicate: md5-bucket(key) <
+    round(ratio * 1e6). round, NOT int(): float truncation lands one
+    bucket low for ~0.1% of exact micro-ratios (e.g. 0.000498 * 1e6 ->
+    497.999...). ONE copy serving tables.load_documents_sampled and
+    pgnet.read_pgnet_sources; pure-Python oracle twins must restate
+    round(), not int()."""
+    return (salted_hash60(F, key_col, salt) % SAMPLE_BUCKETS
+            < round(ratio * SAMPLE_BUCKETS))
+
+
 # internal alias (historic name used throughout this module)
 _word_hash = salted_hash60
 
@@ -117,9 +131,11 @@ def _augmented_docs(spark, sf_dir: str):
     return df.unionByName(near).unionByName(exact)
 
 
-def _shingles(F, toks_col):
-    """Distinct 3-word shingles of a token-array column (total: short
-    docs yield an empty array, never an error).
+def _shingles(F, toks_col, n: int = SHINGLE_N):
+    """Distinct n-word shingles of a token-array column (total: short
+    docs yield an empty array, never an error). Default n is the
+    minhash SHINGLE_N; curation's decontamination grams reuse this
+    with n=NGRAM_N.
 
     toks_col MUST be a bound column reference, not the raw
     split(regexp_replace(...)) expression: the lambda references it
@@ -130,10 +146,9 @@ def _shingles(F, toks_col):
         F.transform(
             toks_col,
             lambda x, i: F.when(
-                i + SHINGLE_N - 1 < F.size(toks_col),
-                F.concat_ws(" ", x,
-                            F.element_at(toks_col, i + 2),
-                            F.element_at(toks_col, i + 3)))),
+                i + n - 1 < F.size(toks_col),
+                F.concat_ws(" ", x, *[F.element_at(toks_col, i + 1 + j)
+                                      for j in range(1, n)]))),
         lambda s: s.isNotNull()))
 
 

@@ -17,8 +17,8 @@ from __future__ import annotations
 from paddleocr_spark.corpus import BOILERPLATE_RE
 
 __all__ = [
-    "STOPWORDS", "PROFILE_QS", "tokens_col", "clean_documents",
-    "corpus_profile", "token_stats",
+    "STOPWORDS", "PROFILE_QS", "tokens_col", "quality_parts",
+    "clean_documents", "corpus_profile", "token_stats",
     "quality_scores", "fingerprints", "repetition_scores", "redact_pii",
     "EMAIL_RE", "PHONE_RE", "PII_PLANT_N", "PII_OFFSET",
 ]
@@ -69,6 +69,23 @@ def token_stats(spark, sf_dir: str):
     )
 
 
+def quality_parts(F, text_col, toks):
+    """THE composite quality formula — (n_tok, stop_ratio, alpha_ratio,
+    score). One copy shared by quality_scores and
+    curation.curated_corpus (and mirrored in both DuckDB oracles):
+    weights or stopword changes land everywhere or nowhere."""
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    n_tok = F.size(toks)
+    alpha_ratio = (F.length(F.regexp_replace(F.lower(text_col), "[^a-z]", ""))
+                   / F.length(text_col))
+    stop_ratio = n_stop.cast("double") / n_tok
+    score = (0.4 * stop_ratio
+             + 0.3 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+             + 0.3 * alpha_ratio)
+    return n_tok, stop_ratio, alpha_ratio, score
+
+
 def quality_scores(spark, sf_dir: str):
     """Composite quality score: stopword ratio + length saturation +
     alphabetic-character ratio, plus a stopword-based language guess
@@ -77,16 +94,8 @@ def quality_scores(spark, sf_dir: str):
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = tokens_col(F.col("text"))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
-    n_tok = F.size(toks)
-    alpha_ratio = (F.length(F.regexp_replace(F.lower(F.col("text")),
-                                             "[^a-z]", ""))
-                   / F.length(F.col("text")))
-    stop_ratio = n_stop.cast("double") / n_tok
-    score = (0.4 * stop_ratio
-             + 0.3 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
-             + 0.3 * alpha_ratio)
+    n_tok, stop_ratio, alpha_ratio, score = quality_parts(
+        F, F.col("text"), toks)
     return df.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         n_tok.cast("long").alias("n_tokens"),

@@ -35,11 +35,12 @@ def read_pgnet_labels(spark, label_file: str, delimiter: str = "\t"):
     lines = spark.read.text(label_file).select(
         F.col("value"), F.lit(label_file).alias("source_file"))
     first_tab = F.instr("value", delimiter)
+    # pure column API (no SQL-string splicing: a quote or backslash in
+    # the delimiter must reach instr as DATA, not the SQL parser)
+    rest = F.col("value").substr(first_tab + 1, F.length("value"))
     parsed = lines.select(
         F.substring_index("value", delimiter, 1).alias("img_path"),
-        F.from_json(F.expr(
-            f"substring(value, instr(value, '{delimiter}') + 1)"),
-            _LABEL_JSON).alias("label"),
+        F.from_json(rest, _LABEL_JSON).alias("label"),
         "source_file",
     ).where(first_tab > 0)
     return parsed.select(
@@ -76,9 +77,8 @@ def read_pgnet_sources(spark, label_files, ratio_list=None,
     for path, ratio in zip(label_files, ratio_list):
         df = read_pgnet_labels(spark, path, delimiter)
         if ratio < 1.0:
-            from paddleocr_spark.operators.dedup import salted_hash60
+            from paddleocr_spark.operators.dedup import ratio_keep
 
-            bucket = salted_hash60(F, F.col("img_path"), seed) % 1000000
-            df = df.where(bucket < round(ratio * 1000000))
+            df = df.where(ratio_keep(F, F.col("img_path"), ratio, seed))
         out = df if out is None else out.unionByName(df)
     return out

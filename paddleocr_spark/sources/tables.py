@@ -31,13 +31,10 @@ def load_documents_sampled(spark, sf_dir: str, ratio: float, seed: int = 42):
     df = load_table(spark, sf_dir, "documents")
     if ratio >= 1.0:
         return df
-    from paddleocr_spark.operators.dedup import salted_hash60
+    from paddleocr_spark.operators.dedup import ratio_keep
 
-    bucket = salted_hash60(
-        F, F.col("doc_id").cast("string"), seed) % 1000000
-    # round, not int(): float truncation lands one bucket low for
-    # ~0.1% of exact micro-ratios (e.g. 0.000498 * 1e6 -> 497.999...)
-    return df.where(bucket < round(ratio * 1000000))
+    return df.where(
+        ratio_keep(F, F.col("doc_id").cast("string"), ratio, seed))
 
 
 def union_sources(*dfs):

@@ -377,6 +377,18 @@ def test_bucket_count_mismatch_refused(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS bspec_t1")
     with pytest.raises(ValueError, match="8 buckets"):
         register_bucketed(spark, "bspec_t2", path, "k", n_buckets=4)
+    # wrong clustering key: the files were hashed on k, so declaring
+    # CLUSTERED BY (v) would silently join against the wrong buckets
+    df2 = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    path2 = str(tmp_path / "b2")
+    write_bucketed(df2, "bspec_t4", path2, "k", n_buckets=8)
+    spark.sql("DROP TABLE IF EXISTS bspec_t4")
+    with pytest.raises(ValueError, match="hashed on"):
+        register_bucketed(spark, "bspec_t5", path2, "v", n_buckets=8)
     register_bucketed(spark, "bspec_t3", path, "k", n_buckets=8)
     assert spark.table("bspec_t3").count() == 100
+    # unsorted write -> the DDL must NOT claim SORTED BY
+    ddl = spark.sql("SHOW CREATE TABLE bspec_t3").collect()[0][0]
+    assert "SORTED BY" not in ddl, ddl
     spark.sql("DROP TABLE IF EXISTS bspec_t3")
+    spark.sql("DROP TABLE IF EXISTS bspec_t5")
