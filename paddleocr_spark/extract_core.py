@@ -74,10 +74,12 @@ def clean_text(text: str) -> str:
     """Boilerplate strip + whitespace collapse. MUST stay equivalent to
     the Spark expression in operators/extract.py and the DuckDB oracle
     SQL (same regexes)."""
-    # Java's trim() strips code points <= U+0020 only; Python strip()
-    # is Unicode-wide — strip the explicit ASCII set instead
-    return _WS.sub(" ", _BP.sub("", text)).strip(
-        " \t\n\r\f\v\x00\x1c\x1d\x1e\x1f")
+    # strip U+0020 ONLY: Spark SQL trim() and DuckDB trim() strip
+    # spaces, nothing else. Any \t\n\r\f\v at the edges has already
+    # been collapsed to a single space by the (?a)\s+ pass (the same
+    # ASCII class Java's \s matches), and other control chars
+    # (\x00, \x1c-\x1f) survive on BOTH sides by the same rule.
+    return _WS.sub(" ", _BP.sub("", text)).strip(" ")
 
 
 def _expand_xyxy(box: np.ndarray, h: float, w: float, margin: int = 2):
@@ -227,13 +229,8 @@ def master_html_for_row(row: dict) -> str | None:
     cells_xyxy = [[float(b[0::2].min()), float(b[1::2].min()),
                    float(b[0::2].max()), float(b[1::2].max())]
                   for b in np.asarray(cell_bboxes).reshape(-1, 8)]
-    dt_xyxy = []
-    for i in idxs:
-        b = np.asarray(boxes[i])
-        dt_xyxy.append([max(0.0, float(b[:, 0].min()) - 1),
-                        max(0.0, float(b[:, 1].min()) - 1),
-                        min(w, float(b[:, 0].max()) + 1),
-                        min(h, float(b[:, 1].max()) + 1)])
+    dt_xyxy = [_expand_xyxy(np.asarray(boxes[i]), h, w, margin=1)
+               for i in idxs]
     texts = [rec[i][0] for i in idxs]
     body = table_master_match(tokens, cells_xyxy, dt_xyxy, texts)
     return wrap_html(body)

@@ -168,8 +168,15 @@ def extract_spans(docs_df, media, decode_partitions: int | None = None,
     out_cols = ["doc_id", "order", "kind", "text", "media_ref", "conf"]
     if keep_offset:
         out_cols.append("offset")
+    # total ordering key: (offset, frag_idx) is unique on the synthetic
+    # corpus, but the SCHEMA allows duplicate offsets (a text span and
+    # a media span at the same offset both carry frag_idx 0) — the
+    # extra columns break such ties deterministically, so repeated
+    # runs and the plain-vs-salted paths always agree; rows equal on
+    # ALL keys are interchangeable, so the order stays well-defined
+    order_keys = ["offset", "frag_idx", "kind", "media_ref", "text"]
     if not salt_width:
-        w = Window.partitionBy("doc_id").orderBy("offset", "frag_idx")
+        w = Window.partitionBy("doc_id").orderBy(*order_keys)
         return (unioned
                 .withColumn("order",
                             (F.row_number().over(w) - 1).cast("int"))
@@ -177,12 +184,13 @@ def extract_spans(docs_df, media, decode_partitions: int | None = None,
 
     # salted two-phase ordering. Buckets are contiguous offset RANGES
     # (not hashes), so rank-within-bucket + per-bucket base reproduces
-    # the global (offset, frag_idx) row_number exactly.
+    # the global order_keys row_number exactly (the tiebreak columns
+    # only refine WITHIN equal offsets, which share a bucket).
     ranked = (unioned
               .withColumn("bkt", F.floor(F.col("offset") / salt_width))
               .withColumn("r", F.row_number().over(
                   Window.partitionBy("doc_id", "bkt")
-                  .orderBy("offset", "frag_idx"))))
+                  .orderBy(*order_keys))))
     # one row per (doc, bucket): the running sum is a tiny window (a
     # 10^5-span doc has ~25 bucket rows), never a hotspot. The groupBy
     # reuses the (doc_id, bkt) partitioning of the rank window.

@@ -113,17 +113,25 @@ def kie_re_metric(fragments_df):
             .withColumn("in_pred", F.lit(1)))
     gt = (re_pairs(fragments_df, GT_LABEL_SALT, GT_LINK_SALT)
           .withColumn("in_gt", F.lit(1)))
-    joined = pred.join(gt, keys, "full")
+    return _prf_from_join(F, pred.join(gt, keys, "full"))
+
+
+def _prf_from_join(F, joined):
+    """tp / n_pred / n_gt + precision / recall / hmean from a full-outer
+    join carrying ``in_pred`` / ``in_gt`` marker columns. ONE copy for
+    kie_re_metric and ser_token_metric. tp is coalesced to 0 BEFORE the
+    ratios: zero matched pairs must yield precision = recall = 0.0 (the
+    reference's zero-division guard, and what the DuckDB oracle
+    computes), never NULL."""
     totals = joined.agg(
         F.sum(F.col("in_pred") * F.col("in_gt")).alias("tp"),
         F.sum("in_pred").alias("n_pred"),
         F.sum("in_gt").alias("n_gt"))
-    p = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")) \
-        .otherwise(0.0)
-    r = F.when(F.col("n_gt") > 0, F.col("tp") / F.col("n_gt")) \
-        .otherwise(0.0)
+    tp = F.coalesce(F.col("tp"), F.lit(0))
+    p = F.when(F.col("n_pred") > 0, tp / F.col("n_pred")).otherwise(0.0)
+    r = F.when(F.col("n_gt") > 0, tp / F.col("n_gt")).otherwise(0.0)
     return totals.select(
-        F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+        tp.cast("long").alias("tp"),
         F.coalesce(F.col("n_pred"), F.lit(0)).cast("long").alias("n_pred"),
         F.coalesce(F.col("n_gt"), F.lit(0)).cast("long").alias("n_gt"),
         F.round(p, 6).alias("precision"),
@@ -201,23 +209,7 @@ def ser_token_metric(fragments_df):
             .withColumn("in_pred", F.lit(1)))
     gt = (spans.where(F.col("fam") == "b").drop("fam")
           .withColumn("in_gt", F.lit(1)))
-    joined = pred.join(gt, keys, "full")
-    totals = joined.agg(
-        F.sum(F.col("in_pred") * F.col("in_gt")).alias("tp"),
-        F.sum("in_pred").alias("n_pred"),
-        F.sum("in_gt").alias("n_gt"))
-    p = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")) \
-        .otherwise(0.0)
-    r = F.when(F.col("n_gt") > 0, F.col("tp") / F.col("n_gt")) \
-        .otherwise(0.0)
-    return totals.select(
-        F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
-        F.coalesce(F.col("n_pred"), F.lit(0)).cast("long").alias("n_pred"),
-        F.coalesce(F.col("n_gt"), F.lit(0)).cast("long").alias("n_gt"),
-        F.round(p, 6).alias("precision"),
-        F.round(r, 6).alias("recall"),
-        F.round(F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(0.0), 6)
-        .alias("hmean"))
+    return _prf_from_join(F, pred.join(gt, keys, "full"))
 
 
 # KIEMetric (toddleocr/metrics/kie.py:9-54, from mmocr): node

@@ -5,8 +5,9 @@ analogue is the periodic re-run of eval every ``eval_batch_step`` iters
 (``toddleocr/config.py:651-663``). On Spark, "new documents keep
 arriving" is Structured Streaming: a file-source stream over the docs
 table directory, ``foreachBatch`` running the SAME batch extract per
-micro-batch (exactly-once via the streaming checkpoint + idempotent
-append), so batch and streaming share one implementation.
+micro-batch (exactly-once via the streaming checkpoint + per-epoch
+dynamic partition overwrite — a replayed epoch replaces its own rows),
+so batch and streaming share one implementation.
 """
 
 from __future__ import annotations
@@ -22,16 +23,36 @@ __all__ = ["incremental_extract", "windowed_event_counts",
 def incremental_extract(spark, docs_dir: str, media_df, out_dir: str,
                         checkpoint_dir: str):
     """Start a stream: new parquet files under ``docs_dir`` →
-    extract_spans → append to ``out_dir``. Returns the StreamingQuery
-    (caller drives it; tests use processAllAvailable())."""
+    extract_spans → epoch-partitioned write to ``out_dir``. Returns the
+    StreamingQuery (caller drives it; tests use processAllAvailable()).
+
+    Exactly-once: each epoch lands in its own ``epoch=<id>`` partition
+    via dynamic partition overwrite, so a crash-replayed epoch REPLACES
+    its own rows instead of appending duplicates (a blind append would
+    be at-least-once only — the streaming checkpoint dedups source
+    offsets, not sink writes).
+
+    The media store is decoded ONCE, before the stream starts, and the
+    persisted fragments are shared by every micro-batch — re-decoding
+    the (static) store per epoch would multiply the job's dominant cost
+    by the number of batches."""
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.functions.udfs import decode_media
+    from paddleocr_spark.operators._cache import eager_persist
+
+    fragments = eager_persist(decode_media(media_df))
     stream = (spark.readStream
               .schema(docs_schema())
               .option("maxFilesPerTrigger", 8)
               .parquet(docs_dir))
 
     def process(batch_df, epoch_id: int):
-        (extract_spans(batch_df, media_df)
-         .write.mode("append").parquet(out_dir))
+        (extract_spans(batch_df, media_df, fragments_df=fragments)
+         .withColumn("epoch", F.lit(int(epoch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch").parquet(out_dir))
 
     return (stream.writeStream
             .foreachBatch(process)
@@ -71,9 +92,12 @@ def streaming_exact_dedup(spark, docs_dir: str, watermark: str = "1 hour"):
     than the watermark may be re-emitted — the documented trade of
     every watermark-bounded streaming dedup).
 
-    Batch twin: ``operators.dedup.exact_dedup`` keepers (min doc_id =
-    first in arrival order here, since the synthetic stream arrives in
-    doc_id order). Returns the deduped streaming DataFrame."""
+    Batch twin: ``operators.dedup.exact_dedup`` — same one-row-per-
+    content guarantee; keeper IDENTITY differs within a micro-batch:
+    the batch twin keeps min(doc_id), while dropDuplicatesWithinWatermark
+    keeps an arbitrary row among same-batch duplicates (state-partition
+    arrival order). Across batches the first-processed batch's keeper
+    wins deterministically. Returns the deduped streaming DataFrame."""
     from pyspark.sql import functions as F
 
     stream = (spark.readStream
@@ -100,8 +124,12 @@ def streaming_page_ingest(spark, files_dir: str, out_dir: str,
     ``out_dir``. The ingest-side half of check_and_read as a stream —
     at production scale this is the feed that keeps the media store
     growing while extraction streams behind it. Same implementation as
-    the batch path (explode_pages), exactly-once via the streaming
-    checkpoint. Returns the StreamingQuery."""
+    the batch path (explode_pages); exactly-once like
+    incremental_extract — per-epoch dynamic partition overwrite, so a
+    crash-replayed epoch replaces its own rows. Returns the
+    StreamingQuery."""
+    from pyspark.sql import functions as F
+
     from paddleocr_spark.sources.media_files import explode_pages
 
     stream = (spark.readStream
@@ -115,7 +143,10 @@ def streaming_page_ingest(spark, files_dir: str, out_dir: str,
 
     def process(batch_df, epoch_id: int):
         (explode_pages(batch_df, on_error="quarantine")
-         .write.mode("append").parquet(out_dir))
+         .withColumn("epoch", F.lit(int(epoch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch").parquet(out_dir))
 
     return (stream.writeStream
             .foreachBatch(process)

@@ -36,3 +36,26 @@ def test_table_structure_metric_perfect(spark, media):
     row = metrics.table_structure_metric(media, decode_media(media)).collect()[0]
     assert row.all_num > 0
     assert row.acc == 1.0
+
+
+def test_prf_from_join_disjoint_sets_yield_zero_not_null(spark):
+    """Zero matched pairs must produce precision = recall = 0.0 (the
+    reference's zero-division guard), never NULL: sum(in_pred * in_gt)
+    over a full-outer join with NO matched rows is NULL and must be
+    coalesced BEFORE the ratios."""
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.operators.kie import _prf_from_join
+
+    pred = spark.createDataFrame([("a", 1)], "k string, in_pred int")
+    gt = spark.createDataFrame([("b", 1)], "k string, in_gt int")
+    row = _prf_from_join(F, pred.join(gt, ["k"], "full")).collect()[0]
+    assert (row.tp, row.n_pred, row.n_gt) == (0, 1, 1)
+    assert row.precision == 0.0 and row.recall == 0.0 and row.hmean == 0.0
+
+    # and fully-empty input (no rows at all on either side)
+    empty = spark.createDataFrame([], "k string, in_pred int")
+    empty_gt = spark.createDataFrame([], "k string, in_gt int")
+    row = _prf_from_join(F, empty.join(empty_gt, ["k"], "full")).collect()[0]
+    assert (row.tp, row.n_pred, row.n_gt) == (0, 0, 0)
+    assert row.precision == 0.0 and row.recall == 0.0 and row.hmean == 0.0

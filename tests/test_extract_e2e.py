@@ -198,3 +198,53 @@ def test_poison_media_row_quarantined(spark):
     spans = extract_spans(docs, poisoned).collect()
     assert all(r.media_ref != victim for r in spans)
     assert not any(r.kind == ERROR_KIND for r in spans)
+
+
+def test_clean_text_python_twin_matches_spark_on_control_chars(spark):
+    """The pure-Python clean_text (golden path) and the JVM
+    clean_text_col must agree on adversarial edges: control characters
+    outside Java's ASCII \\s class (\\x00, \\x1c-\\x1f) survive BOTH
+    sides (SQL trim strips U+0020 only), and \\t/\\n/\\v edges collapse
+    to a stripped space on both."""
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.extract_core import clean_text
+    from paddleocr_spark.operators.extract import clean_text_col
+
+    cases = [
+        "\x1cfoo", "foo\x00", "\x1ffoo bar\x1d", "\tfoo\n", " foo ",
+        "\vfoo\f", "foo\x00bar", "a  \t b", "\x00", "", "  ",
+        "\x1c \x1d", "foo \x1e", "\x1e foo",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = [r.c for r in
+           df.select(clean_text_col(F.col("t")).alias("c")).collect()]
+    want = [clean_text(c) for c in cases]
+    assert got == want, list(zip(cases, got, want))
+
+
+def test_duplicate_offsets_order_deterministically(spark):
+    """The schema allows two spans at the SAME offset; the ordering
+    tie must break deterministically (kind/media_ref/text tiebreak) and
+    identically on the plain and salted paths."""
+    from paddleocr_spark.corpus import docs_schema, synthesize_docs, synthesize_media
+    from paddleocr_spark.operators.extract import extract_spans
+
+    docs = synthesize_docs(spark, 4, seed=7, heavy_frac=0.0)
+    media = synthesize_media(spark, docs, seed=7)
+    dup = spark.createDataFrame(
+        [("dup_doc", [("text", "zz ties last", "", 5),
+                      ("text", "aa ties first", "", 5),
+                      ("text", "mm ties mid", "", 5)])], docs_schema())
+    docs2 = docs.unionByName(dup)
+
+    key = lambda df: sorted((r.doc_id, r.order, r.kind, r.text,
+                             r.media_ref) for r in df.collect())
+    plain = key(extract_spans(docs2, media, salt_width=0))
+    salted = key(extract_spans(docs2, media, salt_width=2))
+    assert plain == salted
+    dup_rows = [(o, t) for (d, o, k, t, m) in plain if d == "dup_doc"]
+    assert dup_rows == [(0, "aa ties first"), (1, "mm ties mid"),
+                        (2, "zz ties last")]
+    # and stable across repeated runs
+    assert plain == key(extract_spans(docs2, media, salt_width=0))
