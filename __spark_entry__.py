@@ -1345,7 +1345,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::bigint AS all_num,
                    round(avg((pred = target)::int), 6) AS acc,
                    round(1 - avg(levenshtein(pred, target)::double
-                                 / greatest(length(pred), length(target))), 6)
+                                 / greatest(length(pred), length(target),
+                                            1)), 6)
                        AS norm_edit_dis
             FROM pairs
         """,

@@ -485,8 +485,13 @@ def main() -> None:
     from paddleocr_spark.operators._cache import release_persisted
 
     queries = entry_mod.queries()
+    # full coverage, guaranteed: any queries() entry missing from the
+    # hand-ordered list above is appended (alphabetically) rather than
+    # silently untimed
+    bench_queries = BENCH_QUERIES + sorted(
+        set(queries) - set(BENCH_QUERIES))
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         t0 = time.time()
         queries[name](spark, SF_DIR).write.mode("overwrite") \
             .format("noop").save()

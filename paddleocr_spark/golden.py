@@ -100,7 +100,8 @@ def compute_goldens(n_docs: int, seed: int = 42, heavy_frac: float = 0.01):
             if p is not None and p == gt:
                 correct += 1
             pp = p if p is not None else ""
-            dists.append(levenshtein(pp, gt) / max(len(pp), len(gt)))
+            # max(..., 1): rapidfuzz normalized_distance("", "") is 0.0
+            dists.append(levenshtein(pp, gt) / max(len(pp), len(gt), 1))
     all_num = len(gt_keys)
     rec_metric = [{
         "correct_num": correct, "all_num": all_num,

@@ -98,17 +98,42 @@ SAMPLE_BUCKETS = 1_000_000
 
 def ratio_keep(F, key_col, ratio: float, salt):
     """Deterministic ratio-sampling predicate: md5-bucket(key) <
-    round(ratio * 1e6). round, NOT int(): float truncation lands one
-    bucket low for ~0.1% of exact micro-ratios (e.g. 0.000498 * 1e6 ->
-    497.999...). ONE copy serving tables.load_documents_sampled and
-    pgnet.read_pgnet_sources; pure-Python oracle twins must restate
-    round(), not int()."""
+    half-up(ratio * 1e6). NOT int() (float truncation lands one bucket
+    low for ~0.1% of exact micro-ratios, e.g. 0.000498 * 1e6 ->
+    497.999...) and NOT round() (banker's half-even rounds exact
+    .5-bucket ratios DOWN half the time). ONE copy serving
+    tables.load_documents_sampled and pgnet.read_pgnet_sources;
+    pure-Python oracle twins must restate the same +0.5 floor."""
     return (salted_hash60(F, key_col, salt) % SAMPLE_BUCKETS
-            < round(ratio * SAMPLE_BUCKETS))
+            < int(ratio * SAMPLE_BUCKETS + 0.5))
 
 
 # internal alias (historic name used throughout this module)
 _word_hash = salted_hash60
+
+
+_PLANT_HEADROOM_OK: set[str] = set()
+
+
+def _assert_plant_headroom(df, id_col: str, offset: int, key: str):
+    """Plant ids are ``real_id + offset`` and must stay POSITIVE (the
+    min-id keeper rule must prefer the ORIGINAL doc over its plant, so
+    negative plant ids — curation's trick — are wrong here). That makes
+    collision with real ids possible on a corpus whose ids reach the
+    offset: fail LOUDLY instead of silently merging two documents.
+    One column-pruned max-scan per (corpus, offset) per session."""
+    k = f"{key}:{offset}"
+    if k in _PLANT_HEADROOM_OK:
+        return
+    from pyspark.sql import functions as F
+
+    mx = df.agg(F.max(id_col).alias("m")).collect()[0]["m"]
+    if mx is not None and int(mx) >= offset:
+        raise ValueError(
+            f"corpus max {id_col} {mx} >= plant offset {offset}: "
+            f"planted fixture ids would collide with real ids — raise "
+            f"the offset (or disable planting) for this corpus")
+    _PLANT_HEADROOM_OK.add(k)
 
 
 def _augmented_docs(spark, sf_dir: str):
@@ -121,6 +146,8 @@ def _augmented_docs(spark, sf_dir: str):
 
     df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
           .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+    _assert_plant_headroom(df, "doc_id", min(NEAR_PLANT_OFFSET,
+                                             EXACT_PLANT_OFFSET), sf_dir)
     near = (df.where(F.col("doc_id") < NEAR_PLANT_N)
             .select((F.col("doc_id") + NEAR_PLANT_OFFSET).alias("doc_id"),
                     F.concat(F.col("text"),
@@ -255,10 +282,15 @@ def _compute_near_dup_pairs(spark, sf_dir: str, threshold: float = 0.7):
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
     union = F.size(F.array_union("sa", "sb")).cast("double")
+    # threshold the RAW ratio (one int/int division — bit-identical in
+    # every engine), round only for output: thresholding the rounded
+    # value would admit pairs in [t - 5e-7, t) that the DuckDB oracle's
+    # raw-ratio WHERE clause excludes
     return (cand.join(a, "doc_a").join(b, "doc_b")
-            .withColumn("jaccard", F.round(inter / union, 6))
-            .where(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "jaccard"))
+            .withColumn("jaccard_raw", inter / union)
+            .where(F.col("jaccard_raw") >= threshold)
+            .select("doc_a", "doc_b",
+                    F.round("jaccard_raw", 6).alias("jaccard")))
 
 
 def minhash_signatures_df(docs_df):
@@ -413,13 +445,18 @@ def _edges_dir(sf_dir: str, threshold: float) -> str:
         mtime = int(os.path.getmtime(src))
     except OSError:
         mtime = 0
+    # the plant constants change the edge-table CONTENT, so they are
+    # part of "every dedup parameter" and must re-key the cache too
+    plants = (f"{NEAR_PLANT_N}:{NEAR_PLANT_OFFSET}:{NEAR_PLANT_SUFFIX}:"
+              f"{EXACT_PLANT_N}:{EXACT_PLANT_OFFSET}")
     ident = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+        f"{os.path.abspath(sf_dir)}:{mtime}:{plants}"
+        .encode()).hexdigest()[:12]
     here = os.path.dirname(os.path.abspath(__file__))
     root = os.path.abspath(os.path.join(here, "..", "..", ".cache",
                                         "near_dup_edges"))
     return os.path.join(
-        root, f"v2_{ident}_t{threshold}_k{N_HASHES}"
+        root, f"v3_{ident}_t{threshold}_k{N_HASHES}"
               f"b{N_BANDS}s{SHINGLE_N}")
 
 

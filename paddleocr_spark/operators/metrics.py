@@ -80,8 +80,10 @@ def rec_metric_pairs(spark, sf_dir: str):
     b = df.select((F.col("doc_id") - 1).alias("doc_id"),
                   norm(F.col("text")).alias("target"))
     pairs = a.join(b, "doc_id")
+    # greatest(..., 1): rapidfuzz normalized_distance("", "") is 0.0,
+    # not 0/0 (which would be NULL here and NaN in DuckDB)
     dist = (F.levenshtein("pred", "target").cast("double")
-            / F.greatest(F.length("pred"), F.length("target")))
+            / F.greatest(F.length("pred"), F.length("target"), F.lit(1)))
     return pairs.agg(
         F.sum((F.col("pred") == F.col("target")).cast("long"))
         .alias("correct_num"),
@@ -141,10 +143,12 @@ def corpus_rec_metric(media_df, fragments_df):
                     F.col("out_text").alias("pred_text")))
     joined = gt.join(pred, ["media_ref", "box_idx"], "left")
     match = (F.col("pred_text") == F.col("gt_text")).cast("long")
+    # greatest(..., 1): see rec_metric_pairs — empty-vs-empty is
+    # distance 0.0 (rapidfuzz), never 0/0
     dist = (F.levenshtein(F.coalesce("pred_text", F.lit("")), "gt_text")
             .cast("double")
             / F.greatest(F.length(F.coalesce("pred_text", F.lit(""))),
-                         F.length("gt_text")))
+                         F.length("gt_text"), F.lit(1)))
     return joined.agg(
         F.sum(F.coalesce(match, F.lit(0))).alias("correct_num"),
         F.count("*").cast("long").alias("all_num"),

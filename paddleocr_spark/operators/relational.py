@@ -37,15 +37,19 @@ def pricing_summary(spark, sf_dir: str):
 
 
 def revenue_by_region(spark, sf_dir: str):
-    """Star join: region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem with
-    every dimension broadcast — zero shuffle until the final agg."""
+    """Star join: region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem.
+    Only the TRUE dimensions (region: 5 rows, nation: 25 rows) carry a
+    broadcast hint — orders and customer are fact-scale tables that
+    grow with sf, so forcing them broadcast would OOM at any real
+    scale; their joins are left to AQE (which still broadcasts them
+    when a run's statistics say they fit)."""
     from pyspark.sql import functions as F
 
     rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
     li, o, c, n, r = (rd("lineitem"), rd("orders"), rd("customer"),
                       rd("nation"), rd("region"))
-    return (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .groupBy("r_name")

@@ -92,7 +92,10 @@ def _augmented(spark, sf_dir):
     mirrored in the oracle)."""
     from pyspark.sql import functions as F
 
+    from paddleocr_spark.operators.dedup import _assert_plant_headroom
+
     emb = _load(spark, sf_dir)
+    _assert_plant_headroom(emb, "vec_id", PLANT_OFFSET, sf_dir)
     planted = (emb.where(F.col("vec_id") < PLANT_N)
                .select((F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
                        F.transform(F.col("emb"),
@@ -347,19 +350,33 @@ def ivf_dir(sf_dir: str) -> str:
         mtime = 0
     ident = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+    # v3: exact integer-micro Lloyd means (the centroid-content rule is
+    # part of the key — a stale v2 index would diverge from the twin)
     return os.path.join(_ivf_root(),
-                        f"v2_{ident}_k{N_CENTROIDS}_i{N_LLOYD}")
+                        f"v3_{ident}_k{N_CENTROIDS}_i{N_LLOYD}")
 
 
 def _refine_centroids(F, emb, cent, Window):
     """One Lloyd step as DataFrame jobs: assign → per-dim mean
-    (groupBy(cid, dim).avg via posexplode) → re-assemble arrays."""
+    (groupBy(cid, dim) via posexplode) → re-assemble arrays.
+
+    The per-dim mean is computed in EXACT integer micro-units: each
+    component is rounded to 1e-6 (HALF_UP, same as the final centroid
+    grid), summed as a long (order-independent, unlike a double
+    F.avg whose partition-order summation can land either side of the
+    6-dp rounding boundary and flake the NumPy-twin equality test),
+    then one double division + HALF_UP round — every step is the
+    identical IEEE/decimal operation in the NumPy twin. Long sums are
+    exact below ~2^53/3e6 members per cell; beyond that the cast
+    becomes decimal(38,0), same semantics."""
     assign = (_best_cells(F, Window, emb, cent, "vec_id", 1)
               .select("vec_id", "cid"))
     dims = (emb.join(assign, "vec_id")
             .select("cid", F.posexplode("emb").alias("d", "v")))
+    q = F.round(F.col("v") * 1e6, 0).cast("long")
     means = (dims.groupBy("cid", "d")
-             .agg(F.round(F.avg("v"), 6).alias("m")))
+             .agg((F.round(F.sum(q).cast("double") / F.count("v"), 0)
+                   .cast("long") / F.lit(1e6)).alias("m")))
     return (means.groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("d", "m")))
                  .alias("dm"))
@@ -434,14 +451,30 @@ def ivf_index_numpy(sf_dir: str, iters: int = N_LLOYD):
         # takes the first maximum
         return cids[np.argmax(cos, axis=1)]
 
+    # exact-integer per-dim means, the twin of _refine_centroids:
+    # q = HALF_UP(v * 1e6) per component (Decimal of the exact double,
+    # = Spark F.round(double, 0)); long sums are order-independent;
+    # int/int true division == Spark's double(S)/double(n) since both
+    # operands are exactly representable
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _half_up(x: float) -> int:
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    emb_q = np.asarray([[_half_up(v * 1e6) for v in row]
+                        for row in emb.tolist()], dtype=np.int64)
+
     for _ in range(iters):
         a = assign_all(cids, cents)
         new_cids, new_cents = [], []
         for cid in cids:
-            members = emb[a == cid]
-            if len(members):
+            sel = a == cid
+            if sel.any():
+                n = int(sel.sum())
+                sums = emb_q[sel].sum(axis=0)
                 new_cids.append(cid)
-                new_cents.append(np.round(members.mean(axis=0), 6))
+                new_cents.append([_half_up(int(s) / n) / 1e6
+                                  for s in sums])
         cids = np.asarray(new_cids, dtype=np.int64)
         cents = np.asarray(new_cents)
     a = assign_all(cids, cents)
@@ -458,10 +491,12 @@ def write_ivf_index_numpy(sf_dir: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    cents, assign = ivf_index_numpy(sf_dir)
+    # cache check FIRST: the NumPy build below reads every embedding
+    # and runs the Lloyd rounds — pointless on a hit
     out = ivf_dir(sf_dir)
     if os.path.exists(os.path.join(out, "assign", "_SUCCESS")):
         return out
+    cents, assign = ivf_index_numpy(sf_dir)
     os.makedirs(os.path.join(out, "centroids"), exist_ok=True)
     os.makedirs(os.path.join(out, "assign"), exist_ok=True)
     cid_order = sorted(cents)

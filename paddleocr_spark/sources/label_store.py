@@ -85,10 +85,11 @@ def _pg_boxes(f: int, r: int):
 
 def _sampled(img_path: str) -> bool:
     """The source's deterministic md5 bucket, restated byte-for-byte
-    (dedup.ratio_keep's pure-Python twin — round(), NOT int(): float
-    truncation lands one bucket low for ~0.1% of exact micro-ratios)."""
+    (dedup.ratio_keep's pure-Python twin — the +0.5 floor is half-up:
+    int() truncation lands one bucket low for ~0.1% of exact
+    micro-ratios, round() is banker's half-even on .5 buckets)."""
     h = hashlib.md5(f"{_SEED}:{img_path}".encode()).hexdigest()[:15]
-    return int(h, 16) % 1000000 < round(_RATIO * 1000000)
+    return int(h, 16) % 1000000 < int(_RATIO * 1000000 + 0.5)
 
 
 def _pg_rows(f: int):

@@ -40,8 +40,11 @@ def test_pricing_summary_pushdown_and_partial_agg(spark):
 
 
 def test_revenue_by_region_all_broadcast(spark):
-    """The star join must broadcast every dimension: no sort-merge
-    join, and the only shuffle is the final aggregation."""
+    """The star join hints only the TRUE dimensions (region/nation);
+    at this sf the size-based planner broadcasts the small fact sides
+    too — no sort-merge join, and the only shuffle is the final
+    aggregation. At larger sf the fact joins are allowed to shuffle
+    (forcing them broadcast was the bug)."""
     df = relational.revenue_by_region(spark, SF)
     assert has_broadcast_join(df)
     assert not has_sort_merge_join(df)
