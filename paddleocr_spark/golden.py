@@ -192,7 +192,7 @@ def compute_goldens(n_docs: int, seed: int = 42, heavy_frac: float = 0.01):
             exp_right += (sum(1 for s in scores if s == 1) / n) * n
             n_words += n
 
-        pm = dequantize_map(m["det_map"], int(m["det_h"]), int(m["det_w"]))
+        pm = img  # same dequantized map computed at the top of the loop
         # rec_logits/gt_texts are stored in sorted_boxes order
         # (corpus.media_record) — pred_boxes must be sorted the same
         # way or texts[pi] belongs to a DIFFERENT box (27% of media on

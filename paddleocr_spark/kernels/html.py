@@ -13,7 +13,10 @@ boilerpipe line (Kohlschütter et al., WSDM 2010: text blocks scored by
 length and link density) re-expressed from scratch.
 
 Determinism contract (the DuckDB oracle depends on it): block text is
-normalized as ``" ".join(text.split())``; kept blocks are joined by
+normalized by ASCII-whitespace collapse + space-only edge strip
+(``_norm_ws`` — the exact twin of the oracle's
+``trim(regexp_replace(text, '\\s+', ' ', 'g'))``; Unicode whitespace
+like NBSP survives on BOTH sides); kept blocks are joined by
 ``"\\n\\n"`` in document order; a block survives iff its normalized
 length >= MIN_BLOCK_CHARS and its link density (anchor chars / total
 chars, measured on normalized fragment text) <= MAX_LINK_DENSITY.
@@ -44,6 +47,21 @@ VOID_TAGS = frozenset(
     "wbr".split())
 # raw-text elements: content scanned verbatim to the closing tag
 RAWTEXT_TAGS = frozenset(("script", "style", "textarea", "title"))
+# foreign-content roots where HTML5 honors XML self-closing syntax
+_FOREIGN_TAGS = frozenset(("svg", "math"))
+_RAWTEXT_END = {t: re.compile(rf"</{t}\s*>", re.I) for t in RAWTEXT_TAGS}
+
+# ASCII whitespace only, matching the DuckDB oracle's RE2 '\s+' and
+# the Spark twin (extract_core pins the same (?a) rule): Python's
+# str.split() is Unicode-wide and would collapse NBSP/U+2028 that the
+# SQL side preserves
+_WS_A = re.compile(r"(?a)\s+")
+
+
+def _norm_ws(s: str) -> str:
+    """ASCII-whitespace collapse + space-only edge strip — the exact
+    twin of the oracle's trim(regexp_replace(text, '\\s+', ' ', 'g'))."""
+    return _WS_A.sub(" ", s).strip(" ")
 
 _ENTITIES = {"amp": "&", "lt": "<", "gt": ">", "quot": '"',
              "apos": "'", "nbsp": " "}
@@ -105,19 +123,27 @@ def tokenize_ex(html: str):
             yield ("close", name, "")
             continue
         attrs = m.group(3)
-        self_closed = attrs.rstrip().endswith("/")
+        # HTML5 §13.1.2: a trailing '/' on a NON-void element is
+        # ignored (the element stays open — browsers parse
+        # '<a href=x/>text</a>' as an open anchor); it genuinely
+        # self-closes only foreign content (svg/math subtrees)
+        self_closed = (attrs.rstrip().endswith("/")
+                       and name in _FOREIGN_TAGS)
         yield ("open", name, attrs)
         if name in VOID_TAGS or self_closed:
             yield ("close", name, "")
         elif name in RAWTEXT_TAGS:
-            end = re.search(rf"</{name}\s*>", html[i:], re.I)
+            # search in place from i — slicing html[i:] copies the
+            # document remainder per raw-text element (O(n^2) on
+            # script-heavy pages)
+            end = _RAWTEXT_END[name].search(html, i)
             if end is None:
                 yield ("text", html[i:], "")
                 yield ("close", name, "")
                 return
-            yield ("text", html[i:i + end.start()], "")
+            yield ("text", html[i:end.start()], "")
             yield ("close", name, "")
-            i = i + end.end()
+            i = end.end()
 
 
 def tokenize(html: str):
@@ -128,9 +154,11 @@ def tokenize(html: str):
 
 
 # unquoted values consume until whitespace or '>' (HTML5 §13.1.2.3 —
-# a trailing '/' is part of the value, matching browser behavior)
+# a trailing '/' is part of the value, matching browser behavior).
+# The lookbehind anchors the attribute NAME: without it, 'data-href='
+# or 'xlink:href=' matches as href and can shadow the real attribute.
 _HREF_RE = re.compile(
-    r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+    r"""(?<![-\w:])href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
 
 
 def extract_links(html: str) -> list:
@@ -209,7 +237,7 @@ def main_content(html: str) -> dict:
                 h1_parts.append(text)
             frags.append(text)
             if anchor_depth > 0:
-                anchor_chars += len(" ".join(text.split()))
+                anchor_chars += len(_norm_ws(text))
     flush()
 
     kept: list[str] = []
@@ -217,7 +245,7 @@ def main_content(html: str) -> dict:
     total_chars = 0
     total_anchor = 0
     for raw, a_chars in blocks:
-        norm = " ".join(raw.split())
+        norm = _norm_ws(raw)
         if not norm:
             continue
         total_chars += len(norm)
@@ -228,9 +256,9 @@ def main_content(html: str) -> dict:
         else:
             dropped += 1
 
-    title = " ".join("".join(title_parts).split())
+    title = _norm_ws("".join(title_parts))
     if not title:
-        title = " ".join("".join(h1_parts).split())
+        title = _norm_ws("".join(h1_parts))
     return {
         "title": title,
         "main_text": "\n\n".join(kept),

@@ -32,13 +32,36 @@ from __future__ import annotations
 __all__ = ["connected_components", "connected_components_star"]
 
 
+def _node_col(F, c: str):
+    """Node id cast to long, failing LOUDLY on ids the cast nulls: a
+    NULL node would silently drop its edge (NULL != NULL) and fragment
+    the component instead of erroring."""
+    casted = F.col(c).cast("long")
+    return F.when(
+        casted.isNull(),
+        F.raise_error(F.concat(
+            F.lit(f"connected components: node id in '{c}' is NULL or "
+                  f"non-numeric: "),
+            F.coalesce(F.col(c).cast("string"), F.lit("NULL"))))
+    ).otherwise(casted)
+
+
 def _sym_edges(F, edges, src: str, dst: str):
     """Symmetrized, deduplicated, self-loop-free (src, dst) pairs."""
-    e = (edges.select(F.col(src).cast("long").alias("src"),
-                      F.col(dst).cast("long").alias("dst"))
+    e = (edges.select(_node_col(F, src).alias("src"),
+                      _node_col(F, dst).alias("dst"))
          .where(F.col("src") != F.col("dst")))
     return (e.unionByName(e.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
+            .distinct())
+
+
+def _edge_nodes(F, edges, src: str, dst: str):
+    """EVERY node incident to an edge — including nodes whose only
+    edges are self-loops, which _sym_edges' self-loop filter removes
+    (they are their own singleton component, label = node)."""
+    return (edges.select(_node_col(F, src).alias("node"))
+            .unionByName(edges.select(_node_col(F, dst).alias("node")))
             .distinct())
 
 
@@ -56,7 +79,7 @@ def _propagation(edges, src, dst, max_iters):
     from paddleocr_spark.operators._cache import eager_persist
 
     sym = eager_persist(_sym_edges(F, edges, src, dst))
-    labels = (sym.select(F.col("src").alias("node")).distinct()
+    labels = (_edge_nodes(F, edges, src, dst)
               .select("node", F.col("node").alias("lbl"))
               .localCheckpoint(eager=True))
     for rounds in range(1, max_iters + 1):
@@ -69,6 +92,10 @@ def _propagation(edges, src, dst, max_iters):
                    .join(labels.alias("o"), "node")
                    .where(F.col("n.lbl") != F.col("o.lbl"))
                    .count())
+        # the previous round's checkpoint blocks are dead once the
+        # changed-count is materialized — release them instead of
+        # accumulating one cached label table per round
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             return labels.select("node", F.col("lbl").alias("label")), rounds
@@ -115,18 +142,26 @@ def _star(edges, src, dst, max_iters):
     from paddleocr_spark.operators._cache import eager_persist
 
     e = eager_persist(_sym_edges(F, edges, src, dst))
-    nodes = e.select(F.col("src").alias("node")).distinct()
-    nodes = eager_persist(nodes)
+    nodes = eager_persist(_edge_nodes(F, edges, src, dst))
+    e_is_symmetric = True  # _sym_edges output already holds both dirs
     for rounds in range(1, max_iters + 1):
         # large-star input must see both directions; its output (and
-        # small-star's) is directed child -> smaller parent
-        both = e.unionByName(
+        # small-star's) is directed child -> smaller parent. Round 1's
+        # input is already symmetric — re-symmetrizing it would double
+        # the largest round's shuffle volume for nothing.
+        both = e if e_is_symmetric else e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         e2 = (_small_star(F, _large_star(F, both))
               .localCheckpoint(eager=True))
         moved = (e2.exceptAll(e).limit(1).count()
                  + e.exceptAll(e2).limit(1).count())
+        if not e_is_symmetric:
+            # previous round's checkpoint blocks are dead now (round
+            # 1's `e` is the tracked eager cache, released by the
+            # registry instead)
+            e.unpersist()
         e = e2
+        e_is_symmetric = False
         if moved == 0:
             # fixpoint: e is a forest of stars (node -> component min)
             parent = e.select(F.col("src").alias("node"),

@@ -71,3 +71,41 @@ def test_star_matches_union_find_and_converges_fast(spark):
         # O(log n) bound with slack — on the 32-edge path plain
         # propagation needs 32 rounds, the star variant stays small
         assert rounds <= 10, (n, rounds)
+
+
+def test_self_loop_only_nodes_are_singleton_components(spark):
+    """A node whose only edge is a self-loop is incident to an edge and
+    must appear in the output as its own component (the contract says
+    'every node incident to an edge')."""
+    from paddleocr_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2)], "doc_a long, doc_b long")
+    for fn in (connected_components, connected_components_star):
+        got = {(r.node, r.label) for r in fn(edges).collect()}
+        assert got == {(5, 5), (1, 1), (2, 1)}, (fn.__name__, got)
+
+
+def test_null_node_id_fails_loudly(spark):
+    """A NULL or non-numeric node id must raise, not silently drop the
+    edge (NULL != NULL) and fragment the component. Malformed strings
+    already fail via the ANSI cast; literal NULLs need _node_col's
+    guard."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from paddleocr_spark.operators.graph import connected_components
+
+    null_edges = spark.createDataFrame(
+        [(1, 2), (None, 3)], "doc_a long, doc_b long")
+    with pytest.raises(Exception, match="NULL or non-numeric"):
+        connected_components(null_edges).collect()
+
+    bad = spark.createDataFrame(
+        [("1", "2"), ("not-a-number", "3")], "doc_a string, doc_b string")
+    with pytest.raises((PySparkException, Exception),
+                       match="CAST_INVALID_INPUT|NULL or non-numeric"):
+        connected_components(bad).collect()

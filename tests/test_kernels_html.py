@@ -188,3 +188,43 @@ def test_extract_links_total(html):
 
     links = extract_links(html)
     assert all(isinstance(x, str) for x in links)
+
+
+def test_href_attribute_name_is_anchored():
+    """data-href / xlink:href must not shadow (or fake) the real href."""
+    from paddleocr_spark.kernels.html import extract_links
+
+    assert extract_links('<a data-href="/evil" href="/real">x</a>') \
+        == ["/real"]
+    assert extract_links('<a data-href="/evil">x</a>') == []
+    assert extract_links('<a xlink:href="/e" href="/r">x</a>') == ["/r"]
+    assert extract_links('<a href="/plain">x</a>') == ["/plain"]
+
+
+def test_normalization_is_ascii_whitespace_only():
+    """NBSP must survive normalization (the DuckDB oracle's RE2 \\s+
+    does not collapse it; Python str.split() would)."""
+    from paddleocr_spark.kernels.html import main_content
+
+    body = "foo\xa0bar " + "x" * 30
+    r = main_content(f"<html><body><p> {body} </p></body></html>")
+    assert "foo\xa0bar" in r["main_text"]
+    # ASCII edges still stripped, runs still collapsed
+    r2 = main_content("<p>a  \t b" + " y" * 20 + "</p>")
+    assert r2["main_text"].startswith("a b y")
+
+
+def test_self_closing_slash_ignored_on_html_elements():
+    """HTML5: '<a href=x/>text</a>' keeps the anchor OPEN (its text is
+    anchor text -> link-farm density counts it); '<svg/>' (foreign
+    content) genuinely self-closes so the drop-subtree state resets."""
+    from paddleocr_spark.kernels.html import main_content
+
+    farm = ('<p>' + ''.join(f'<a href="/l{i}"/>link text {i} here</a>'
+                            for i in range(6)) + '</p>')
+    r = main_content(f"<html><body>{farm}</body></html>")
+    assert r["n_blocks_kept"] == 0  # pure link farm must be dropped
+
+    keep = "real content " * 5
+    r2 = main_content(f"<html><body><svg/><p>{keep}</p></body></html>")
+    assert r2["n_blocks_kept"] == 1  # svg self-close didn't eat the doc
