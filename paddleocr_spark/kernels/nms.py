@@ -9,6 +9,11 @@ from __future__ import annotations
 
 import numpy as np
 
+# module-level: quad_iou runs in the O(N^2) inner loops of the NMS
+# variants — a function-body import would pay the sys.modules lookup
+# per IoU call (no cycle: eval_det_iou depends only on geometry)
+from .eval_det_iou import poly_iou as _poly_iou
+
 __all__ = ["iou_of", "hard_nms", "layout_select", "LAYOUT_LABELS",
            "quad_iou", "weighted_merge", "standard_nms", "nms_locality",
            "soft_nms"]
@@ -98,10 +103,8 @@ def layout_select(
 
 def quad_iou(g: np.ndarray, p: np.ndarray) -> float:
     """IoU of two 9-vectors' quads (``locality_aware_nms.py:10-26``)."""
-    from .eval_det_iou import poly_iou
-
-    return poly_iou(np.asarray(g[:8], dtype=np.float64).reshape(4, 2),
-                    np.asarray(p[:8], dtype=np.float64).reshape(4, 2))
+    return _poly_iou(np.asarray(g[:8], dtype=np.float64).reshape(4, 2),
+                     np.asarray(p[:8], dtype=np.float64).reshape(4, 2))
 
 
 def weighted_merge(g: np.ndarray, p: np.ndarray) -> np.ndarray:

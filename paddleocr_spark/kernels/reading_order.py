@@ -44,11 +44,17 @@ def sorted_boxes(dt_boxes: np.ndarray) -> np.ndarray:
 
 
 def order_by_tbyx(bboxes, tol: float = 20.0) -> list[int]:
-    """Reading-order indices for [x1, y1, x2, y2] bboxes, tol=20."""
+    """Reading-order indices for [x1, y1, x2, y2] bboxes, tol=20.
+
+    The inner loop is ``range(i, 0, -1)`` — j never reaches 0, so the
+    element the initial sort put FIRST is never tie-swapped away
+    (replicating the reference's exact quirk,
+    ``toddleocr/transforms/vqa/augment.py:26``; a range(i, -1, -1)
+    variant disagrees on ~45% of random permutations)."""
     num = len(bboxes)
     order = sorted(range(num), key=lambda i: (bboxes[i][1], bboxes[i][0]))
     for i in range(num - 1):
-        for j in range(i, -1, -1):
+        for j in range(i, 0, -1):
             a, b = order[j], order[j + 1]
             if abs(bboxes[b][1] - bboxes[a][1]) < tol and bboxes[b][0] < bboxes[a][0]:
                 order[j], order[j + 1] = order[j + 1], order[j]

@@ -96,6 +96,9 @@ def split_bbox(bbox, text: str, tokenize=None):
     for word in words:
         curr_w = len(word) * unit_w
         word_bbox = [x1, y1, x1 + curr_w, y2]
-        out.extend([list(word_bbox)] * len(tokenize(word)))
+        # independent copies: `[lst] * n` would alias ONE list across
+        # all subword tokens, so mutating one token's bbox (clipping)
+        # would silently change its siblings
+        out.extend([list(word_bbox) for _ in range(len(tokenize(word)))])
         x1 += (len(word) + 1) * unit_w
     return out

@@ -1,7 +1,7 @@
 import numpy as np
 import pytest
 
-from paddleocr_spark.kernels.cls import cls_decode, should_rotate
+from paddleocr_spark.kernels.cls import CLS_LABELS, cls_decode, should_rotate
 from paddleocr_spark.kernels.ctc import build_charset, ctc_decode, ctc_decode_batch
 from paddleocr_spark.kernels.nms import hard_nms, iou_of, layout_select
 from paddleocr_spark.kernels.reading_order import (
@@ -65,12 +65,22 @@ def test_ctc_batch():
 
 def test_cls_decode_and_rotate():
     probs = np.array([[0.9, 0.1], [0.2, 0.8], [0.45, 0.55]])
-    out = cls_decode(probs)
+    out = cls_decode(probs, CLS_LABELS)
     assert out[0] == ("0", pytest.approx(0.9))
     assert out[1] == ("180", pytest.approx(0.8))
     assert should_rotate(*out[1])
     assert not should_rotate(*out[0])
     assert not should_rotate("180", 0.4)
+
+
+def test_cls_decode_none_is_identity_map():
+    # ClsPostProcess with label_list=None maps class index -> itself
+    # (reference cls.py:17-18), even for heads wider than 2 classes
+    probs = np.array([[0.1, 0.2, 0.7], [0.6, 0.3, 0.1]])
+    out = cls_decode(probs)
+    assert out == [(2, pytest.approx(0.7)), (0, pytest.approx(0.6))]
+    with pytest.raises(ValueError):
+        cls_decode(probs, [])
 
 
 def box(y, x, w=30, h=10):
@@ -109,6 +119,16 @@ def test_reading_order_bubble_stops_at_first_failure():
 def test_order_by_tbyx():
     bb = [[100, 12, 130, 22], [50, 8, 80, 18], [10, 40, 40, 50]]
     assert order_by_tbyx(bb) == [1, 0, 2]
+
+
+def test_order_by_tbyx_never_swaps_position_zero():
+    """Reference quirk (augment.py:26, range(i, 0, -1)): the first
+    element after the (y, x) sort is never tie-swapped away, even when
+    a same-row box with smaller x follows it."""
+    bb = [[100, 0, 110, 10], [0, 5, 10, 15]]
+    # sort by (y1, x1) -> [0, 1]; j range(0, 0, -1) is empty, so NO
+    # swap happens despite |5-0| < 20 and 0 < 100
+    assert order_by_tbyx(bb) == [0, 1]
 
 
 def test_iou_of():
