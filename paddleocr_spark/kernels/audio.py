@@ -32,6 +32,13 @@ def decode_wav(data: bytes):
         cid = data[pos:pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
         body = data[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            # a truncated upload would otherwise silently return
+            # fewer samples (and wrong downstream frame counts) —
+            # raise so the decode-stage quarantine can catch it
+            raise ValueError(
+                f"wav: chunk {cid!r} declares {size} bytes but only "
+                f"{len(body)} remain (truncated file)")
         pos += 8 + size + (size & 1)  # chunks are word-aligned
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])

@@ -70,7 +70,19 @@ def decode_png(data: bytes) -> np.ndarray:
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color_type}")
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
+    out = unfilter_png_rows(raw, height, width * channels, channels)
+    return out.reshape(height, width, channels)
+
+
+def unfilter_png_rows(raw: bytes, height: int, stride: int,
+                      bpp: int) -> np.ndarray:
+    """Undo PNG row filtering (spec §6): ``raw`` holds ``height`` rows
+    of (1 filter-type byte + ``stride`` data bytes); ``bpp`` is the
+    byte distance to the "left" sample. Returns (height, stride) uint8.
+
+    Shared by the PNG decoder and the PDF FlateDecode predictor path
+    (PDF /Predictor >= 10 is exactly this row format, ISO 32000-1
+    §7.4.4.4)."""
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
@@ -82,20 +94,20 @@ def decode_png(data: bytes) -> np.ndarray:
             cur = line
         elif ftype == 1:  # Sub — sequential in pixel units
             cur = line
-            for i in range(channels, stride):
-                cur[i] = (int(cur[i]) + int(cur[i - channels])) & 0xFF
+            for i in range(bpp, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
         elif ftype == 2:  # Up
             cur = (line.astype(np.int32) + prev).astype(np.uint8)
         elif ftype == 3:  # Average
             cur = line
             for i in range(stride):
-                left = int(cur[i - channels]) if i >= channels else 0
+                left = int(cur[i - bpp]) if i >= bpp else 0
                 cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             cur = line
             for i in range(stride):
-                a = int(cur[i - channels]) if i >= channels else 0
-                c = int(prev[i - channels]) if i >= channels else 0
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
                 b = int(prev[i])
                 # inline predictor: routing each byte through the
                 # vectorized _paeth built three 0-d numpy scalars and
@@ -109,7 +121,7 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter {ftype}")
         out[y] = cur
         prev = out[y]
-    return out.reshape(height, width, channels)
+    return out
 
 
 def encode_png(img: np.ndarray) -> bytes:

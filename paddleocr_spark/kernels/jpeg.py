@@ -68,9 +68,12 @@ def _build_huffman(counts, symbols):
 class _BitReader:
     """MSB-first reader over entropy-coded bytes (already unstuffed)."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, pos: int = 0):
+        # `pos` lets restart resync re-aim the reader INTO the shared
+        # unstuffed buffer — re-slicing bytes(ecs[next_restart:]) per
+        # restart was O(restarts x stream) memcpy on scanned pages
         self.data = data
-        self.pos = 0
+        self.pos = pos
         self.bit = 0
 
     def read_bit(self) -> int:
@@ -123,6 +126,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while i < len(data):
         if data[i] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: a marker may be preceded by any number of
+        # 0xFF fill bytes — treating a fill byte as the marker would
+        # read a garbage segment length from the real marker byte
+        while data[i + 1] == 0xFF:
+            i += 1
         marker = data[i + 1]
         i += 2
         if marker == 0xD9:  # EOI
@@ -209,6 +217,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         p += 1
 
     comps = frame["comps"]
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — the
+        # MCU is one 8x8 data unit and the component's effective
+        # sampling is full resolution (x_i = ceil(w*h_i/hmax) = w when
+        # the frame has one component). Grayscale files commonly carry
+        # hv=0x22 (libjpeg's default); decoding them with interleaved
+        # 4-blocks-per-16x16-MCU geometry would consume blocks in the
+        # wrong order/count. Normalizing h=v=1 yields exactly the
+        # spec's data-unit raster order (and the spec's restart-
+        # interval unit, which counts data units here).
+        comps = [{**comps[0], "h": 1, "v": 1}]
     by_id = {c["id"]: c for c in comps}
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -218,16 +237,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     # per-component coefficient planes in block units
     planes = {c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 8, 8),
                                 dtype=np.int64) for c in comps}
-    reader = _BitReader(bytes(ecs))
+    ecs_b = bytes(ecs)
+    reader = _BitReader(ecs_b)
     pred = {c["id"]: 0 for c in comps}
     restart_iter = iter(restarts)
     next_restart = next(restart_iter, None)
     for m in range(n_mcus):
         if restart_interval and m and m % restart_interval == 0:
-            # resync: skip to the recorded restart boundary
+            # resync: re-aim the reader at the recorded restart
+            # boundary (no per-restart tail copy)
             if next_restart is None:
                 raise ValueError("missing JPEG restart marker")
-            reader = _BitReader(bytes(ecs[next_restart:]))
+            reader = _BitReader(ecs_b, next_restart)
             next_restart = next(restart_iter, None)
             pred = {c["id"]: 0 for c in comps}
         my, mx = divmod(m, mcus_x)

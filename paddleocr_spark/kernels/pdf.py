@@ -91,8 +91,17 @@ def _ref(head: bytes, key: bytes) -> int | None:
 
 
 def _int_val(head: bytes, key: bytes) -> int | None:
-    m = re.search(re.escape(key) + rb"\s+(\d+)", head)
-    return int(m.group(1)) if m else None
+    """Direct integer value of ``key``; an indirect reference
+    (``/Width 100 0 R``) raises instead of silently returning the
+    reference's object number as the value — the same bug class the
+    /Length parse in ``_scan_objects`` rejects explicitly."""
+    m = re.search(re.escape(key) + rb"\s+(\d+)(\s+\d+\s+R)?", head)
+    if m is None:
+        return None
+    if m.group(2):
+        raise ValueError(f"indirect PDF value for {key.decode()} "
+                         "unsupported")
+    return int(m.group(1))
 
 
 def _kids(head: bytes) -> list[int]:
@@ -130,30 +139,73 @@ def _page_image(objects, page: int) -> np.ndarray:
     raise ValueError("PDF page XObjects contain no /Image")
 
 
+def _filter_names(head: bytes) -> list[bytes]:
+    """The /Filter entry as a list of names — handles both the bare
+    form ``/Filter /DCTDecode`` and the array form ``/Filter
+    [ /DCTDecode ]`` (legal and common; the bare-name-only regex
+    rejected array-form files the module otherwise supports)."""
+    m = re.search(rb"/Filter\s*(?:\[([^\]]*)\]|/(\w+))", head)
+    if not m:
+        return []
+    if m.group(2) is not None:
+        return [m.group(2)]
+    return re.findall(rb"/(\w+)", m.group(1))
+
+
+def _unpredict(raw: bytes, head: bytes, w: int, h: int,
+               ncomp: int) -> bytes:
+    """Undo a /DecodeParms /Predictor on FlateDecode output
+    (ISO 32000-1 §7.4.4.4): 2 = TIFF horizontal differencing,
+    >= 10 = PNG row filters (shared row-unfilter with the PNG codec).
+    Without this, predictor-coded rows reshape as raw pixels —
+    silently scrambled output."""
+    pm = re.search(rb"/Predictor\s+(\d+)", head)
+    pred = int(pm.group(1)) if pm else 1
+    if pred == 1:
+        return raw
+    cm = re.search(rb"/Columns\s+(\d+)", head)
+    cols = int(cm.group(1)) if cm else w
+    km = re.search(rb"/Colors\s+(\d+)", head)
+    colors = int(km.group(1)) if km else ncomp
+    if pred == 2:  # TIFF horizontal differencing
+        arr = (np.frombuffer(raw[:h * cols * colors], np.uint8)
+               .reshape(h, cols, colors).astype(np.uint32))
+        return arr.cumsum(axis=1, dtype=np.uint32).astype(
+            np.uint8).tobytes()
+    if pred >= 10:  # PNG predictors: rows of (tag + stride) bytes
+        from paddleocr_spark.kernels.imgcodec import unfilter_png_rows
+
+        return unfilter_png_rows(raw, h, cols * colors, colors).tobytes()
+    raise ValueError(f"unsupported PDF /Predictor {pred}")
+
+
 def _decode_image_xobject(head: bytes, stream: bytes) -> np.ndarray:
     if stream is None:
         raise ValueError("image XObject without stream")
-    if re.search(rb"/Filter\s*/DCTDecode\b", head):
+    filters = _filter_names(head)
+    if filters == [b"DCTDecode"]:
         from paddleocr_spark.kernels.jpeg import decode_jpeg
 
         return decode_jpeg(stream)  # BGR already
-    if re.search(rb"/Filter\s*/FlateDecode\b", head):
+    if filters == [b"FlateDecode"]:
         w = _int_val(head, b"/Width")
         h = _int_val(head, b"/Height")
         bpc = _int_val(head, b"/BitsPerComponent")
         if bpc != 8:
             raise ValueError("only 8-bit PDF images supported")
-        raw = zlib.decompress(stream)
         if re.search(rb"/ColorSpace\s*/DeviceRGB\b", head):
+            raw = _unpredict(zlib.decompress(stream), head, w, h, 3)
             img = np.frombuffer(raw[:h * w * 3], np.uint8) \
                 .reshape(h, w, 3)
             return img[:, :, ::-1].copy()  # RGB → BGR
         if re.search(rb"/ColorSpace\s*/DeviceGray\b", head):
+            raw = _unpredict(zlib.decompress(stream), head, w, h, 1)
             g = np.frombuffer(raw[:h * w], np.uint8).reshape(h, w)
             return np.repeat(g[:, :, None], 3, axis=2)
         raise ValueError("unsupported PDF image color space")
-    raise ValueError("unsupported PDF image filter "
-                     "(DCTDecode/FlateDecode only)")
+    raise ValueError(
+        "unsupported PDF image filter chain %r (single DCTDecode/"
+        "FlateDecode only)" % [f.decode() for f in filters])
 
 
 def decode_pdf_pages(data: bytes) -> list[np.ndarray]:

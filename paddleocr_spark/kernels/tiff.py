@@ -92,6 +92,15 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
             raise ValueError("only 8-bit TIFF samples supported")
         if photo not in (0, 1, 2) or spp not in (1, 3):
             raise ValueError("only gray/RGB TIFF supported")
+        if (photo == 2) != (spp == 3):
+            # RGB data with a missing/skipped SamplesPerPixel tag
+            # (defaulted 1) would reshape interleaved RGB bytes as a
+            # gray plane — silent scrambled pixels; likewise a gray
+            # photometric with spp=3. Cross-check instead of trusting
+            # the default.
+            raise ValueError(
+                f"inconsistent TIFF photometric {photo} with "
+                f"{spp} samples/pixel")
         if tags.get(284, [1])[0] != 1:
             # planar (RRR..GGG..BBB) data reshaped as interleaved
             # would be silently scrambled — the explicit error the
@@ -126,6 +135,11 @@ def encode_tiff(pages: list[np.ndarray]) -> bytes:
         out += strip
         extra_off = None
         if spp == 3:  # BitsPerSample needs 3 shorts -> out-of-line
+            if len(out) % 2:
+                # TIFF 6.0: out-of-line VALUES must begin on a word
+                # boundary too, not just the IFD — an odd strip length
+                # would otherwise leave BitsPerSample at an odd offset
+                out += b"\x00"
             extra_off = len(out)
             out += struct.pack("<HHH", 8, 8, 8)
         if len(out) % 2:

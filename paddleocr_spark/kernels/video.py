@@ -84,16 +84,22 @@ def decode_y4m(data: bytes):
         if raw.size != fsize:
             raise ValueError("y4m: truncated frame")
         pos += fsize
+        # .copy() per plane: frombuffer views are read-only (in-place
+        # ops like `fr['y'] -= 16` would raise) and each view pins the
+        # WHOLE input buffer — a sampler keeping 3 frames of a
+        # 1000-frame clip would hold the full clip's bytes alive
         if cs.startswith("mono"):
-            frames.append({"y": raw.reshape(h, w)})
+            frames.append({"y": raw.reshape(h, w).copy()})
         elif cs.startswith("444"):
             y, u, v = np.split(raw, 3)
-            frames.append({"y": y.reshape(h, w), "u": u.reshape(h, w),
-                           "v": v.reshape(h, w)})
+            frames.append({"y": y.reshape(h, w).copy(),
+                           "u": u.reshape(h, w).copy(),
+                           "v": v.reshape(h, w).copy()})
         else:  # 420
             y = raw[:w * h].reshape(h, w)
             c = raw[w * h:].reshape(2, h // 2, w // 2)
-            frames.append({"y": y, "u": c[0], "v": c[1]})
+            frames.append({"y": y.copy(), "u": c[0].copy(),
+                           "v": c[1].copy()})
     meta["n_frames"] = len(frames)
     return frames, meta
 

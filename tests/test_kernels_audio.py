@@ -91,3 +91,16 @@ def test_zero_channels_raises_value_error():
             + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
     with pytest.raises(ValueError, match="channels"):
         decode_wav(data)
+
+
+def test_truncated_data_chunk_raises():
+    """A chunk whose declared size exceeds the remaining bytes is a
+    truncated upload — must raise (quarantine-able), never silently
+    return fewer samples."""
+    import pytest
+
+    from paddleocr_spark.kernels.audio import decode_wav, encode_wav
+
+    wav = encode_wav(np.linspace(-0.5, 0.5, 400), rate=8000)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(wav[:-100])

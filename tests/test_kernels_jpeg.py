@@ -165,3 +165,34 @@ def test_multiscan_baseline_raises():
                + data[i + 2 + seg_len:])
     with pytest.raises(ValueError, match="multi-scan"):
         decode_jpeg(patched)
+
+
+def test_grayscale_sampling_factors_decode_non_interleaved():
+    """T.81 A.2: a single-component scan is non-interleaved, so the
+    declared sampling factors don't change the data-unit order.
+    Grayscale files commonly carry hv=0x22 (libjpeg's default); the
+    entropy stream is identical to the 1x1 case, so patching the SOF
+    sampling byte must not change the decoded pixels."""
+    rng = np.random.default_rng(77)
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, quant=1))
+    sof = bytes(data).index(b"\xff\xc0")
+    hv_off = sof + 11  # FFC0 len(2) prec(1) h(2) w(2) nc(1) cid(1) -> hv
+    assert data[hv_off] == 0x11
+    base = decode_jpeg(bytes(data))
+    data[hv_off] = 0x22
+    patched = decode_jpeg(bytes(data))
+    assert np.array_equal(patched, base)
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+    fill bytes; treating a fill byte as the marker reads a garbage
+    segment length and rejects a valid file."""
+    rng = np.random.default_rng(78)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = encode_jpeg(img, quant=1)
+    base = decode_jpeg(data)
+    dqt = data.index(b"\xff\xdb")
+    padded = data[:dqt] + b"\xff\xff\xff" + data[dqt:]
+    assert np.array_equal(decode_jpeg(padded), base)

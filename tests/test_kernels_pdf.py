@@ -239,3 +239,102 @@ def test_incremental_update_uses_last_trailer():
     pages = decode_pdf_pages(data)
     assert len(pages) == 1
     assert int(pages[0][0, 0, 0]) == 200
+
+
+def test_filter_array_form_accepted():
+    """/Filter [ /DCTDecode ] (single-element array, legal and common)
+    must decode exactly like the bare-name form."""
+    rng = np.random.default_rng(30)
+    pages = _pages(rng, 1)
+    data = encode_pdf(pages, image_filter="DCTDecode")
+    patched = data.replace(b"/Filter /DCTDecode",
+                           b"/Filter [ /DCTDecode ]")
+    assert patched != data
+    a = decode_pdf_pages(data)
+    b = decode_pdf_pages(patched)
+    assert np.array_equal(a[0], b[0])
+
+
+def test_indirect_width_raises_not_misreads():
+    """An indirect /Width (e.g. '/Width 7 0 R') must raise — the naive
+    int parse returns the reference's OBJECT NUMBER as the width."""
+    rng = np.random.default_rng(31)
+    pages = [rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)]
+    data = encode_pdf(pages, image_filter="FlateDecode")
+    patched = data.replace(b"/Width 24", b"/Width 7 0 R", 1)
+    assert patched != data
+    with pytest.raises(ValueError, match="indirect"):
+        decode_pdf_pages(patched)
+
+
+def _flate_pdf_with_predictor(img: np.ndarray, predictor: int,
+                              payload: bytes, parms_extra: bytes = b"") \
+        -> bytes:
+    """Minimal 1-page image PDF whose Flate stream is predictor-coded
+    (hand-built: encode_pdf intentionally writes no predictors)."""
+    import zlib
+
+    h, w = img.shape[:2]
+    comp = zlib.compress(payload)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+        b"/Contents 4 0 R /Resources << /XObject << /Im0 5 0 R >> >> >>"
+        % (w, h),
+        b"<< /Length 28 >>\nstream\n"
+        b"q 1 0 0 1 0 0 cm /Im0 Do Q  \nendstream",
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/BitsPerComponent 8 /ColorSpace /DeviceRGB "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor %d "
+        b"/Colors 3 /Columns %d %s>> /Length %d >>\nstream\n"
+        % (w, h, predictor, w, parms_extra, len(comp))
+        + comp + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % (i + 1) + body + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n"
+            b"%%%%EOF\n" % (len(objs) + 1, xref))
+    return bytes(out)
+
+
+def test_flate_png_predictor_decodes():
+    """PNG predictors (/Predictor 15, filter-tagged rows) must be
+    undone — reshaping the predictor-coded bytes as raw pixels is
+    silent scrambled output."""
+    rng = np.random.default_rng(32)
+    img = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+    rgb = img[:, :, ::-1]  # PDF stores RGB
+    rows = []
+    prev = np.zeros(9 * 3, dtype=np.uint8)
+    for y in range(12):
+        line = rgb[y].reshape(-1)
+        if y % 2 == 0:  # filter 0 (None)
+            rows.append(b"\x00" + line.tobytes())
+        else:  # filter 2 (Up)
+            rows.append(b"\x02" + ((line.astype(np.int32) - prev) % 256)
+                        .astype(np.uint8).tobytes())
+        prev = line
+    data = _flate_pdf_with_predictor(img, 15, b"".join(rows))
+    (page,) = decode_pdf_pages(data)
+    assert np.array_equal(page, img)
+
+
+def test_flate_tiff_predictor_decodes():
+    """/Predictor 2 (TIFF horizontal differencing) must be undone."""
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, (7, 11, 3), dtype=np.uint8)
+    rgb = img[:, :, ::-1].astype(np.int32)
+    diff = rgb.copy()
+    diff[:, 1:, :] = (rgb[:, 1:, :] - rgb[:, :-1, :]) % 256
+    data = _flate_pdf_with_predictor(
+        img, 2, diff.astype(np.uint8).tobytes())
+    (page,) = decode_pdf_pages(data)
+    assert np.array_equal(page, img)

@@ -204,3 +204,45 @@ def test_planar_configuration_raises():
                              struct.pack("<HH", 2, 0))
     with pytest.raises(ValueError, match="planar"):
         decode_tiff(data)
+
+
+def test_rgb_without_samplesperpixel_raises():
+    """RGB (photometric 2) with a missing/skipped SamplesPerPixel tag
+    must raise — the spp=1 default would reshape interleaved RGB as a
+    gray plane (silent scrambled pixels)."""
+    import struct
+
+    import pytest
+
+    rng = np.random.default_rng(55)
+    page = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    data = bytearray(encode_tiff([page]))
+    # flip tag 277's field type to RATIONAL (5): the decoder skips
+    # non-BYTE/SHORT/LONG entries, so spp falls back to the default
+    entry = struct.pack("<HH", 277, 3)
+    idx = bytes(data).index(entry)
+    data[idx:idx + 4] = struct.pack("<HH", 277, 5)
+    with pytest.raises(ValueError, match="inconsistent"):
+        decode_tiff(bytes(data))
+
+
+def test_out_of_line_values_word_aligned():
+    """TIFF 6.0: out-of-line VALUES (not just IFDs) must start on a
+    word boundary — an odd strip length must not leave BitsPerSample
+    at an odd offset."""
+    import struct
+
+    rng = np.random.default_rng(56)
+    page = rng.integers(0, 256, (3, 3, 3), dtype=np.uint8)  # 27-byte strip
+    data = encode_tiff([page])
+    (ifd_off,) = struct.unpack("<I", data[4:8])
+    (n_entries,) = struct.unpack("<H", data[ifd_off:ifd_off + 2])
+    bps_off = None
+    for e in range(n_entries):
+        p = ifd_off + 2 + 12 * e
+        tag, vtype, count = struct.unpack("<HHI", data[p:p + 8])
+        if tag == 258:
+            assert count == 3  # out-of-line (3 SHORTs > 4 bytes)
+            (bps_off,) = struct.unpack("<I", data[p + 8:p + 12])
+    assert bps_off is not None and bps_off % 2 == 0
+    assert np.array_equal(decode_tiff(data)[0], page)

@@ -148,3 +148,22 @@ def test_odd_dimension_420_frame_converts():
     assert rgb.shape == (5, 5, 3)
     # edge replication: last row/col carry the nearest chroma
     assert (rgb[4, 4] == rgb[3, 3]).all()
+
+
+def test_decoded_planes_are_writable_and_unpinned():
+    """Planes must be owned copies: read-only frombuffer views break
+    in-place ops and pin the whole clip's bytes while one sampled
+    frame is retained."""
+    from paddleocr_spark.kernels.video import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(91)
+    frames = [{"y": rng.integers(0, 256, (16, 16), dtype=np.uint8),
+               "u": rng.integers(0, 256, (8, 8), dtype=np.uint8),
+               "v": rng.integers(0, 256, (8, 8), dtype=np.uint8)}
+              for _ in range(4)]
+    dec, _ = decode_y4m(encode_y4m(frames))
+    for fr in dec:
+        for plane in fr.values():
+            assert plane.flags.writeable
+            assert plane.base is None  # owns its data, no buffer pin
+    dec[0]["y"] -= 16  # in-place op must not raise
