@@ -41,6 +41,8 @@ from __future__ import annotations
 import os
 import struct
 
+from paddleocr_spark.cachedir import cache_root
+
 __all__ = ["AUDIO_SPEC", "VIDEO_SPEC", "ensure_av_store",
            "audio_features", "video_frames",
            "audio_oracle_sql", "video_oracle_sql"]
@@ -184,12 +186,6 @@ def ensure_av_store(root: str) -> str:
     return store
 
 
-def _store_root() -> str:
-    from paddleocr_spark.cachedir import cache_root
-
-    return cache_root()
-
-
 def audio_features(spark, sf_dir: str):
     """CORRECTNESS query for the audio leg: binaryFile scan of the WAV
     store -> mapInPandas (RIFF parse, mono mixdown, framed RMS) -> one
@@ -197,7 +193,7 @@ def audio_features(spark, sf_dir: str):
     decode+framing, not corpus scaling)."""
     from paddleocr_spark.sources.media_files import read_binary_files
 
-    store = ensure_av_store(_store_root())
+    store = ensure_av_store(cache_root())
 
     def dec(batches):
         import os as _os
@@ -232,7 +228,7 @@ def video_frames(spark, sf_dir: str):
     frame."""
     from paddleocr_spark.sources.media_files import read_binary_files
 
-    store = ensure_av_store(_store_root())
+    store = ensure_av_store(cache_root())
     k_by_file = {name: k for name, _, _, _, _, k in _VIDS}
 
     def dec(batches):

@@ -25,6 +25,8 @@ import hashlib
 import json
 import os
 
+from paddleocr_spark.cachedir import cache_root
+
 __all__ = ["PUBTAB_SPEC", "PGNET_SPEC", "MAX_TOKENS", "ensure_label_store",
            "pubtab_valid", "pgnet_labels",
            "pubtab_oracle_sql", "pgnet_oracle_sql"]
@@ -117,12 +119,6 @@ PGNET_SPEC = [exp for f in (0, 1) for _, exp in _pg_rows(f)
               if exp is not None]
 
 
-def _store_root() -> str:
-    from paddleocr_spark.cachedir import cache_root
-
-    return cache_root()
-
-
 def ensure_label_store(root: str) -> str:
     store = os.path.join(root, "labelstore_v1")
     marker = os.path.join(store, "_DONE")
@@ -146,7 +142,7 @@ def pubtab_valid(spark, sf_dir: str):
 
     from paddleocr_spark.sources.pubtab import read_pubtab
 
-    store = ensure_label_store(_store_root())
+    store = ensure_label_store(cache_root())
     df = read_pubtab(spark, os.path.join(store, "pubtab.jsonl"),
                      max_structure_len=MAX_TOKENS)
     return (df.select(
@@ -164,7 +160,7 @@ def pgnet_labels(spark, sf_dir: str):
 
     from paddleocr_spark.sources.pgnet import read_pgnet_sources
 
-    store = ensure_label_store(_store_root())
+    store = ensure_label_store(cache_root())
     df = read_pgnet_sources(
         spark,
         [os.path.join(store, "pgnet_0.txt"),

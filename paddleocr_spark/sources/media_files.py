@@ -61,7 +61,13 @@ def _split_pages(content: bytes):
     path (1 page, not multipage). The FAKEDOC framing stays for
     plumbing tests."""
     if content.startswith(_FAKE_MAGIC):
+        if len(content) < len(_FAKE_MAGIC) + 1:
+            raise ValueError("truncated FAKEDOC header (no page count)")
         n = content[len(_FAKE_MAGIC)]
+        if n == 0:
+            # a zero-page container must surface as an error row in
+            # quarantine mode, not vanish from data AND report
+            raise ValueError("FAKEDOC container with zero pages")
         payload = content[len(_FAKE_MAGIC) + 1:]
         return [(i, b"PAGE" + bytes([i]) + payload, True) for i in range(n)]
     from paddleocr_spark.kernels.tiff import decode_tiff, is_tiff
@@ -181,4 +187,11 @@ def check_img(img):
         img = decode_image_bytes(page0)
     if isinstance(img, np.ndarray) and img.ndim == 2:
         img = np.repeat(img[:, :, None], 3, axis=2)
+    if not isinstance(img, np.ndarray):
+        # unrecognized inputs (None, memoryview, PIL-ish objects) must
+        # fail HERE, not as a shape/dtype crash far downstream — the
+        # reference logs-and-rejects unloadable inputs (engine.py:232)
+        raise TypeError(
+            f"check_img: unsupported input type {type(img).__name__} "
+            "(expected bytes, path str, or ndarray)")
     return img

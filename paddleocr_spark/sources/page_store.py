@@ -93,9 +93,10 @@ def ensure_page_store(root: str) -> str:
             data = encode_tiff(imgs)
         elif kind == "png":
             data = encode_png(imgs[0])
-        else:  # ppm — P6 is trivially writable
-            h, w = imgs[0].shape[:2]
-            data = b"P6\n%d %d\n255\n" % (w, h) + imgs[0].tobytes()
+        else:  # ppm — same framing helper the page-explode path emits
+            from paddleocr_spark.sources.media_files import _ppm_bytes
+
+            data = _ppm_bytes(imgs[0])
         with open(os.path.join(store, name), "wb") as fh:
             fh.write(data)
     with open(marker, "w") as fh:

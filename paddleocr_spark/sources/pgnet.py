@@ -36,8 +36,12 @@ def read_pgnet_labels(spark, label_file: str, delimiter: str = "\t"):
         F.col("value"), F.lit(label_file).alias("source_file"))
     first_tab = F.instr("value", delimiter)
     # pure column API (no SQL-string splicing: a quote or backslash in
-    # the delimiter must reach instr as DATA, not the SQL parser)
-    rest = F.col("value").substr(first_tab + 1, F.length("value"))
+    # the delimiter must reach instr as DATA, not the SQL parser).
+    # The payload starts len(delimiter) past the match — `+ 1` assumed
+    # a 1-char delimiter, so a multi-char one (PGDataSet supports any)
+    # left delimiter bytes in front of the JSON and nulled EVERY label.
+    rest = F.col("value").substr(first_tab + len(delimiter),
+                                 F.length("value"))
     parsed = lines.select(
         F.substring_index("value", delimiter, 1).alias("img_path"),
         F.from_json(rest, _LABEL_JSON).alias("label"),
@@ -73,12 +77,14 @@ def read_pgnet_sources(spark, label_files, ratio_list=None,
     assert len(ratio_list) == len(label_files), \
         "The length of ratio_list should be the same as the file_list."
 
-    out = None
+    from paddleocr_spark.sources.tables import union_sources
+
+    parts = []
     for path, ratio in zip(label_files, ratio_list):
         df = read_pgnet_labels(spark, path, delimiter)
         if ratio < 1.0:
             from paddleocr_spark.operators.dedup import ratio_keep
 
             df = df.where(ratio_keep(F, F.col("img_path"), ratio, seed))
-        out = df if out is None else out.unionByName(df)
-    return out
+        parts.append(df)
+    return union_sources(*parts)

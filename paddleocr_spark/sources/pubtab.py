@@ -10,10 +10,14 @@ per-row try/except resample loop (parse failures become filterable
 
 from __future__ import annotations
 
-__all__ = ["PUBTAB_SCHEMA", "read_pubtab"]
+__all__ = ["pubtab_schema", "read_pubtab"]
 
 
-def _schema():
+def pubtab_schema():
+    """The PubTabNet JSONL read schema (built lazily — a module-level
+    StructType constant would import pyspark at module load, and
+    exporting the bare function under a CONSTANT_CASE name invited
+    ``spark.read.schema(PUBTAB_SCHEMA)`` passing a function object)."""
     from pyspark.sql import types as T
 
     cell = T.StructType([
@@ -32,15 +36,12 @@ def _schema():
     ])
 
 
-PUBTAB_SCHEMA = _schema
-
-
 def read_pubtab(spark, path: str, max_structure_len: int = 500):
     """JSONL scan + validity filter. Returns (filename,
     structure_tokens, n_cells) for valid rows."""
     from pyspark.sql import functions as F
 
-    df = (spark.read.schema(_schema())
+    df = (spark.read.schema(pubtab_schema())
           .option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", "_corrupt_record")
           .json(path))

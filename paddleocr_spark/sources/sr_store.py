@@ -20,6 +20,8 @@ from __future__ import annotations
 import os
 import re
 
+from paddleocr_spark.cachedir import cache_root
+
 __all__ = ["SR_SPEC", "MAX_LEN", "ensure_sr_store", "sr_pairs_filtered",
            "sr_oracle_sql"]
 
@@ -84,12 +86,6 @@ def ensure_sr_store(root: str) -> str:
     return store
 
 
-def _store_root() -> str:
-    from paddleocr_spark.cachedir import cache_root
-
-    return cache_root()
-
-
 def sr_pairs_filtered(spark, sf_dir: str):
     """CORRECTNESS query for the SR source: paired scan + str_filt
     vocab projection + the two drop rules, reporting the filtered
@@ -99,7 +95,7 @@ def sr_pairs_filtered(spark, sf_dir: str):
 
     from paddleocr_spark.sources.lmdb_sr import read_sr_pairs
 
-    store = ensure_sr_store(_store_root())
+    store = ensure_sr_store(cache_root())
     df = read_sr_pairs(spark, os.path.join(store, "pairs.parquet"),
                        voc_type=_VOC, max_len=MAX_LEN)
     return (df.select(

@@ -349,3 +349,58 @@ def test_streaming_partitioned_sink_matches_batch_layout(spark, tmp_path):
                for r in got.where(F.col("event_day") == day)
                .select(F.input_file_name()).distinct().collect()}
     assert touched == {str(day)}
+
+
+def test_pgnet_multichar_delimiter(spark, tmp_path):
+    """The JSON payload starts len(delimiter) past the match — the
+    `+ 1` form left delimiter bytes in front of the JSON for any
+    multi-char delimiter and silently nulled EVERY label."""
+    import json
+
+    from paddleocr_spark.sources.pgnet import read_pgnet_labels
+
+    f = tmp_path / "multi.txt"
+    body = json.dumps([{"transcription": "hi",
+                        "points": [[0, 0], [4, 0], [4, 2], [0, 2]]}])
+    f.write_text("img1.jpg||" + body + "\n")
+    (row,) = read_pgnet_labels(spark, str(f), delimiter="||").collect()
+    assert row["img_path"] == "img1.jpg"
+    assert row["texts"] == ["hi"]
+    assert row["polys"] == [[[0.0, 0.0], [4.0, 0.0], [4.0, 2.0],
+                             [0.0, 2.0]]]
+
+
+def test_check_img_rejects_unknown_types():
+    """Unrecognized inputs must fail at normalization, not as a
+    shape/dtype crash far downstream."""
+    import pytest
+
+    from paddleocr_spark.sources.media_files import check_img
+
+    for bad in (None, memoryview(b"abc"), 123, ["x"]):
+        with pytest.raises(TypeError, match="unsupported input type"):
+            check_img(bad)
+
+
+def test_zero_page_and_truncated_fakedoc_quarantine(spark, tmp_path):
+    """A zero-page container and a truncated FAKEDOC header must each
+    surface as a quarantine row — never vanish from both the data and
+    the page_errors report."""
+    from paddleocr_spark.sources.media_files import (
+        explode_pages,
+        page_errors,
+        read_binary_files,
+    )
+
+    (tmp_path / "zero.doc").write_bytes(b"FAKEDOC\x00payload")
+    (tmp_path / "trunc.doc").write_bytes(b"FAKEDOC")
+    files = read_binary_files(spark, str(tmp_path / "*.doc"))
+    pages = explode_pages(files, on_error="quarantine")
+    errs = {r["path"].rsplit("/", 1)[-1]: r["error"]
+            for r in page_errors(pages).collect()}
+    assert set(errs) == {"zero.doc", "trunc.doc"}
+    assert "zero pages" in errs["zero.doc"]
+    assert "truncated FAKEDOC" in errs["trunc.doc"]
+    # and nothing leaked into the data rows
+    from pyspark.sql import functions as F
+    assert pages.where(F.col("page") >= 0).count() == 0
