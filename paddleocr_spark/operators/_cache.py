@@ -11,21 +11,36 @@ accumulate across a multi-query bench/correctness run on one session.
 ``eager_persist`` registers every such cache in a per-session registry;
 ``release_persisted`` (called by ``bench.py`` between queries, and by
 any long-lived session when a query's results have been materialized)
-unpersists them all. At production scale these intermediates are their
-own tables and the issue disappears.
+unpersists them all; ``release_one`` unpersists a single tracked cache
+without touching the rest of the session's registry. At production
+scale these intermediates are their own tables and the issue
+disappears.
 """
 
 from __future__ import annotations
 
-__all__ = ["eager_persist", "release_persisted", "pinned_persist"]
+import weakref
 
-# session id -> list of persisted DataFrames. STRONG references: the
-# query function's local goes out of scope as soon as it returns (the
-# returned result holds only the JVM plan), so a weakref would be dead
-# by release time and the cache would leak exactly as before. The pin
-# is a cheap plan handle, and the registry is bounded by the explicit
-# release_persisted calls between queries.
-_REGISTRY: dict[int, list] = {}
+__all__ = ["eager_persist", "release_persisted", "release_one",
+           "pinned_persist"]
+
+# session id -> (weakref to the session, list of persisted DataFrames).
+# The DataFrame references are STRONG: the query function's local goes
+# out of scope as soon as it returns (the returned result holds only
+# the JVM plan), so a weakref to the df would be dead by release time
+# and the cache would leak exactly as before. The SESSION reference is
+# weak so a stopped-and-collected session's entries can be purged —
+# and so a CPython id()-reuse collision (new session allocated at a
+# dead session's address) is detected by identity instead of handing
+# the new session a DataFrame bound to a stopped SparkContext.
+_REGISTRY: dict[int, tuple] = {}
+
+
+def _purge_dead() -> None:
+    for key in [k for k, (ref, _) in _REGISTRY.items() if ref() is None]:
+        del _REGISTRY[key]
+    for key in [k for k, (ref, _) in _PINNED.items() if ref() is None]:
+        del _PINNED[key]
 
 
 def eager_persist(df):
@@ -33,12 +48,20 @@ def eager_persist(df):
 
     The count() is the eager-materialization barrier that serializes
     the cache fill before consumers race it (no in-flight dedup in
-    Spark's cache manager).
+    Spark's cache manager). Registration happens BEFORE the count so a
+    failing materialization (corrupt split, executor OOM) leaves the
+    partially-cached df tracked and releasable, not orphaned.
     """
+    _purge_dead()
+    spark = df.sparkSession
+    key = id(spark)
+    ent = _REGISTRY.get(key)
+    if ent is None or ent[0]() is not spark:  # new session (or id reuse)
+        ent = (weakref.ref(spark), [])
+        _REGISTRY[key] = ent
     df = df.persist()
+    ent[1].append(df)
     df.count()
-    key = id(df.sparkSession)
-    _REGISTRY.setdefault(key, []).append(df)
     return df
 
 
@@ -49,7 +72,8 @@ def release_persisted(spark=None) -> int:
     n = 0
     keys = [id(spark)] if spark is not None else list(_REGISTRY)
     for key in keys:
-        for df in _REGISTRY.pop(key, []):
+        _, dfs = _REGISTRY.pop(key, (None, []))
+        for df in dfs:
             try:
                 df.unpersist()
                 n += 1
@@ -58,23 +82,45 @@ def release_persisted(spark=None) -> int:
     return n
 
 
+def release_one(df) -> bool:
+    """Unpersist ONE tracked cache and drop it from the registry,
+    leaving the session's other caches alone (a function that created
+    a cache must not release siblings a caller is still filling)."""
+    ent = _REGISTRY.get(id(df.sparkSession))
+    if ent is not None and any(d is df for d in ent[1]):
+        ent[1][:] = [d for d in ent[1] if d is not df]
+    try:
+        df.unpersist()
+        return True
+    except Exception:
+        return False
+
+
 # session-lifetime pins: intermediates shared ACROSS queries in one
 # session (the decoded KIE token fragments) — deliberately NOT touched
 # by release_persisted, which clears per-query caches between bench
 # queries. At production scale these are their own tables (the
 # extract-once / analyze-many layout); here the pin is the session-
-# scale stand-in. Keyed by (session id, logical key); bounded by the
-# handful of fragment tables a session touches (small-string rows).
-_PINNED: dict[tuple, object] = {}
+# scale stand-in. Keyed by (session id, logical key) with a weak
+# session ref checked by IDENTITY on every hit, so a stopped session's
+# pins are purged and id() reuse can never serve a dead session's
+# DataFrame to a new one. Bounded by the handful of fragment tables a
+# session touches (small-string rows).
+_PINNED: dict[tuple, tuple] = {}
 
 
 def pinned_persist(spark, key: str, builder):
     """Build-once-per-session persist of ``builder()`` under ``key``;
     returns the cached DataFrame on later calls."""
+    _purge_dead()
     k = (id(spark), key)
-    df = _PINNED.get(k)
-    if df is None:
-        df = builder().persist()
-        df.count()
-        _PINNED[k] = df
+    ent = _PINNED.get(k)
+    if ent is not None:
+        ref, df = ent
+        if ref() is spark and not spark.sparkContext._jsc.sc().isStopped():
+            return df
+        del _PINNED[k]  # dead/stopped session (or id-reuse collision)
+    df = builder().persist()
+    df.count()
+    _PINNED[k] = (weakref.ref(spark), df)
     return df

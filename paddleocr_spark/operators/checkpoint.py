@@ -17,18 +17,24 @@ identical):
 - output written under   <out>/spans/bucket=<b>/
 - checkpoint rows under  <out>/checkpoint/ with schema
   (run_id, bucket, n_buckets, doc_count, span_count, wall_ms,
-   input_snapshot, code_version, completed_at_ms) — n_buckets is
-   validated on resume: the same run_id can never continue under a
-   different partitioning
+   input_snapshot, code_version, completed_at_ms) — n_buckets,
+   input_snapshot AND code_version are validated on resume: the same
+   run_id can never continue under a different partitioning, over a
+   regenerated input, or with changed extraction code (any of which
+   would silently mix lineages in one spans directory)
 - resume = anti-join pending buckets against completed checkpoint rows
-  (idempotent: a bucket's spans directory is overwritten atomically by
-  dynamic partition overwrite before its checkpoint row is appended, so
-  a crash between the two re-processes that bucket only).
+- a bucket's spans are written to a temp directory and moved into
+  place with ``os.rename`` (atomic on POSIX) before its checkpoint row
+  is appended: readers never observe a half-written bucket, and a
+  crash between the move and the row re-processes that bucket only.
+  (On an object store rename is not atomic; production uses an Iceberg
+  per-partition commit instead — see module note above.)
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import time
 
 from paddleocr_spark import __version__
@@ -43,11 +49,17 @@ CHECKPOINT_SCHEMA = ("run_id string, bucket int, n_buckets int, "
 
 
 def completed_buckets(spark, out_dir: str, run_id: str,
-                      n_buckets: int | None = None) -> set[int]:
-    """Buckets already checkpointed for ``run_id``. When ``n_buckets``
-    is given, a checkpoint row recorded under a DIFFERENT bucket count
-    raises — resuming the same run_id with a changed partitioning
-    would silently skip wrong buckets and drop documents."""
+                      n_buckets: int | None = None,
+                      input_snapshot: str | None = None,
+                      code_version: str | None = None) -> set[int]:
+    """Buckets already checkpointed for ``run_id``. Each given lineage
+    field (``n_buckets``, ``input_snapshot``, ``code_version``) is
+    validated against the recorded rows and a mismatch raises:
+    resuming under a different partitioning would silently skip wrong
+    buckets and drop documents; resuming over a regenerated input or
+    with changed extraction code would silently mix two lineages in
+    one spans directory (half snapshot-A, half snapshot-B) with no
+    error at read time."""
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
@@ -62,15 +74,23 @@ def completed_buckets(spark, out_dir: str, run_id: str,
             return set()
         raise
     rows = (df.where(F.col("run_id") == run_id)
-            .select("bucket", "n_buckets").distinct().collect())
-    if n_buckets is not None:
-        seen = {r.n_buckets for r in rows}
-        if seen - {n_buckets}:
+            .select("bucket", "n_buckets", "input_snapshot",
+                    "code_version").distinct().collect())
+    for field, want, why in (
+            ("n_buckets", n_buckets,
+             "wrong buckets would be skipped and documents dropped"),
+            ("input_snapshot", input_snapshot,
+             "completed buckets hold a different input's output"),
+            ("code_version", code_version,
+             "completed buckets were produced by different code")):
+        if want is None:
+            continue
+        seen = {getattr(r, field) for r in rows}
+        if seen - {want}:
             raise ValueError(
                 f"run_id {run_id!r} was checkpointed with "
-                f"n_buckets={sorted(seen)}; refusing to resume with "
-                f"n_buckets={n_buckets} (wrong buckets would be "
-                f"skipped and documents dropped)")
+                f"{field}={sorted(seen)!r}; refusing to resume with "
+                f"{field}={want!r} ({why})")
     return {r.bucket for r in rows}
 
 
@@ -86,7 +106,9 @@ def run_with_checkpoint(spark, docs_df, media_df, out_dir: str,
     0 forces the plain per-doc window."""
     from pyspark.sql import functions as F
 
-    done = completed_buckets(spark, out_dir, run_id, n_buckets)
+    done = completed_buckets(spark, out_dir, run_id, n_buckets,
+                             input_snapshot=input_snapshot,
+                             code_version=__version__)
     todo = [b for b in range(n_buckets) if b not in done]
     if not todo:
         # fully-resumed run: nothing to do, so don't pay the store
@@ -103,10 +125,7 @@ def run_with_checkpoint(spark, docs_df, media_df, out_dir: str,
         decode_media,
         decode_media_store,
     )
-    from paddleocr_spark.operators._cache import (
-        eager_persist,
-        release_persisted,
-    )
+    from paddleocr_spark.operators._cache import eager_persist, release_one
     from paddleocr_spark.operators.extract import SALT_WIDTH
 
     if salt_width is None:
@@ -126,10 +145,22 @@ def run_with_checkpoint(spark, docs_df, media_df, out_dir: str,
             docs_b = docs_df.where(bucket_of == b)
             out = extract_spans(docs_b, media_df, salt_width=salt_width,
                                 fragments_df=fragments)
-            (out.write.mode("overwrite")
-             .parquet(os.path.join(spans_dir, f"bucket={b}")))
-            written = spark.read.parquet(
-                os.path.join(spans_dir, f"bucket={b}"))
+            # write to a temp dir, then os.rename into place: readers
+            # never see a half-written bucket (POSIX rename is atomic;
+            # production = Iceberg per-partition commit). A retried
+            # bucket's stale directory is moved aside first — the
+            # delete-then-write window of a plain overwrite is gone.
+            final_dir = os.path.join(spans_dir, f"bucket={b}")
+            tmp_dir = os.path.join(spans_dir, f".tmp-bucket={b}")
+            trash_dir = os.path.join(spans_dir, f".trash-bucket={b}")
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            shutil.rmtree(trash_dir, ignore_errors=True)
+            out.write.mode("overwrite").parquet(tmp_dir)
+            if os.path.exists(final_dir):
+                os.rename(final_dir, trash_dir)
+            os.rename(tmp_dir, final_dir)
+            shutil.rmtree(trash_dir, ignore_errors=True)
+            written = spark.read.parquet(final_dir)
             stats = written.agg(
                 F.countDistinct("doc_id").alias("docs"),
                 F.count("*").alias("spans")).collect()[0]
@@ -143,8 +174,11 @@ def run_with_checkpoint(spark, docs_df, media_df, out_dir: str,
     finally:
         # a crash mid-bucket must not leave the fragment cache pinned
         # on a long-lived session (the caller retries run_with_checkpoint
-        # on the same session to resume)
-        release_persisted(spark)
+        # on the same session to resume). Release ONLY the cache this
+        # function created — a session-wide release would unpersist
+        # unrelated caches a caller is still filling (re-introducing
+        # the lazy-cache race _cache documents).
+        release_one(fragments)
     return processed
 
 

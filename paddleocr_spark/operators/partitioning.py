@@ -40,20 +40,49 @@ def _cache_root() -> str:
     return cache_root("partitioned")
 
 
+def _source_fingerprint(src: str) -> str:
+    """Identity of the source table: absolute path + (size, mtime) of
+    every file under it. A regenerated source (new mtime/size) or a
+    different directory that happens to share a basename therefore
+    invalidates the cached layout instead of silently serving stale
+    data to a CORRECTNESS query whose oracle reads the fresh raw
+    table."""
+    import hashlib
+
+    h = hashlib.md5(os.path.abspath(src).encode())
+    if os.path.isdir(src):
+        files = sorted(
+            os.path.join(r, f) for r, _, fs in os.walk(src) for f in fs)
+    else:
+        files = [src]
+    for f in files:
+        st = os.stat(f)
+        h.update(f"{os.path.basename(f)}:{st.st_size}:"
+                 f"{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
+
+
 def ensure_partitioned_events(spark, sf_dir: str) -> str:
     """Write the events table day-partitioned under the repo cache
-    (idempotent via a DONE marker; the once-per-ingest layout cost,
-    like the bucketed-pair write)."""
+    (idempotent via a fingerprinted DONE marker; the once-per-ingest
+    layout cost, like the bucketed-pair write). The marker records the
+    source's content fingerprint — a rewrite happens whenever the
+    source changed, not merely whenever some directory with the same
+    basename was cached once."""
+    src = os.path.join(sf_dir, "events.parquet")
+    fp = _source_fingerprint(src)
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(_cache_root(), tag, "events")
     marker = os.path.join(path, "_DONE")
     if os.path.exists(marker):
-        return path
-    (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        with open(marker) as fh:
+            if fh.read().strip() == fp:
+                return path
+    (spark.read.parquet(src)
      .withColumn("event_day", epoch_day())
      .write.mode("overwrite").partitionBy("event_day").parquet(path))
     with open(marker, "w") as fh:
-        fh.write("ok\n")
+        fh.write(fp + "\n")
     return path
 
 

@@ -10,13 +10,22 @@ about X") and for quality-weighted retrieval baselines.
 Plan shape (designed for 10^12 docs):
 - ONE scan of documents computes per-doc length AND the query-term
   hits in the same projection (``F.filter`` on the token array before
-  the explode, so the exploded row count is bounded by matches, never
-  corpus tokens);
+  the explode, so the exploded row count is bounded by matches + one
+  sentinel row per doc, never corpus tokens);
+- corpus stats (N, avgdl) ride a SENTINEL term prepended to every
+  doc's matched-token array: the sentinel rows flow through the very
+  same explode -> groupBy as the term hits, and the grouped relation
+  (one sentinel row per doc + the matched (doc, term) pairs — tiny
+  next to the corpus) is materialized ONCE as a tracked cache that
+  both the tf branch and the stats branch read. The naive "separate
+  stats aggregate" form re-scans and re-tokenizes the whole corpus a
+  second time (Catalyst pushes the grouping-key filters below the
+  aggregate, so exchange reuse cannot unify the branches — measured).
+  At production scale the grouped relation is its own table;
 - tf = one map-side-combinable groupBy over the hits;
 - df(term) comes from a window over the tiny tf relation partitioned
   by term — no second corpus scan;
-- corpus stats (N, avgdl) are a column-pruned aggregate broadcast via
-  crossJoin; query terms broadcast-join onto tf;
+- stats broadcast via crossJoin; query terms broadcast-join onto tf;
 - top-k per query is a rank window over the scored rows (rows =
   matched docs, not corpus size).
 
@@ -41,6 +50,10 @@ BM25_QUERIES = {
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 10
+# prepended to every doc's matched-token array so corpus stats flow
+# through the same scan/exchange as the hits; never a real token
+# (norm_content output is lowercase alnum + spaces)
+_SENTINEL = "\x00doc"
 
 
 def bm25_topk(spark, sf_dir: str):
@@ -55,22 +68,30 @@ def bm25_topk(spark, sf_dir: str):
     all_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
     term_arr = F.array(*[F.lit(t) for t in all_terms])
 
-    # one scan: doc length + query-term hits from the same token array
+    # one scan: doc length + query-term hits + a sentinel row per doc,
+    # all from the same token array
     hits = docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("dl"),
-        F.explode(F.filter(toks, lambda w: F.array_contains(term_arr, w)))
+        F.explode(F.concat(
+            F.array(F.lit(_SENTINEL)),
+            F.filter(toks, lambda w: F.array_contains(term_arr, w))))
         .alias("term"))
-    tf = (hits.groupBy("doc_id", "term", "dl")
-          .agg(F.count("*").cast("long").alias("tf")))
+    from paddleocr_spark.operators._cache import eager_persist
+
+    grouped = eager_persist(
+        hits.groupBy("doc_id", "term", "dl")
+        .agg(F.count("*").cast("long").alias("tf")))
+    tf = grouped.where(F.col("term") != _SENTINEL)
     # df(term): window over the tf relation — one shuffle by term, no
     # second corpus scan ((doc, term) rows are distinct, so count == df)
     tf = tf.withColumn(
         "df", F.count("*").over(Window.partitionBy("term")).cast("long"))
 
-    stats = docs.select(F.size(toks).cast("long").alias("dl")).agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"))
+    # sentinel rows: exactly one per doc, carrying dl -> (N, avgdl)
+    stats = (grouped.where(F.col("term") == _SENTINEL)
+             .agg(F.count("*").cast("double").alias("n_docs"),
+                  F.avg("dl").alias("avgdl")))
 
     qrows = [(qid, t) for qid, ts in sorted(BM25_QUERIES.items())
              for t in ts]

@@ -24,21 +24,84 @@ def formatted_plan(df) -> str:
         .fromString("formatted"))
 
 
+def _split_top_level(body: str, openers: str = "<([", closers: str = ">)]"
+                     ) -> list[str]:
+    """Split ``body`` on commas at bracket depth 0 only — nested
+    ``array<struct<...>>`` / ``In(col, [a,b])`` stay whole."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch in openers:
+            depth += 1
+        elif ch in closers:
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+    parts.append(body[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
 def scan_read_schema(df) -> list[str]:
-    """Column lists of every parquet scan's ReadSchema."""
+    """TOP-LEVEL column lists of every parquet scan's ReadSchema.
+
+    Depth-aware: ``struct<a:bigint,spans:array<struct<k:string>>,z:int>``
+    yields ``[a, spans, z]`` — nested field names never leak in and
+    trailing columns after a nested type are kept (a naive
+    first-``>`` regex returns ``[a, spans, k]`` and drops ``z``).
+    Spark truncates long schema strings (no closing ``>``); the
+    truncated tail is parsed as far as it goes and the possibly-cut
+    final name is dropped rather than reported half-spelled.
+    """
     plan = formatted_plan(df)
     out = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        out.append([c.split(":")[0].strip()
-                    for c in m.group(1).split(",") if c.strip()])
+    for m in re.finditer(r"ReadSchema: struct<", plan):
+        start = m.end()
+        depth, i = 1, start
+        truncated = False
+        while i < len(plan):
+            ch = plan[i]
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif ch == "\n":  # truncated by Spark's metadata cap
+                truncated = True
+                break
+            i += 1
+        else:
+            truncated = True
+        fields = _split_top_level(plan[start:i])
+        if truncated and fields:
+            fields = fields[:-1]  # last name may be cut mid-spelling
+        out.append([f.split(":")[0].strip() for f in fields
+                    if f.split(":")[0].strip()])
     return out
 
 
 def pushed_filters(df) -> list[str]:
+    """Pushed data-source filters, one string per filter. Depth-aware:
+    ``In(name, [a,b,c])`` is ONE filter, not four fragments, and
+    filters after it are not dropped at its inner ``]``."""
     plan = formatted_plan(df)
     out = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
-        out.extend(f.strip() for f in m.group(1).split(",") if f.strip())
+    for m in re.finditer(r"PushedFilters: \[", plan):
+        start = m.end()
+        depth, end = 1, len(plan)
+        for i in range(start, len(plan)):
+            ch = plan[i]
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+            elif ch == "\n":  # truncated line: no closing bracket
+                end = i
+                break
+        out.extend(_split_top_level(plan[start:end]))
     return out
 
 

@@ -150,8 +150,12 @@ def test_manifest_packing_is_byte_balanced(spark):
 
 def test_bm25_plan_shape(spark):
     """BM25: query terms and corpus stats broadcast (no shuffled join
-    for the tiny sides), no CartesianProduct, and the documents scans
-    read only doc_id + text."""
+    for the tiny sides), no CartesianProduct, the documents scan reads
+    only doc_id + text — and there is exactly ONE parquet scan of
+    documents (stats ride the sentinel rows through the cached grouped
+    relation; the naive form tokenizes the corpus twice)."""
+    import re
+
     from paddleocr_spark.operators.retrieval import bm25_topk
     from paddleocr_spark.plans.inspect import formatted_plan
 
@@ -159,7 +163,9 @@ def test_bm25_plan_shape(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert has_broadcast_join(df)
-    for s in scan_read_schema(df):
+    schemas = scan_read_schema(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 1, plan
+    for s in schemas:
         assert set(s) <= {"doc_id", "text"}, s
 
 
