@@ -38,7 +38,13 @@ from paddleocr_spark.operators import (
     text,
 )
 from paddleocr_spark.operators.extract import extract_spans
-from paddleocr_spark.sources import av_store, label_store, page_store, sr_store
+from paddleocr_spark.sources import (
+    av_store,
+    label_store,
+    page_store,
+    pdf_text_store,
+    sr_store,
+)
 
 CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".cache", "corpus")
@@ -345,6 +351,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_events_agg": partitioning.partitioned_events_agg,
         # --- page-explode over real containers (VALUES-oracle-checked) ---
         "paged_store_pages": page_store.paged_store_pages,
+        # --- born-digital text-PDF extraction (VALUES-oracle-checked;
+        # content-stream parse + Catalyst reading-order assembly) ---
+        "pdf_text_runs": pdf_text_store.pdf_text_runs,
+        "pdf_page_text": pdf_text_store.pdf_page_text,
         # --- multimodal audio/video features (VALUES-oracle-checked) ---
         "audio_features": av_store.audio_features,
         "video_frames": av_store.video_frames,
@@ -1487,6 +1497,11 @@ def oracle_sql() -> dict[str, str]:
         # pages; see sources/page_store.py) — a pure VALUES table, the
         # codecs never run on the oracle side
         "paged_store_pages": page_store.pages_oracle_sql(),
+        # text-PDF extraction: analytic run formulas (see
+        # sources/pdf_text_store.py) — pure VALUES tables, the
+        # content-stream parser never runs on the oracle side
+        "pdf_text_runs": pdf_text_store.pdf_text_runs_oracle_sql(),
+        "pdf_page_text": pdf_text_store.pdf_page_text_oracle_sql(),
         # audio/video features: analytic expectations (constant-signal
         # frames; see sources/av_store.py) — pure VALUES tables, the
         # codecs never run on the oracle side

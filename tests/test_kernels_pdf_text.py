@@ -1,0 +1,155 @@
+"""Text-PDF extractor (kernels/pdf_text.py): content-stream
+tokenizer, the §9.4 text-object state machine, CTM handling, the
+writer twin's operator rotation, and the reading-order assembly."""
+
+import zlib
+
+import pytest
+
+from paddleocr_spark.kernels.pdf_text import (
+    _encode_text_pdf,
+    _literal_string,
+    _runs_of_stream,
+    _tokenize,
+    encode_text_pdf,
+    extract_pdf_text,
+    page_text,
+)
+
+PAGES = [
+    [("alpha one", 36.0, 720.0, 10.0),
+     ("bravo(x) two", 46.0, 704.0, 12.0)],
+    [("back\\slash", 38.0, 716.0, 8.0), ("delta d", 48.0, 700.0, 10.0),
+     ("echo e", 58.0, 684.0, 12.0), ("fox f", 68.0, 668.0, 8.0)],
+    [],
+]
+
+
+def _assert_runs_equal(exp_pages, got_pages):
+    assert len(exp_pages) == len(got_pages)
+    for exp, got in zip(exp_pages, got_pages):
+        assert len(exp) == len(got), (exp, got)
+        for (et, ex, ey, es), (gt, gx, gy, gs) in zip(exp, got):
+            assert et == gt
+            assert gx == pytest.approx(ex, abs=1e-9)
+            assert gy == pytest.approx(ey, abs=1e-9)
+            assert gs == pytest.approx(es, abs=1e-9)
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_roundtrip_all_operator_forms(compress):
+    """The writer rotates Td+Tj / Tm+TJ / TL+T* / TD+' and wraps odd
+    pages in a translated cm — all four forms and the CTM must
+    reconstruct the exact input runs."""
+    data = _encode_text_pdf(PAGES, compress_content=compress)
+    _assert_runs_equal(PAGES, extract_pdf_text(data))
+
+
+def test_contents_array_page():
+    """PAGES[1] has 4 runs → the writer splits it across a
+    two-element /Contents array; runs must come back seamless."""
+    data = encode_text_pdf(PAGES)
+    assert b"/Contents [" in data
+    _assert_runs_equal(PAGES, extract_pdf_text(data))
+
+
+def test_escapes_and_octal():
+    """Literal-string escape set: named escapes, octal, nested
+    parens, line continuation (§7.3.4.2)."""
+    s, end = _literal_string(b"(a\\(b\\)c\\\\d\\101\\12e)", 0)
+    # \101 is octal 65 = 'A'; \12 is octal 10 = LF
+    assert s == b"a(b)c\\dA\ne"
+    # nested unescaped parens
+    s, _ = _literal_string(b"(a (b) c)", 0)
+    assert s == b"a (b) c"
+    # backslash-newline is a line continuation (no output byte)
+    s, _ = _literal_string(b"(a\\\nb)", 0)
+    assert s == b"ab"
+
+
+def test_hex_string_and_comment():
+    toks = list(_tokenize(b"% comment\nBT <48656C6C6F> Tj ET"))
+    assert ("str", b"Hello") in toks
+
+
+def test_tj_kerning_never_splits_run():
+    runs = _runs_of_stream(
+        b"BT /F1 10 Tf 10 20 Td [(he) -120 (llo)] TJ ET")
+    assert runs == [("hello", 10.0, 20.0, 10.0)]
+
+
+def test_ctm_scale_scales_font_size():
+    """A 2x cm scale doubles the effective size and positions."""
+    runs = _runs_of_stream(
+        b"q 2 0 0 2 0 0 cm BT /F1 10 Tf 10 20 Td (s) Tj ET Q")
+    assert runs == [("s", 20.0, 40.0, 20.0)]
+
+
+def test_q_restores_ctm():
+    runs = _runs_of_stream(
+        b"q 1 0 0 1 100 0 cm Q BT /F1 10 Tf 10 20 Td (s) Tj ET")
+    assert runs == [("s", 10.0, 20.0, 10.0)]
+
+
+def test_td_updates_line_matrix_not_origin():
+    """Consecutive Td are relative to the LINE matrix."""
+    runs = _runs_of_stream(
+        b"BT /F1 10 Tf 10 700 Td (a) Tj 0 -16 Td (b) Tj ET")
+    assert [(r[0], r[2]) for r in runs] == [("a", 700.0), ("b", 684.0)]
+
+
+def test_show_outside_bt_ignored():
+    assert _runs_of_stream(b"(stray) Tj") == []
+
+
+def test_image_pdf_yields_empty_text_pages():
+    """An image-based PDF is valid input with no text runs — the two
+    PDF shapes split cleanly between the two kernels."""
+    import numpy as np
+
+    from paddleocr_spark.kernels.pdf import encode_pdf
+
+    data = encode_pdf([np.full((8, 10, 3), 7, np.uint8)],
+                      image_filter="FlateDecode")
+    assert extract_pdf_text(data) == [[]]
+
+
+def test_unsupported_content_filter_raises():
+    data = encode_text_pdf([[("t", 10.0, 20.0, 8.0)]])
+    bad = data.replace(b"<< /Length", b"<< /Filter /LZWDecode /Length")
+    with pytest.raises(ValueError, match="content-stream filter"):
+        extract_pdf_text(bad)
+
+
+def test_page_text_reading_order():
+    """Lines grouped top-down by y tolerance, left-to-right within a
+    line."""
+    runs = [("right", 100.0, 699.5, 10.0), ("top", 36.0, 720.0, 10.0),
+            ("left", 36.0, 700.0, 10.0)]
+    assert page_text(runs) == "top\nleft right"
+    assert page_text([]) == ""
+
+
+def test_store_spec_matches_extraction():
+    """The fixture store's analytic TEXT_RUN_SPEC is exactly what the
+    extractor reads back from the files on disk — the same equality
+    the DuckDB oracle checks through Spark."""
+    from paddleocr_spark.sources.pdf_text_store import (
+        TEXT_RUN_SPEC,
+        ensure_pdf_text_store,
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        store = ensure_pdf_text_store(root)
+        got = []
+        for name in sorted(os.listdir(store)):
+            if not name.endswith(".pdf"):
+                continue
+            with open(os.path.join(store, name), "rb") as fh:
+                pages = extract_pdf_text(fh.read())
+            for p, runs in enumerate(pages):
+                for r, (text, x, y, size) in enumerate(runs):
+                    got.append((name, p, r, text, x, y, size))
+    assert sorted(got) == sorted(TEXT_RUN_SPEC)
