@@ -401,3 +401,30 @@ def test_bucket_count_mismatch_refused(spark, tmp_path):
     assert "SORTED BY" not in ddl, ddl
     spark.sql("DROP TABLE IF EXISTS bspec_t3")
     spark.sql("DROP TABLE IF EXISTS bspec_t5")
+
+
+def test_pdf_text_single_python_crossing(spark):
+    """Text-PDF extraction: the binaryFile scan feeds ONE Arrow-batched
+    mapInPandas (bytes → runs) and the page assembly is pure Catalyst —
+    exactly one Python crossing and one aggregation shuffle, so the
+    plan is scan → UDF → partial agg → exchange → final agg at any
+    corpus size."""
+    import re
+
+    from paddleocr_spark.plans.inspect import formatted_plan
+    from paddleocr_spark.sources import pdf_text_store
+
+    def n_crossings(df):
+        # count node DETAIL headers — the formatted plan prints each
+        # node once in the tree and once in the detail section
+        return len(re.findall(r"^\(\d+\) MapInPandas",
+                              formatted_plan(df), re.MULTILINE))
+
+    runs = pdf_text_store.pdf_text_runs(spark, SF)
+    assert n_crossings(runs) == 1, formatted_plan(runs)
+    assert count_exchanges(runs) == 0
+
+    page = pdf_text_store.pdf_page_text(spark, SF)
+    assert n_crossings(page) == 1, formatted_plan(page)
+    assert has_partial_aggregate(page)
+    assert count_exchanges(page) <= 1
