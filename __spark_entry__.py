@@ -355,6 +355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # content-stream parse + Catalyst reading-order assembly) ---
         "pdf_text_runs": pdf_text_store.pdf_text_runs,
         "pdf_page_text": pdf_text_store.pdf_page_text,
+        "pdf_text_document_spans":
+            pdf_text_store.pdf_text_document_spans,
         # --- multimodal audio/video features (VALUES-oracle-checked) ---
         "audio_features": av_store.audio_features,
         "video_frames": av_store.video_frames,
@@ -1502,6 +1504,8 @@ def oracle_sql() -> dict[str, str]:
         # content-stream parser never runs on the oracle side
         "pdf_text_runs": pdf_text_store.pdf_text_runs_oracle_sql(),
         "pdf_page_text": pdf_text_store.pdf_page_text_oracle_sql(),
+        "pdf_text_document_spans":
+            pdf_text_store.pdf_text_document_spans_oracle_sql(),
         # audio/video features: analytic expectations (constant-signal
         # frames; see sources/av_store.py) — pure VALUES tables, the
         # codecs never run on the oracle side

@@ -39,8 +39,16 @@ from __future__ import annotations
 import os
 
 __all__ = ["TEXT_RUN_SPEC", "ensure_pdf_text_store", "pdf_text_runs",
-           "pdf_page_text", "pdf_text_runs_oracle_sql",
-           "pdf_page_text_oracle_sql"]
+           "pdf_page_text", "pdf_text_document_spans",
+           "pdf_text_runs_oracle_sql", "pdf_page_text_oracle_sql",
+           "pdf_text_document_spans_oracle_sql"]
+
+# PP-Structure-style layout kind from font size (the reference's
+# layout stage labels regions title/text/table/figure; for
+# born-digital runs the font size IS the signal — a static point
+# threshold keeps the Spark query and the DuckDB oracle trivially
+# identical)
+TITLE_MIN_PT = 12.0
 
 _VOCAB = ["alpha", "bravo(q)", "back\\slash", "delta", "echo"]
 # (file index) → file name; odd files get FlateDecode content streams
@@ -152,6 +160,31 @@ def pdf_page_text(spark, sf_dir: str):
                  F.array_join(ordered, " ").alias("page_text")))
 
 
+def pdf_text_document_spans(spark, sf_dir: str):
+    """CORRECTNESS query: the north-star span projection of the PDF
+    store — one row per run as ``(doc_id, order, kind, text)`` where
+    ``doc_id`` is the file, ``order`` is the document-wide reading
+    order (page, then top-down, then left-to-right), and ``kind`` is
+    the PP-Structure-style layout label (title vs text by font size).
+    This is the same output contract as the flagship ``extract_full``
+    (kind, text, media_ref, order), produced from born-digital input
+    with no media decode at all."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    runs = _runs_df(spark)
+    w = Window.partitionBy("file").orderBy(
+        "page", F.desc("y"), F.asc("x"), F.asc("run_idx"))
+    return (runs
+            .withColumn("order", F.row_number().over(w) - F.lit(1))
+            .withColumn("kind",
+                        F.when(F.col("size") >= TITLE_MIN_PT,
+                               F.lit("title")).otherwise(F.lit("text")))
+            .select(F.col("file").alias("doc_id"),
+                    F.col("order").cast("long").alias("order"),
+                    "kind", "text"))
+
+
 def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
@@ -174,3 +207,14 @@ def pdf_page_text_oracle_sql() -> str:
             "string_agg(text, ' ' ORDER BY y DESC, x ASC) "
             "AS page_text FROM (" + pdf_text_runs_oracle_sql() +
             ") GROUP BY file, page")
+
+
+def pdf_text_document_spans_oracle_sql() -> str:
+    return (
+        "SELECT file AS doc_id, "
+        "CAST(row_number() OVER (PARTITION BY file "
+        "ORDER BY page, y DESC, x ASC, run_idx ASC) - 1 AS BIGINT) "
+        "AS \"order\", "
+        f"CASE WHEN \"size\" >= {TITLE_MIN_PT} THEN 'title' "
+        "ELSE 'text' END AS kind, text "
+        "FROM (" + pdf_text_runs_oracle_sql() + ")")
