@@ -33,8 +33,9 @@ scaled by the text/CTM matrix. Limitations (explicit, documented):
 simple fonts with byte-per-glyph Latin encodings only — composite
 (Type0/CID) fonts would need ToUnicode CMaps; glyph-width advances
 are not modeled (each run is positioned by its own operator, which is
-how generators emit them), and encrypted PDFs raise upstream in
-``_scan_objects``.
+how generators emit them); inline images (``BI..EI`` carry raw binary
+the tokenizer cannot skip) raise explicitly; encrypted PDFs raise
+upstream in ``_scan_objects``.
 
 ``encode_text_pdf`` is the writer twin (same pattern as
 ``encode_pdf``/``encode_tiff``/``encode_jpeg``): it emits
@@ -162,12 +163,23 @@ def _tokenize(stream: bytes):
             continue
         if c == 0x3C:  # < — hex string or << dict
             if i + 1 < n and stream[i + 1] == 0x3C:
-                # inline dicts appear only around inline images /
-                # marked content — skip to the matching >>
-                j = stream.find(b">>", i + 2)
-                if j == -1:
+                # inline dicts appear only around marked content (BDC
+                # property lists) — skip to the matching >>, depth-
+                # aware so nested dicts don't truncate the skip
+                depth = 1
+                j = i + 2
+                while depth and j < n - 1:
+                    if stream[j:j + 2] == b"<<":
+                        depth += 1
+                        j += 2
+                    elif stream[j:j + 2] == b">>":
+                        depth -= 1
+                        j += 2
+                    else:
+                        j += 1
+                if depth:
                     raise ValueError("unterminated PDF dict")
-                i = j + 2
+                i = j
                 continue
             s, i = _hex_string(stream, i)
             t = emit(("str", s))
@@ -203,7 +215,15 @@ def _tokenize(stream: bytes):
             continue
         m = _OP_RE.match(stream, i)
         if m:
-            t = emit(("op", m.group()))
+            op = m.group()
+            if op == b"BI":
+                # inline image: ID is followed by raw binary the
+                # tokenizer cannot skip without decoding the image
+                # dict — reject loudly rather than misparse
+                raise ValueError(
+                    "inline images (BI..EI) unsupported in PDF "
+                    "content streams")
+            t = emit(("op", op))
             i = m.end()
             if t:
                 yield t

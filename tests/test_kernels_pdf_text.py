@@ -153,3 +153,17 @@ def test_store_spec_matches_extraction():
                 for r, (text, x, y, size) in enumerate(runs):
                     got.append((name, p, r, text, x, y, size))
     assert sorted(got) == sorted(TEXT_RUN_SPEC)
+
+
+def test_nested_bdc_dict_skipped():
+    """Depth-aware << >> skip: a nested marked-content property dict
+    must not truncate the skip and scramble the token stream."""
+    runs = _runs_of_stream(
+        b"/OC << /A << /B 1 >> /C 2 >> BDC "
+        b"BT /F1 10 Tf 10 20 Td (s) Tj ET EMC")
+    assert runs == [("s", 10.0, 20.0, 10.0)]
+
+
+def test_inline_image_raises():
+    with pytest.raises(ValueError, match="inline images"):
+        _runs_of_stream(b"BI /W 1 /H 1 ID \x00 EI")
