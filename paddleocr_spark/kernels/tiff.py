@@ -9,15 +9,17 @@ multi-page raster container that needs no entropy codec:
 - header ``II*\\0`` / ``MM\\0*`` (both byte orders), IFD chain (one
   IFD per page, next-IFD offset links them — the "page explode" is a
   genuine pointer walk, not a fake framing header)
-- tags: ImageWidth/Length, BitsPerSample (8), Compression (1 = none),
+- tags: ImageWidth/Length, BitsPerSample (8), Compression (1 = none,
+  8 = Deflate/zlib per strip), Predictor (1 = none, 2 = horizontal
+  differencing, undone by a per-channel row cumsum),
   PhotometricInterpretation (0/1 gray — 0 inverts — and 2 RGB),
   StripOffsets/StripByteCounts/RowsPerStrip, SamplesPerPixel
 - out of scope (explicit errors): LZW/PackBits/JPEG-in-TIFF
   compression, tiles, planar config 2, >8-bit samples
 
 ``encode_tiff`` writes the same subset (one strip per page, little
-endian) for test fixtures and for `sources.media_files`' page
-re-emission.
+endian; optional Deflate + predictor 2) for test fixtures and for
+`sources.media_files`' page re-emission.
 """
 
 from __future__ import annotations
@@ -82,9 +84,9 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
 
         w, h = tags[256][0], tags[257][0]
         comp = tags.get(259, [1])[0]
-        if comp != 1:
+        if comp not in (1, 8):
             raise ValueError(f"unsupported TIFF compression {comp} "
-                             "(only uncompressed)")
+                             "(uncompressed or Deflate only)")
         photo = tags.get(262, [1])[0]
         spp = tags.get(277, [1])[0]
         bps = tags.get(258, [8] * spp)
@@ -108,9 +110,26 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
             raise ValueError("planar-configuration TIFF unsupported")
         offsets = tags[273]
         counts = tags[279]
-        raw = b"".join(data[o:o + c] for o, c in zip(offsets, counts))
+        if comp == 8:  # Deflate (AdobeDeflate): zlib per strip
+            import zlib
+
+            raw = b"".join(zlib.decompress(data[o:o + c])
+                           for o, c in zip(offsets, counts))
+        else:
+            raw = b"".join(data[o:o + c] for o, c in zip(offsets,
+                                                         counts))
         img = np.frombuffer(raw[:h * w * spp], dtype=np.uint8) \
             .reshape(h, w, spp).copy()
+        pred = tags.get(317, [1])[0]
+        if pred == 2:
+            # horizontal differencing: per-channel cumsum along the
+            # row undoes it (same transform the PDF /Predictor 2
+            # path uses) — without this, predictor-coded rows
+            # reshape as raw pixels, silently scrambled
+            img = img.astype(np.uint32).cumsum(
+                axis=1, dtype=np.uint32).astype(np.uint8)
+        elif pred != 1:
+            raise ValueError(f"unsupported TIFF predictor {pred}")
         if photo == 0:  # WhiteIsZero
             img = 255 - img
         pages.append(img)
@@ -119,9 +138,15 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
     return pages
 
 
-def encode_tiff(pages: list[np.ndarray]) -> bytes:
+def encode_tiff(pages: list[np.ndarray], compression: int = 1,
+                predictor: int = 1) -> bytes:
     """List of (H, W) or (H, W, C) uint8 arrays → multi-page
-    little-endian uncompressed TIFF (one strip per page)."""
+    little-endian TIFF (one strip per page). ``compression`` 1 =
+    none, 8 = Deflate; ``predictor`` 1 = none, 2 = horizontal
+    differencing (writer twin for the decoder's Deflate/predictor
+    branches)."""
+    if compression not in (1, 8) or predictor not in (1, 2):
+        raise ValueError((compression, predictor))
     out = bytearray(b"II*\x00")
     out += struct.pack("<I", 0)  # first-IFD offset patched below
     ifd_ptr_pos = 4
@@ -130,7 +155,15 @@ def encode_tiff(pages: list[np.ndarray]) -> bytes:
         if a.ndim == 2:
             a = a[:, :, None]
         h, w, spp = a.shape
+        if predictor == 2:
+            d = a.astype(np.int16)
+            d[:, 1:, :] -= a[:, :-1, :].astype(np.int16)
+            a = (d & 0xFF).astype(np.uint8)
         strip = a.tobytes()
+        if compression == 8:
+            import zlib
+
+            strip = zlib.compress(strip)
         strip_off = len(out)
         out += strip
         extra_off = None
@@ -149,13 +182,15 @@ def encode_tiff(pages: list[np.ndarray]) -> bytes:
             (256, 4, 1, w),
             (257, 4, 1, h),
             (258, 3, spp, 8 if spp == 1 else extra_off),
-            (259, 3, 1, 1),
+            (259, 3, 1, compression),
             (262, 3, 1, 1 if spp == 1 else 2),
             (273, 4, 1, strip_off),
             (277, 3, 1, spp),
             (278, 4, 1, h),
             (279, 4, 1, len(strip)),
         ]
+        if predictor == 2:
+            entries.append((317, 3, 1, 2))
         out += struct.pack("<H", len(entries))
         for tag, vtype, count, value in entries:
             out += struct.pack("<HHI", tag, vtype, count)

@@ -246,3 +246,40 @@ def test_out_of_line_values_word_aligned():
             (bps_off,) = struct.unpack("<I", data[p + 8:p + 12])
     assert bps_off is not None and bps_off % 2 == 0
     assert np.array_equal(decode_tiff(data)[0], page)
+
+
+def test_deflate_roundtrip_exact():
+    """Compression 8 (Deflate): zlib per strip, lossless."""
+    rng = np.random.default_rng(44)
+    pages = [rng.integers(0, 256, (11, 7, 3), dtype=np.uint8),
+             rng.integers(0, 256, (5, 9), dtype=np.uint8)]
+    data = encode_tiff(pages, compression=8)
+    dec = decode_tiff(data)
+    assert np.array_equal(dec[0], pages[0])
+    assert np.array_equal(dec[1][:, :, 0], pages[1])
+    # deflate actually engaged: constant pages shrink below raw size
+    flat = encode_tiff([np.zeros((64, 64, 3), np.uint8)],
+                       compression=8)
+    raw = encode_tiff([np.zeros((64, 64, 3), np.uint8)])
+    assert len(flat) < len(raw) // 4
+
+
+def test_deflate_predictor_roundtrip_exact():
+    """Predictor 2 (horizontal differencing) under Deflate — the
+    standard scanner-output combination; the row cumsum must undo
+    the differencing exactly, including wraparound bytes."""
+    rng = np.random.default_rng(45)
+    img = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    data = encode_tiff([img], compression=8, predictor=2)
+    assert np.array_equal(decode_tiff(data)[0], img)
+
+
+def test_unknown_predictor_raises():
+    img = np.zeros((4, 4, 3), np.uint8)
+    data = bytearray(encode_tiff([img], compression=8, predictor=2))
+    # patch the Predictor tag's value from 2 to 3 in the IFD
+    idx = data.find(struct.pack("<HHI", 317, 3, 1))
+    assert idx != -1
+    data[idx + 8:idx + 10] = struct.pack("<H", 3)
+    with pytest.raises(ValueError, match="predictor"):
+        decode_tiff(bytes(data))
