@@ -41,6 +41,10 @@ _FILES = [
     ("pages_03.tif", "tiff", 1),
     ("pages_04.png", "png", 1),
     ("pages_05.ppm", "ppm", 1),
+    # Deflate strips + horizontal-differencing predictor (the
+    # standard scanner-output combination) — lossless, so the
+    # constant-color analytic expectation holds bit-exact
+    ("pages_06.tif", "tiff_deflate", 2),
 ]
 
 
@@ -74,7 +78,9 @@ def ensure_page_store(root: str) -> str:
     """Write the container files under ``root`` (idempotent; guarded by
     a DONE marker). Driver-side and O(1): 6 tiny files — this is
     fixture synthesis, not data-plane work."""
-    store = os.path.join(root, "pagestore_v1")
+    # v2: + Deflate/predictor TIFF (cache key bumped so existing
+    # stores rebuild with the new file)
+    store = os.path.join(root, "pagestore_v2")
     marker = os.path.join(store, "_DONE")
     if os.path.exists(marker):
         return store
@@ -91,6 +97,8 @@ def ensure_page_store(root: str) -> str:
             data = encode_pdf(imgs, image_filter="DCTDecode", quant=1)
         elif kind == "tiff":
             data = encode_tiff(imgs)
+        elif kind == "tiff_deflate":
+            data = encode_tiff(imgs, compression=8, predictor=2)
         elif kind == "png":
             data = encode_png(imgs[0])
         else:  # ppm — same framing helper the page-explode path emits
