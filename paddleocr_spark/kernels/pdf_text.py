@@ -30,8 +30,9 @@ Implemented:
 Each show op yields one run ``(text, x, y, size)`` where (x, y) is
 the device-space start of the text and ``size`` the current font size
 scaled by the text/CTM matrix. Limitations (explicit, documented):
-simple fonts with byte-per-glyph Latin encodings only — composite
-(Type0/CID) fonts would need ToUnicode CMaps; glyph-width advances
+simple fonts with byte-per-glyph Latin encodings, plus UTF-16BE
+strings carrying a BOM (§7.9.2.2) — composite (Type0/CID) fonts with
+custom CMaps would need ToUnicode tables; glyph-width advances
 are not modeled (each run is positioned by its own operator, which is
 how generators emit them); inline images (``BI..EI`` carry raw binary
 the tokenizer cannot skip) raise explicitly; encrypted PDFs raise
@@ -295,8 +296,13 @@ def _runs_of_stream(stream: bytes) -> list[tuple[str, float, float,
         dev = _mat_mul(tm, ctm)
         # size scales by the vertical magnitude of text+device space
         scale = (dev[2] ** 2 + dev[3] ** 2) ** 0.5
-        runs.append((text_bytes.decode("latin-1"),
-                     dev[4], dev[5], size * scale))
+        if text_bytes[:2] == b"\xfe\xff":
+            # UTF-16BE with BOM (§7.9.2.2) — the common generator
+            # encoding for non-Latin text strings
+            text = text_bytes[2:].decode("utf-16-be", "replace")
+        else:
+            text = text_bytes.decode("latin-1")
+        runs.append((text, dev[4], dev[5], size * scale))
 
     for kind, val in _tokenize(stream):
         if kind != "op":

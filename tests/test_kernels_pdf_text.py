@@ -167,3 +167,12 @@ def test_nested_bdc_dict_skipped():
 def test_inline_image_raises():
     with pytest.raises(ValueError, match="inline images"):
         _runs_of_stream(b"BI /W 1 /H 1 ID \x00 EI")
+
+
+def test_utf16be_bom_strings():
+    """Hex strings with a UTF-16BE BOM (§7.9.2.2) decode as UTF-16 —
+    the common generator encoding for non-Latin text."""
+    hx = (b"\xfe\xff" + "héllo 中".encode("utf-16-be")).hex().encode()
+    runs = _runs_of_stream(
+        b"BT /F1 10 Tf 10 20 Td <" + hx + b"> Tj ET")
+    assert runs == [("héllo 中", 10.0, 20.0, 10.0)]
