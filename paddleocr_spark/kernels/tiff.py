@@ -10,12 +10,13 @@ multi-page raster container that needs no entropy codec:
   IFD per page, next-IFD offset links them — the "page explode" is a
   genuine pointer walk, not a fake framing header)
 - tags: ImageWidth/Length, BitsPerSample (8), Compression (1 = none,
-  8 = Deflate/zlib per strip), Predictor (1 = none, 2 = horizontal
-  differencing, undone by a per-channel row cumsum),
-  PhotometricInterpretation (0/1 gray — 0 inverts — and 2 RGB),
-  StripOffsets/StripByteCounts/RowsPerStrip, SamplesPerPixel
-- out of scope (explicit errors): LZW/PackBits/JPEG-in-TIFF
-  compression, tiles, planar config 2, >8-bit samples
+  8 = Deflate/zlib per strip, 32773 = PackBits RLE), Predictor
+  (1 = none, 2 = horizontal differencing, undone by a per-channel
+  row cumsum), PhotometricInterpretation (0/1 gray — 0 inverts —
+  and 2 RGB), StripOffsets/StripByteCounts/RowsPerStrip,
+  SamplesPerPixel
+- out of scope (explicit errors): LZW/JPEG-in-TIFF compression,
+  tiles, planar config 2, >8-bit samples
 
 ``encode_tiff`` writes the same subset (one strip per page, little
 endian; optional Deflate + predictor 2) for test fixtures and for
@@ -52,6 +53,54 @@ def _read_values(data: bytes, bo: str, vtype: int, count: int,
     return list(struct.unpack(bo + fmt * count, buf))
 
 
+def _unpackbits(src: bytes) -> bytes:
+    """PackBits RLE decode (TIFF 6.0 §9): n in 0..127 copies n+1
+    literals, n in 129..255 repeats the next byte 257-n times, 128
+    is a no-op."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        c = src[i]
+        i += 1
+        if c < 128:
+            out += src[i:i + c + 1]
+            if i + c + 1 > n:
+                raise ValueError("truncated PackBits literal run")
+            i += c + 1
+        elif c > 128:
+            if i >= n:
+                raise ValueError("truncated PackBits repeat run")
+            out += src[i:i + 1] * (257 - c)
+            i += 1
+        # 128: no-op
+    return bytes(out)
+
+
+def _packbits_row(row: bytes) -> bytes:
+    """PackBits RLE encode one row: repeat runs of >= 3 become
+    two-byte repeats, everything else greedy literals of <= 128
+    (writer twin for the decoder branch)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        # literal: advance until a >= 3 repeat starts or 128 bytes
+        j = i + 1
+        while (j < n and j - i < 128
+               and not (j + 2 < n
+                        and row[j] == row[j + 1] == row[j + 2])):
+            j += 1
+        out += bytes([j - i - 1]) + row[i:j]
+        i = j
+    return bytes(out)
+
+
 def decode_tiff(data: bytes) -> list[np.ndarray]:
     """TIFF bytes → list of (H, W, C) uint8 pages (C = 1 or 3),
     walking the IFD chain — one page per IFD."""
@@ -84,9 +133,10 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
 
         w, h = tags[256][0], tags[257][0]
         comp = tags.get(259, [1])[0]
-        if comp not in (1, 8):
-            raise ValueError(f"unsupported TIFF compression {comp} "
-                             "(uncompressed or Deflate only)")
+        if comp not in (1, 8, 32773):
+            raise ValueError(
+                f"unsupported TIFF compression {comp} "
+                "(uncompressed, Deflate, or PackBits only)")
         photo = tags.get(262, [1])[0]
         spp = tags.get(277, [1])[0]
         bps = tags.get(258, [8] * spp)
@@ -115,6 +165,9 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
 
             raw = b"".join(zlib.decompress(data[o:o + c])
                            for o, c in zip(offsets, counts))
+        elif comp == 32773:  # PackBits RLE per strip
+            raw = b"".join(_unpackbits(data[o:o + c])
+                           for o, c in zip(offsets, counts))
         else:
             raw = b"".join(data[o:o + c] for o, c in zip(offsets,
                                                          counts))
@@ -142,11 +195,13 @@ def encode_tiff(pages: list[np.ndarray], compression: int = 1,
                 predictor: int = 1) -> bytes:
     """List of (H, W) or (H, W, C) uint8 arrays → multi-page
     little-endian TIFF (one strip per page). ``compression`` 1 =
-    none, 8 = Deflate; ``predictor`` 1 = none, 2 = horizontal
-    differencing (writer twin for the decoder's Deflate/predictor
-    branches)."""
-    if compression not in (1, 8) or predictor not in (1, 2):
+    none, 8 = Deflate, 32773 = PackBits (rows encoded separately per
+    the spec); ``predictor`` 1 = none, 2 = horizontal differencing
+    (Deflate only) — writer twin for the decoder branches."""
+    if compression not in (1, 8, 32773) or predictor not in (1, 2):
         raise ValueError((compression, predictor))
+    if compression == 32773 and predictor != 1:
+        raise ValueError("PackBits with predictor unsupported")
     out = bytearray(b"II*\x00")
     out += struct.pack("<I", 0)  # first-IFD offset patched below
     ifd_ptr_pos = 4
@@ -164,6 +219,11 @@ def encode_tiff(pages: list[np.ndarray], compression: int = 1,
             import zlib
 
             strip = zlib.compress(strip)
+        elif compression == 32773:
+            row_bytes = w * spp
+            strip = b"".join(
+                _packbits_row(strip[r * row_bytes:(r + 1) * row_bytes])
+                for r in range(h))
         strip_off = len(out)
         out += strip
         extra_off = None

@@ -45,6 +45,8 @@ _FILES = [
     # standard scanner-output combination) — lossless, so the
     # constant-color analytic expectation holds bit-exact
     ("pages_06.tif", "tiff_deflate", 2),
+    # PackBits RLE (TIFF 6.0 §9) — also lossless
+    ("pages_07.tif", "tiff_packbits", 2),
 ]
 
 
@@ -78,9 +80,9 @@ def ensure_page_store(root: str) -> str:
     """Write the container files under ``root`` (idempotent; guarded by
     a DONE marker). Driver-side and O(1): 6 tiny files — this is
     fixture synthesis, not data-plane work."""
-    # v2: + Deflate/predictor TIFF (cache key bumped so existing
-    # stores rebuild with the new file)
-    store = os.path.join(root, "pagestore_v2")
+    # v3: + Deflate/predictor + PackBits TIFFs (cache key bumped so
+    # existing stores rebuild with the new files)
+    store = os.path.join(root, "pagestore_v3")
     marker = os.path.join(store, "_DONE")
     if os.path.exists(marker):
         return store
@@ -99,6 +101,8 @@ def ensure_page_store(root: str) -> str:
             data = encode_tiff(imgs)
         elif kind == "tiff_deflate":
             data = encode_tiff(imgs, compression=8, predictor=2)
+        elif kind == "tiff_packbits":
+            data = encode_tiff(imgs, compression=32773)
         elif kind == "png":
             data = encode_png(imgs[0])
         else:  # ppm — same framing helper the page-explode path emits

@@ -283,3 +283,31 @@ def test_unknown_predictor_raises():
     data[idx + 8:idx + 10] = struct.pack("<H", 3)
     with pytest.raises(ValueError, match="predictor"):
         decode_tiff(bytes(data))
+
+
+def test_packbits_roundtrip_exact():
+    """Compression 32773 (PackBits RLE): lossless round-trip on
+    mixed literal/repeat content, multi-page."""
+    rng = np.random.default_rng(46)
+    noisy = rng.integers(0, 256, (7, 11, 3), dtype=np.uint8)
+    runs = np.repeat(rng.integers(0, 256, (6, 4), dtype=np.uint8),
+                     5, axis=1)  # horizontal runs of 5
+    data = encode_tiff([noisy, runs], compression=32773)
+    dec = decode_tiff(data)
+    assert np.array_equal(dec[0], noisy)
+    assert np.array_equal(dec[1][:, :, 0], runs)
+    # RLE actually engaged on the constant page
+    flat = encode_tiff([np.zeros((64, 64, 3), np.uint8)],
+                       compression=32773)
+    raw = encode_tiff([np.zeros((64, 64, 3), np.uint8)])
+    assert len(flat) < len(raw) // 4
+
+
+def test_packbits_truncated_raises():
+    from paddleocr_spark.kernels.tiff import _unpackbits
+    with pytest.raises(ValueError, match="truncated PackBits"):
+        _unpackbits(b"\x05ab")  # literal run of 6 with only 2 bytes
+    with pytest.raises(ValueError, match="truncated PackBits"):
+        _unpackbits(b"\xfe")  # repeat run with no value byte
+    # 128 is a no-op filler
+    assert _unpackbits(b"\x80\x00a\xfdb") == b"abbbb"
