@@ -10,13 +10,13 @@ multi-page raster container that needs no entropy codec:
   IFD per page, next-IFD offset links them — the "page explode" is a
   genuine pointer walk, not a fake framing header)
 - tags: ImageWidth/Length, BitsPerSample (8), Compression (1 = none,
-  8 = Deflate/zlib per strip, 32773 = PackBits RLE), Predictor
-  (1 = none, 2 = horizontal differencing, undone by a per-channel
-  row cumsum), PhotometricInterpretation (0/1 gray — 0 inverts —
-  and 2 RGB), StripOffsets/StripByteCounts/RowsPerStrip,
-  SamplesPerPixel
-- out of scope (explicit errors): LZW/JPEG-in-TIFF compression,
-  tiles, planar config 2, >8-bit samples
+  5 = LZW with the spec's early code-width change, 8 = Deflate/zlib
+  per strip, 32773 = PackBits RLE), Predictor (1 = none,
+  2 = horizontal differencing, undone by a per-channel row cumsum),
+  PhotometricInterpretation (0/1 gray — 0 inverts — and 2 RGB),
+  StripOffsets/StripByteCounts/RowsPerStrip, SamplesPerPixel
+- out of scope (explicit errors): JPEG-in-TIFF compression, tiles,
+  planar config 2, >8-bit samples
 
 ``encode_tiff`` writes the same subset (one strip per page, little
 endian; optional Deflate + predictor 2) for test fixtures and for
@@ -51,6 +51,96 @@ def _read_values(data: bytes, bo: str, vtype: int, count: int,
         buf = data[off:off + total]
     fmt = {1: "B", 3: "H", 4: "I"}[vtype]
     return list(struct.unpack(bo + fmt * count, buf))
+
+
+def _lzw_decode(src: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW decode: MSB-first variable-width codes
+    9→12 bits with the spec's mandated EARLY code-width change (the
+    width grows when table entry 510/1022/2046 is added, one code
+    earlier than generic LZW — the same off-by-one the PDF
+    /EarlyChange parameter defaults to). Clear = 256, EOI = 257."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitpos, total = 0, len(src) * 8
+    nbits = 9
+    table: list[bytes] = []
+    prev = b""
+    while bitpos + nbits <= total:
+        byte = bitpos >> 3
+        chunk = int.from_bytes(src[byte:byte + 3].ljust(3, b"\0"),
+                               "big")
+        code = (chunk >> (24 - (bitpos & 7) - nbits)) \
+            & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == EOI:
+            return bytes(out)
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            nbits = 9
+            prev = b""
+            continue
+        if not table:
+            raise ValueError("LZW stream must start with a clear code")
+        if prev:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("LZW code beyond table")
+            table.append(prev + entry[:1])
+        else:
+            entry = table[code]
+        out += entry
+        prev = entry
+        # the decoder's table lags the encoder's by one entry (the
+        # KwKwK compensation), so its width switch fires one entry
+        # earlier than the encoder's (1<<nbits)-1 rule
+        if len(table) == (1 << nbits) - 2 and nbits < 12:
+            nbits += 1  # early change
+    raise ValueError("LZW stream missing EOI code")
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Writer twin of ``_lzw_decode`` (same early-change rule); emits
+    a Clear code whenever the table approaches the 12-bit limit."""
+    CLEAR, EOI = 256, 257
+    bits = bytearray()
+    acc, nacc = 0, 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            nacc -= 8
+            bits.append((acc >> nacc) & 0xFF)
+
+    strings = {bytes([i]): i for i in range(256)}
+    next_code, nbits = 258, 9
+    put(CLEAR, nbits)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in strings:
+            w = wc
+            continue
+        put(strings[w], nbits)
+        strings[wc] = next_code
+        next_code += 1
+        if next_code == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1  # early change, mirroring the decoder
+        elif next_code == 4094:  # table nearly full: reset
+            put(CLEAR, nbits)
+            strings = {bytes([i]): i for i in range(256)}
+            next_code, nbits = 258, 9
+        w = bytes([b])
+    if w:
+        put(strings[w], nbits)
+    put(EOI, nbits)
+    if nacc:
+        bits.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(bits)
 
 
 def _unpackbits(src: bytes) -> bytes:
@@ -133,10 +223,10 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
 
         w, h = tags[256][0], tags[257][0]
         comp = tags.get(259, [1])[0]
-        if comp not in (1, 8, 32773):
+        if comp not in (1, 5, 8, 32773):
             raise ValueError(
                 f"unsupported TIFF compression {comp} "
-                "(uncompressed, Deflate, or PackBits only)")
+                "(uncompressed, LZW, Deflate, or PackBits only)")
         photo = tags.get(262, [1])[0]
         spp = tags.get(277, [1])[0]
         bps = tags.get(258, [8] * spp)
@@ -164,6 +254,9 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
             import zlib
 
             raw = b"".join(zlib.decompress(data[o:o + c])
+                           for o, c in zip(offsets, counts))
+        elif comp == 5:  # LZW per strip
+            raw = b"".join(_lzw_decode(data[o:o + c])
                            for o, c in zip(offsets, counts))
         elif comp == 32773:  # PackBits RLE per strip
             raw = b"".join(_unpackbits(data[o:o + c])
@@ -195,10 +288,11 @@ def encode_tiff(pages: list[np.ndarray], compression: int = 1,
                 predictor: int = 1) -> bytes:
     """List of (H, W) or (H, W, C) uint8 arrays → multi-page
     little-endian TIFF (one strip per page). ``compression`` 1 =
-    none, 8 = Deflate, 32773 = PackBits (rows encoded separately per
-    the spec); ``predictor`` 1 = none, 2 = horizontal differencing
-    (Deflate only) — writer twin for the decoder branches."""
-    if compression not in (1, 8, 32773) or predictor not in (1, 2):
+    none, 5 = LZW, 8 = Deflate, 32773 = PackBits (rows encoded
+    separately per the spec); ``predictor`` 1 = none, 2 = horizontal
+    differencing (LZW/Deflate) — writer twin for the decoder
+    branches."""
+    if compression not in (1, 5, 8, 32773) or predictor not in (1, 2):
         raise ValueError((compression, predictor))
     if compression == 32773 and predictor != 1:
         raise ValueError("PackBits with predictor unsupported")
@@ -219,6 +313,8 @@ def encode_tiff(pages: list[np.ndarray], compression: int = 1,
             import zlib
 
             strip = zlib.compress(strip)
+        elif compression == 5:
+            strip = _lzw_encode(strip)
         elif compression == 32773:
             row_bytes = w * spp
             strip = b"".join(

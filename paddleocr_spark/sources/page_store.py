@@ -47,6 +47,8 @@ _FILES = [
     ("pages_06.tif", "tiff_deflate", 2),
     # PackBits RLE (TIFF 6.0 §9) — also lossless
     ("pages_07.tif", "tiff_packbits", 2),
+    # LZW (§13, early code-width change) + predictor — lossless
+    ("pages_08.tif", "tiff_lzw", 2),
 ]
 
 
@@ -80,9 +82,9 @@ def ensure_page_store(root: str) -> str:
     """Write the container files under ``root`` (idempotent; guarded by
     a DONE marker). Driver-side and O(1): 6 tiny files — this is
     fixture synthesis, not data-plane work."""
-    # v3: + Deflate/predictor + PackBits TIFFs (cache key bumped so
-    # existing stores rebuild with the new files)
-    store = os.path.join(root, "pagestore_v3")
+    # v4: + Deflate/predictor + PackBits + LZW/predictor TIFFs (cache
+    # key bumped so existing stores rebuild with the new files)
+    store = os.path.join(root, "pagestore_v4")
     marker = os.path.join(store, "_DONE")
     if os.path.exists(marker):
         return store
@@ -103,6 +105,8 @@ def ensure_page_store(root: str) -> str:
             data = encode_tiff(imgs, compression=8, predictor=2)
         elif kind == "tiff_packbits":
             data = encode_tiff(imgs, compression=32773)
+        elif kind == "tiff_lzw":
+            data = encode_tiff(imgs, compression=5, predictor=2)
         elif kind == "png":
             data = encode_png(imgs[0])
         else:  # ppm — same framing helper the page-explode path emits

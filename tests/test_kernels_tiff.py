@@ -68,9 +68,9 @@ def test_rejects_compressed_and_garbage():
     with pytest.raises(ValueError):
         decode_tiff(b"\x89PNG")
     enc = bytearray(encode_tiff([np.zeros((4, 4), np.uint8)]))
-    # patch Compression tag value to 5 (LZW)
+    # patch Compression tag value to 7 (JPEG-in-TIFF, unsupported)
     i = enc.find(struct.pack("<HHI", 259, 3, 1))
-    enc[i + 8] = 5
+    enc[i + 8] = 7
     with pytest.raises(ValueError, match="compression"):
         decode_tiff(bytes(enc))
 
@@ -311,3 +311,36 @@ def test_packbits_truncated_raises():
         _unpackbits(b"\xfe")  # repeat run with no value byte
     # 128 is a no-op filler
     assert _unpackbits(b"\x80\x00a\xfdb") == b"abbbb"
+
+
+def test_lzw_roundtrip_exact():
+    """Compression 5 (LZW, early code-width change): lossless
+    round-trip with enough data to cross the 9->10-bit boundary,
+    with and without predictor 2."""
+    rng = np.random.default_rng(47)
+    big = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    runs = np.repeat(rng.integers(0, 8, (20, 9), dtype=np.uint8),
+                     4, axis=1)
+    for pred in (1, 2):
+        data = encode_tiff([big, runs], compression=5, predictor=pred)
+        dec = decode_tiff(data)
+        assert np.array_equal(dec[0], big)
+        assert np.array_equal(dec[1][:, :, 0], runs)
+    # LZW actually engaged on low-entropy data
+    flat = encode_tiff([np.zeros((64, 64, 3), np.uint8)],
+                       compression=5)
+    raw = encode_tiff([np.zeros((64, 64, 3), np.uint8)])
+    assert len(flat) < len(raw) // 4
+
+
+def test_lzw_stream_errors():
+    from paddleocr_spark.kernels.tiff import _lzw_decode, _lzw_encode
+    with pytest.raises(ValueError, match="clear code"):
+        _lzw_decode(b"\x00\x40\x00")  # starts with a literal, not Clear
+    with pytest.raises(ValueError, match="missing EOI"):
+        # valid start (Clear = 256 as 9 bits = 0x80 0x00 high bit
+        # stream), then the stream just ends
+        _lzw_decode(b"\x80\x00")
+    # table reset mid-stream: > 4094 entries forces a Clear emission
+    long = bytes(np.random.default_rng(48).integers(0, 256, 30000))
+    assert _lzw_decode(_lzw_encode(long)) == long
