@@ -1265,17 +1265,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rank, vec_id, cosine FROM ranked
             WHERE rank <= {k}
         """,
-        # BM25 keyword search — per-(doc, term) contributions rounded
-        # to integer micro-units BEFORE the sum (exact BIGINT, immune
-        # to cross-engine summation-order drift); formulas mirror
-        # operators/retrieval.py
+        # BM25 keyword search — exact-integer arithmetic except one ln
+        # of an exactly-shared rational (idf quantized to nano-units on
+        # its own, tf_norm the exact bigint rational num10/den10);
+        # formulas mirror operators/retrieval.py term for term
         "bm25_topk": f"""
             WITH docs AS (
               SELECT doc_id::bigint AS doc_id,
                      string_split({_NORM}, ' ') AS tk
               FROM documents),
-            stats AS (SELECT count(*)::double AS n_docs,
-                             avg(len(tk))::double AS avgdl FROM docs),
+            stats AS (SELECT count(*)::bigint AS n_docs,
+                             sum(len(tk))::bigint AS sum_dl FROM docs),
             hits AS (SELECT doc_id, len(tk)::bigint AS dl,
                             unnest(tk) AS term
                      FROM docs),
@@ -1290,12 +1290,12 @@ def oracle_sql() -> dict[str, str]:
             scored AS (
               SELECT query_id, doc_id,
                      sum(CAST(round(
-                         ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                         * (tf * ({retrieval.BM25_K1} + 1))
-                         / (tf + {retrieval.BM25_K1}
-                            * (1 - {retrieval.BM25_B}
-                               + {retrieval.BM25_B} * dl / avgdl))
-                         * 1e6) AS BIGINT)) AS score_micro
+                         CAST(round(ln((2 * n_docs + 2.0)
+                                       / (2 * df + 1.0)) * 1e9) AS BIGINT)
+                         * ((22 * tf * sum_dl)
+                            / (10 * tf * sum_dl + 3 * sum_dl
+                               + 9 * dl * n_docs))
+                         / 1e3) AS BIGINT)) AS score_micro
               FROM tfdf JOIN q USING (term) CROSS JOIN stats
               GROUP BY query_id, doc_id),
             ranked AS (SELECT *,
@@ -1306,6 +1306,7 @@ def oracle_sql() -> dict[str, str]:
                        FROM scored)
             SELECT query_id, rank, doc_id, score_micro FROM ranked
             WHERE rank <= {retrieval.BM25_TOPK}
+            ORDER BY query_id, rank
         """,
         "cosine_topk_lsh": f"""
             WITH e AS (SELECT vec_id::bigint AS vec_id,

@@ -29,10 +29,26 @@ Plan shape (designed for 10^12 docs):
 - top-k per query is a rank window over the scored rows (rows =
   matched docs, not corpus size).
 
-Cross-engine float parity: per-(doc, term) contributions are rounded
-to integer micro-units (x 1e6) BEFORE summation, so the per-doc score
-is an exact BIGINT sum — immune to summation-order ulp drift between
-Spark and the DuckDB oracle; ranking ties break on doc_id.
+Cross-engine float parity (round-4 hardening after one unreproducible
+driver hash mismatch): the score arithmetic is EXACT INTEGER except a
+single ``ln`` whose argument is an exactly-representable rational of
+bigints, identical in both engines:
+
+- corpus stats are exact bigints (``n_docs``, ``sum_dl = sum(dl)``) —
+  no float ``avg`` whose value could depend on summation order;
+- ``tf_norm`` is the exact rational ``num10 / den10`` with
+  ``num10 = 22*tf*sum_dl`` and
+  ``den10 = 10*tf*sum_dl + 3*sum_dl + 9*dl*n_docs``
+  (the BM25 k1=1.2, b=0.75 form multiplied through by ``10*sum_dl`` —
+  all bigint products < 2^53, so the one IEEE division is bit-identical
+  across engines);
+- ``idf`` is quantized alone: ``idf_nano = round(ln((2N+2)/(2df+1))
+  * 1e9)`` as bigint — the only transcendental, applied to the same
+  double in both engines;
+- per-(doc, term) ``contrib_micro = round(idf_nano * (num10/den10)
+  / 1e3)`` as bigint, summed exactly; ranking ties break on doc_id;
+- the final result carries an explicit total ``orderBy(query_id,
+  rank)`` so output order can never affect an order-sensitive hash.
 """
 
 from __future__ import annotations
@@ -88,22 +104,28 @@ def bm25_topk(spark, sf_dir: str):
     tf = tf.withColumn(
         "df", F.count("*").over(Window.partitionBy("term")).cast("long"))
 
-    # sentinel rows: exactly one per doc, carrying dl -> (N, avgdl)
+    # sentinel rows: exactly one per doc, carrying dl -> exact bigint
+    # corpus stats (count + sum, never a float avg)
     stats = (grouped.where(F.col("term") == _SENTINEL)
-             .agg(F.count("*").cast("double").alias("n_docs"),
-                  F.avg("dl").alias("avgdl")))
+             .agg(F.count("*").cast("long").alias("n_docs"),
+                  F.sum("dl").cast("long").alias("sum_dl")))
 
     qrows = [(qid, t) for qid, ts in sorted(BM25_QUERIES.items())
              for t in ts]
     qdf = spark.createDataFrame(qrows, "query_id string, term string")
 
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5))
-    tf_norm = (F.col("tf") * (BM25_K1 + 1)
-               / (F.col("tf")
-                  + BM25_K1 * (1 - BM25_B
-                               + BM25_B * F.col("dl") / F.col("avgdl"))))
-    contrib_micro = F.round(idf * tf_norm * 1e6, 0).cast("long")
+    # idf = ln(1 + (N - df + 0.5)/(df + 0.5)) = ln((2N+2)/(2df+1)):
+    # the ln argument is one IEEE division of two exact integers
+    idf_nano = F.round(
+        F.log((2 * F.col("n_docs") + F.lit(2.0))
+              / (2 * F.col("df") + F.lit(1.0))) * 1e9, 0).cast("long")
+    # tf_norm = tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl), multiplied
+    # through by 10*sum_dl: exact bigint numerator/denominator
+    num10 = 22 * F.col("tf") * F.col("sum_dl")
+    den10 = (10 * F.col("tf") * F.col("sum_dl") + 3 * F.col("sum_dl")
+             + 9 * F.col("dl") * F.col("n_docs"))
+    contrib_micro = F.round(
+        idf_nano * (num10 / den10) / F.lit(1e3), 0).cast("long")
 
     scored = (tf.join(F.broadcast(qdf), "term")
               .crossJoin(F.broadcast(stats))
@@ -113,4 +135,5 @@ def bm25_topk(spark, sf_dir: str):
         F.col("score_micro").desc(), F.col("doc_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= BM25_TOPK)
-            .select("query_id", "rank", "doc_id", "score_micro"))
+            .select("query_id", "rank", "doc_id", "score_micro")
+            .orderBy("query_id", "rank"))
