@@ -10,17 +10,24 @@ multi-page raster container that needs no entropy codec:
   IFD per page, next-IFD offset links them — the "page explode" is a
   genuine pointer walk, not a fake framing header)
 - tags: ImageWidth/Length, BitsPerSample (8), Compression (1 = none,
-  5 = LZW with the spec's early code-width change, 8 = Deflate/zlib
-  per strip, 32773 = PackBits RLE), Predictor (1 = none,
-  2 = horizontal differencing, undone by a per-channel row cumsum),
-  PhotometricInterpretation (0/1 gray — 0 inverts — and 2 RGB),
-  StripOffsets/StripByteCounts/RowsPerStrip, SamplesPerPixel
-- out of scope (explicit errors): JPEG-in-TIFF compression, tiles,
-  planar config 2, >8-bit samples
+  5 = LZW with the spec's early code-width change, 6 = old-style JPEG
+  via JPEGInterchangeFormat, 7 = new-style JPEG per segment with the
+  shared JPEGTables tag merged in, 8 = Deflate/zlib per strip,
+  32773 = PackBits RLE), Predictor (1 = none, 2 = horizontal
+  differencing, undone by a per-channel row cumsum),
+  PhotometricInterpretation (0/1 gray — 0 inverts — 2 RGB, 6 YCbCr
+  for the JPEG compressions), StripOffsets/StripByteCounts/
+  RowsPerStrip OR TileWidth/TileLength/TileOffsets/TileByteCounts
+  (TIFF 6.0 §15 tile grid, edge tiles cropped), SamplesPerPixel
+- out of scope (explicit errors): planar config 2, >8-bit samples
 
-``encode_tiff`` writes the same subset (one strip per page, little
-endian; optional Deflate + predictor 2) for test fixtures and for
-`sources.media_files`' page re-emission.
+``encode_tiff`` writes the same subset (little endian; strips by
+default or a tile grid via ``tile=(tw, th)``; optional Deflate/LZW
+predictor 2; JPEG segments abbreviated against a shared JPEGTables
+tag) for test fixtures and for `sources.media_files`' page
+re-emission. The JPEG entropy layer is ``kernels/jpeg.py``; the
+reference reads all of these through cv2's TIFF loader
+(``toddleocr/engine.py:214-216``).
 """
 
 from __future__ import annotations
@@ -31,7 +38,7 @@ import numpy as np
 
 __all__ = ["decode_tiff", "encode_tiff", "is_tiff"]
 
-_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+_TYPE_SIZE = {1: 1, 3: 2, 4: 4, 7: 1}  # BYTE, SHORT, LONG, UNDEFINED
 
 
 def is_tiff(data: bytes) -> bool:
@@ -49,7 +56,7 @@ def _read_values(data: bytes, bo: str, vtype: int, count: int,
     else:
         (off,) = struct.unpack(bo + "I", raw)
         buf = data[off:off + total]
-    fmt = {1: "B", 3: "H", 4: "I"}[vtype]
+    fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[vtype]
     return list(struct.unpack(bo + fmt * count, buf))
 
 
@@ -98,6 +105,11 @@ def _lzw_decode(src: bytes) -> bytes:
         # earlier than the encoder's (1<<nbits)-1 rule
         if len(table) == (1 << nbits) - 2 and nbits < 12:
             nbits += 1  # early change
+    if out:
+        # some real-world writers omit the EOI at strip end; libtiff
+        # warns and tolerates, so accept once at least one code
+        # decoded (an empty stream is still an error)
+        return bytes(out)
     raise ValueError("LZW stream missing EOI code")
 
 
@@ -223,18 +235,21 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
 
         w, h = tags[256][0], tags[257][0]
         comp = tags.get(259, [1])[0]
-        if comp not in (1, 5, 8, 32773):
+        if comp not in (1, 5, 6, 7, 8, 32773):
             raise ValueError(
                 f"unsupported TIFF compression {comp} "
-                "(uncompressed, LZW, Deflate, or PackBits only)")
+                "(uncompressed, LZW, JPEG, Deflate, or PackBits only)")
         photo = tags.get(262, [1])[0]
         spp = tags.get(277, [1])[0]
         bps = tags.get(258, [8] * spp)
         if any(b != 8 for b in bps):
             raise ValueError("only 8-bit TIFF samples supported")
-        if photo not in (0, 1, 2) or spp not in (1, 3):
-            raise ValueError("only gray/RGB TIFF supported")
-        if (photo == 2) != (spp == 3):
+        if photo not in (0, 1, 2, 6) or spp not in (1, 3):
+            raise ValueError("only gray/RGB/YCbCr TIFF supported")
+        if photo == 6 and comp not in (6, 7):
+            raise ValueError("YCbCr photometric only with JPEG "
+                             "compression")
+        if (photo in (2, 6)) != (spp == 3):
             # RGB data with a missing/skipped SamplesPerPixel tag
             # (defaulted 1) would reshape interleaved RGB bytes as a
             # gray plane — silent scrambled pixels; likewise a gray
@@ -248,34 +263,94 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
             # would be silently scrambled — the explicit error the
             # module contract promises
             raise ValueError("planar-configuration TIFF unsupported")
-        offsets = tags[273]
-        counts = tags[279]
-        if comp == 8:  # Deflate (AdobeDeflate): zlib per strip
-            import zlib
-
-            raw = b"".join(zlib.decompress(data[o:o + c])
-                           for o, c in zip(offsets, counts))
-        elif comp == 5:  # LZW per strip
-            raw = b"".join(_lzw_decode(data[o:o + c])
-                           for o, c in zip(offsets, counts))
-        elif comp == 32773:  # PackBits RLE per strip
-            raw = b"".join(_unpackbits(data[o:o + c])
-                           for o, c in zip(offsets, counts))
-        else:
-            raw = b"".join(data[o:o + c] for o, c in zip(offsets,
-                                                         counts))
-        img = np.frombuffer(raw[:h * w * spp], dtype=np.uint8) \
-            .reshape(h, w, spp).copy()
         pred = tags.get(317, [1])[0]
-        if pred == 2:
-            # horizontal differencing: per-channel cumsum along the
-            # row undoes it (same transform the PDF /Predictor 2
-            # path uses) — without this, predictor-coded rows
-            # reshape as raw pixels, silently scrambled
-            img = img.astype(np.uint32).cumsum(
-                axis=1, dtype=np.uint32).astype(np.uint8)
-        elif pred != 1:
+        if pred not in (1, 2):
             raise ValueError(f"unsupported TIFF predictor {pred}")
+        jpegtables = bytes(tags[347]) if 347 in tags else None
+
+        def _seg_bytes(o: int, c: int) -> bytes:
+            seg = data[o:o + c]
+            if comp == 8:  # Deflate (AdobeDeflate): zlib per segment
+                import zlib
+
+                return zlib.decompress(seg)
+            if comp == 5:  # LZW per segment
+                return _lzw_decode(seg)
+            if comp == 32773:  # PackBits RLE per segment
+                return _unpackbits(seg)
+            return seg
+
+        def _jpeg_pixels(seg: bytes) -> np.ndarray:
+            # TIFF TechNote 2: each segment is a JPEG stream; an
+            # abbreviated one (tables elsewhere) gets the shared
+            # JPEGTables body spliced in after its SOI
+            from paddleocr_spark.kernels.jpeg import decode_jpeg
+
+            if jpegtables is not None and len(jpegtables) > 4:
+                seg = b"\xff\xd8" + jpegtables[2:-2] + seg[2:]
+            img = decode_jpeg(seg)  # BGR (gray replicated to 3ch)
+            if spp == 1:
+                return img[:, :, :1]
+            return img[:, :, ::-1]  # page convention is RGB
+
+        def _undo_pred(a: np.ndarray) -> np.ndarray:
+            if pred == 2:
+                # horizontal differencing: per-channel cumsum along
+                # the row undoes it (same transform the PDF
+                # /Predictor 2 path uses) — without this,
+                # predictor-coded rows reshape as raw pixels,
+                # silently scrambled. Rows never span segments, so
+                # per-segment application is exact.
+                return a.astype(np.uint32).cumsum(
+                    axis=1, dtype=np.uint32).astype(np.uint8)
+            return a
+
+        if comp == 6:
+            # old-style JPEG (deprecated TIFF 6.0 §22): one full
+            # interchange stream at JPEGInterchangeFormat
+            if 513 not in tags:
+                raise ValueError("old-style JPEG TIFF without "
+                                 "JPEGInterchangeFormat")
+            off = tags[513][0]
+            ln = tags[514][0] if 514 in tags else len(data) - off
+            img = _jpeg_pixels(data[off:off + ln])[:h, :w]
+        elif 322 in tags:  # tile grid (TIFF 6.0 §15)
+            tw_, th_ = tags[322][0], tags[323][0]
+            offsets, counts = tags[324], tags[325]
+            tiles_x = -(-w // tw_)
+            tiles_y = -(-h // th_)
+            if len(offsets) != tiles_x * tiles_y:
+                raise ValueError("TIFF tile count mismatch "
+                                 "(planar tiles unsupported)")
+            canvas = np.zeros((tiles_y * th_, tiles_x * tw_, spp),
+                              np.uint8)
+            for idx, (o, c) in enumerate(zip(offsets, counts)):
+                ty, tx = divmod(idx, tiles_x)
+                if comp == 7:
+                    tile = _jpeg_pixels(data[o:o + c])[:th_, :tw_]
+                else:
+                    raw = _seg_bytes(o, c)
+                    tile = _undo_pred(
+                        np.frombuffer(raw[:th_ * tw_ * spp], np.uint8)
+                        .reshape(th_, tw_, spp))
+                canvas[ty * th_:(ty + 1) * th_,
+                       tx * tw_:(tx + 1) * tw_] = tile
+            img = canvas[:h, :w].copy()
+        elif comp == 7:
+            # new-style JPEG strips: each strip is an independent
+            # JPEG image RowsPerStrip tall; concatenate and crop
+            img = np.concatenate(
+                [_jpeg_pixels(data[o:o + c])
+                 for o, c in zip(tags[273], tags[279])],
+                axis=0)[:h, :w].copy()
+        else:
+            offsets = tags[273]
+            counts = tags[279]
+            raw = b"".join(_seg_bytes(o, c)
+                           for o, c in zip(offsets, counts))
+            img = _undo_pred(
+                np.frombuffer(raw[:h * w * spp], dtype=np.uint8)
+                .reshape(h, w, spp)).copy()
         if photo == 0:  # WhiteIsZero
             img = 255 - img
         pages.append(img)
@@ -284,18 +359,80 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
     return pages
 
 
+def _split_jpeg_tables(data: bytes) -> tuple[bytes, bytes]:
+    """Split a full JPEG interchange stream into (tables stream,
+    abbreviated image stream) per TIFF TechNote 2: DQT/DHT segments go
+    to the JPEGTables body, everything else stays with the scan."""
+    i = 2
+    tables = bytearray()
+    rest = bytearray()
+    while i < len(data):
+        marker = data[i + 1]
+        if marker == 0xDA:  # SOS: entropy data through EOI follows
+            rest += data[i:]
+            break
+        (ln,) = struct.unpack(">H", data[i + 2:i + 4])
+        seg = data[i:i + 2 + ln]
+        (tables if marker in (0xDB, 0xC4) else rest).extend(seg)
+        i += 2 + ln
+    return (b"\xff\xd8" + bytes(tables) + b"\xff\xd9",
+            b"\xff\xd8" + bytes(rest))
+
+
 def encode_tiff(pages: list[np.ndarray], compression: int = 1,
-                predictor: int = 1) -> bytes:
+                predictor: int = 1, tile: tuple[int, int] | None = None,
+                quant: int = 1) -> bytes:
     """List of (H, W) or (H, W, C) uint8 arrays → multi-page
-    little-endian TIFF (one strip per page). ``compression`` 1 =
-    none, 5 = LZW, 8 = Deflate, 32773 = PackBits (rows encoded
-    separately per the spec); ``predictor`` 1 = none, 2 = horizontal
-    differencing (LZW/Deflate) — writer twin for the decoder
-    branches."""
-    if compression not in (1, 5, 8, 32773) or predictor not in (1, 2):
+    little-endian TIFF. ``compression`` 1 = none, 5 = LZW, 6 =
+    old-style JPEG (one full interchange stream via
+    JPEGInterchangeFormat), 7 = new-style JPEG (abbreviated per-
+    segment streams + shared JPEGTables), 8 = Deflate, 32773 =
+    PackBits (rows encoded separately per the spec); ``predictor``
+    1 = none, 2 = horizontal differencing (LZW/Deflate);
+    ``tile=(tw, th)`` writes a §15 tile grid (multiples of 16) instead
+    of one strip per page; ``quant`` feeds the JPEG compressions —
+    writer twin for every decoder branch."""
+    if compression not in (1, 5, 6, 7, 8, 32773) \
+            or predictor not in (1, 2):
         raise ValueError((compression, predictor))
-    if compression == 32773 and predictor != 1:
-        raise ValueError("PackBits with predictor unsupported")
+    if compression in (6, 7, 32773) and predictor != 1:
+        raise ValueError("predictor only applies to byte codecs")
+    if tile is not None:
+        tw, th = tile
+        if tw % 16 or th % 16:
+            raise ValueError("TIFF tile dims must be multiples of 16")
+        if compression == 6:
+            raise ValueError("old-style JPEG is strip-less "
+                             "(whole-page stream)")
+
+    def _jpeg_bytes(a: np.ndarray) -> bytes:
+        # pages are RGB; kernels/jpeg speaks BGR
+        from paddleocr_spark.kernels.jpeg import encode_jpeg
+
+        if a.shape[2] == 1:
+            return encode_jpeg(a[:, :, 0], quant=quant)
+        return encode_jpeg(a[:, :, ::-1], quant=quant)
+
+    def _byte_seg(a: np.ndarray) -> bytes:
+        if predictor == 2:
+            d = a.astype(np.int16)
+            d[:, 1:, :] -= a[:, :-1, :].astype(np.int16)
+            a = (d & 0xFF).astype(np.uint8)
+        seg = a.tobytes()
+        if compression == 8:
+            import zlib
+
+            return zlib.compress(seg)
+        if compression == 5:
+            return _lzw_encode(seg)
+        if compression == 32773:
+            hh, ww, spp = a.shape
+            row_bytes = ww * spp
+            return b"".join(
+                _packbits_row(seg[r * row_bytes:(r + 1) * row_bytes])
+                for r in range(hh))
+        return seg
+
     out = bytearray(b"II*\x00")
     out += struct.pack("<I", 0)  # first-IFD offset patched below
     ifd_ptr_pos = 4
@@ -304,56 +441,104 @@ def encode_tiff(pages: list[np.ndarray], compression: int = 1,
         if a.ndim == 2:
             a = a[:, :, None]
         h, w, spp = a.shape
-        if predictor == 2:
-            d = a.astype(np.int16)
-            d[:, 1:, :] -= a[:, :-1, :].astype(np.int16)
-            a = (d & 0xFF).astype(np.uint8)
-        strip = a.tobytes()
-        if compression == 8:
-            import zlib
+        photo = (1 if spp == 1 else
+                 6 if compression in (6, 7) else 2)
 
-            strip = zlib.compress(strip)
-        elif compression == 5:
-            strip = _lzw_encode(strip)
-        elif compression == 32773:
-            row_bytes = w * spp
-            strip = b"".join(
-                _packbits_row(strip[r * row_bytes:(r + 1) * row_bytes])
-                for r in range(h))
-        strip_off = len(out)
-        out += strip
-        extra_off = None
-        if spp == 3:  # BitsPerSample needs 3 shorts -> out-of-line
+        # --- segment payloads ------------------------------------
+        seg_bodies: list[bytes] = []
+        jpegtables = None
+        interchange = None  # (offset-slot value, length) for comp 6
+        if compression == 6:
+            interchange = _jpeg_bytes(a)
+        elif tile is not None:
+            tiles_x, tiles_y = -(-w // tw), -(-h // th)
+            padded = np.pad(a, ((0, tiles_y * th - h),
+                                (0, tiles_x * tw - w), (0, 0)),
+                            mode="edge")
+            for ty in range(tiles_y):
+                for tx in range(tiles_x):
+                    t = padded[ty * th:(ty + 1) * th,
+                               tx * tw:(tx + 1) * tw]
+                    if compression == 7:
+                        tables, abbrev = _split_jpeg_tables(
+                            _jpeg_bytes(t))
+                        jpegtables = tables
+                        seg_bodies.append(abbrev)
+                    else:
+                        seg_bodies.append(_byte_seg(t))
+        elif compression == 7:
+            tables, abbrev = _split_jpeg_tables(_jpeg_bytes(a))
+            jpegtables = tables
+            seg_bodies.append(abbrev)
+        else:
+            seg_bodies.append(_byte_seg(a))
+
+        offsets = []
+        for body in seg_bodies:
+            offsets.append(len(out))
+            out += body
+        if interchange is not None:
+            inter_off = len(out)
+            out += interchange
+
+        # --- out-of-line value area ------------------------------
+        def _oov(payload: bytes) -> int:
             if len(out) % 2:
                 # TIFF 6.0: out-of-line VALUES must begin on a word
-                # boundary too, not just the IFD — an odd strip length
-                # would otherwise leave BitsPerSample at an odd offset
-                out += b"\x00"
-            extra_off = len(out)
-            out += struct.pack("<HHH", 8, 8, 8)
+                # boundary too, not just the IFD
+                out.extend(b"\x00")
+            off = len(out)
+            out.extend(payload)
+            return off
+
+        entries = [
+            (256, 4, 1, [w]),
+            (257, 4, 1, [h]),
+            (258, 3, spp, [8] * spp),
+            (259, 3, 1, [compression]),
+            (262, 3, 1, [photo]),
+            (277, 3, 1, [spp]),
+        ]
+        if interchange is not None:
+            entries += [(513, 4, 1, [inter_off]),
+                        (514, 4, 1, [len(interchange)])]
+        elif tile is not None:
+            entries += [(322, 4, 1, [tw]), (323, 4, 1, [th]),
+                        (324, 4, len(offsets), offsets),
+                        (325, 4, len(seg_bodies),
+                         [len(b) for b in seg_bodies])]
+        else:
+            entries += [(273, 4, len(offsets), offsets),
+                        (278, 4, 1, [h]),
+                        (279, 4, len(seg_bodies),
+                         [len(b) for b in seg_bodies])]
+        if predictor == 2:
+            entries.append((317, 3, 1, [2]))
+        if jpegtables is not None:
+            entries.append((347, 7, len(jpegtables), jpegtables))
+        entries.sort()  # IFD entries must be in ascending tag order
+
+        # resolve values: inline if they fit in 4 bytes, else spill
+        resolved = []
+        for tag, vtype, count, values in entries:
+            size = _TYPE_SIZE[vtype]
+            fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[vtype]
+            payload = (bytes(values) if vtype == 7 else
+                       struct.pack("<" + fmt * count, *values))
+            if len(payload) <= 4:
+                resolved.append((tag, vtype, count,
+                                 payload.ljust(4, b"\x00")))
+            else:
+                off = _oov(payload)
+                resolved.append((tag, vtype, count,
+                                 struct.pack("<I", off)))
+            del size
         if len(out) % 2:
             out += b"\x00"  # IFDs must be word-aligned
         ifd_off = len(out)
-        entries = [
-            (256, 4, 1, w),
-            (257, 4, 1, h),
-            (258, 3, spp, 8 if spp == 1 else extra_off),
-            (259, 3, 1, compression),
-            (262, 3, 1, 1 if spp == 1 else 2),
-            (273, 4, 1, strip_off),
-            (277, 3, 1, spp),
-            (278, 4, 1, h),
-            (279, 4, 1, len(strip)),
-        ]
-        if predictor == 2:
-            entries.append((317, 3, 1, 2))
-        out += struct.pack("<H", len(entries))
-        for tag, vtype, count, value in entries:
-            out += struct.pack("<HHI", tag, vtype, count)
-            if vtype == 3 and count == 1:
-                out += struct.pack("<HH", value, 0)
-            else:
-                out += struct.pack("<I", value)
+        out += struct.pack("<H", len(resolved))
+        for tag, vtype, count, raw4 in resolved:
+            out += struct.pack("<HHI", tag, vtype, count) + raw4
         next_ptr_pos = len(out)
         out += struct.pack("<I", 0)
         # link the previous IFD (or the header) to this one

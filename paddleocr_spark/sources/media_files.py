@@ -147,8 +147,8 @@ def decode_image_bytes(content: bytes):
     """bytes → (H, W, 3) uint8 BGR ndarray — ``img_decode``
     (``toddleocr/engine.py:214-216``) with IMREAD_COLOR semantics,
     via the repo's pure-NumPy codecs (PNG/BMP/PPM/GIF first-frame/
-    baseline JPEG/TIFF first page; ``kernels/imgcodec.py``).
-    Progressive JPEG and compressed TIFF raise ValueError."""
+    baseline+progressive JPEG/TIFF first page incl. LZW/Deflate/
+    PackBits/JPEG-in-TIFF/tiles; ``kernels/imgcodec.py``)."""
     from paddleocr_spark.kernels.imgcodec import decode_image
 
     return decode_image(bytes(content))

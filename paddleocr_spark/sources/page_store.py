@@ -49,6 +49,16 @@ _FILES = [
     ("pages_07.tif", "tiff_packbits", 2),
     # LZW (§13, early code-width change) + predictor — lossless
     ("pages_08.tif", "tiff_lzw", 2),
+    # standalone progressive JPEG (SOF2: DC/AC first + refinement
+    # scans) — constant color survives quant=1 exactly (DC-only)
+    ("pages_09.jpg", "jpeg_prog", 1),
+    # new-style JPEG-in-TIFF (Compression 7, TechNote 2): abbreviated
+    # per-TILE streams merged against the shared JPEGTables tag
+    ("pages_10.tif", "tiff_jpeg_tiled", 2),
+    # old-style JPEG-in-TIFF (Compression 6, JPEGInterchangeFormat)
+    ("pages_11.tif", "tiff_oldjpeg", 2),
+    # §15 tile grid with LZW + predictor — lossless tiles
+    ("pages_12.tif", "tiff_tiled_lzw", 2),
 ]
 
 
@@ -82,9 +92,9 @@ def ensure_page_store(root: str) -> str:
     """Write the container files under ``root`` (idempotent; guarded by
     a DONE marker). Driver-side and O(1): 6 tiny files — this is
     fixture synthesis, not data-plane work."""
-    # v4: + Deflate/predictor + PackBits + LZW/predictor TIFFs (cache
-    # key bumped so existing stores rebuild with the new files)
-    store = os.path.join(root, "pagestore_v4")
+    # v5: + progressive JPEG, tiled/old-style JPEG-in-TIFF, LZW tile
+    # grid (cache key bumped so existing stores rebuild)
+    store = os.path.join(root, "pagestore_v5")
     marker = os.path.join(store, "_DONE")
     if os.path.exists(marker):
         return store
@@ -107,6 +117,19 @@ def ensure_page_store(root: str) -> str:
             data = encode_tiff(imgs, compression=32773)
         elif kind == "tiff_lzw":
             data = encode_tiff(imgs, compression=5, predictor=2)
+        elif kind == "jpeg_prog":
+            from paddleocr_spark.kernels.jpeg import encode_jpeg
+
+            # encoder speaks BGR; constant-color pages are symmetric
+            data = encode_jpeg(imgs[0], quant=1, progressive=True)
+        elif kind == "tiff_jpeg_tiled":
+            data = encode_tiff(imgs, compression=7, tile=(16, 16),
+                               quant=1)
+        elif kind == "tiff_oldjpeg":
+            data = encode_tiff(imgs, compression=6, quant=1)
+        elif kind == "tiff_tiled_lzw":
+            data = encode_tiff(imgs, compression=5, predictor=2,
+                               tile=(16, 16))
         elif kind == "png":
             data = encode_png(imgs[0])
         else:  # ppm — same framing helper the page-explode path emits

@@ -90,12 +90,12 @@ def test_quantization_actually_compresses():
 def test_rejects_non_baseline_and_garbage():
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG not a jpeg")
-    # progressive: patch a valid stream's SOF0 marker to SOF2
+    # arithmetic coding: patch a valid stream's SOF0 marker to SOF9
     img = np.zeros((8, 8, 3), np.uint8)
     enc = bytearray(encode_jpeg(img))
     idx = enc.find(b"\xff\xc0")
-    enc[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    enc[idx + 1] = 0xC9
+    with pytest.raises(ValueError, match="SOF0"):
         decode_jpeg(bytes(enc))
 
 
@@ -140,9 +140,10 @@ def test_422_mcu_geometry():
     assert _maxdiff(d422, grad) <= _maxdiff(d420, grad)
 
 
-def test_multiscan_baseline_raises():
-    """ns != number of frame components (legal baseline, one scan per
-    component) must raise, never mis-assemble."""
+def test_partial_scan_coverage_raises():
+    """A file whose scans don't cover every frame component (here: the
+    interleaved SOS rewritten to cover only luma) must raise, never
+    mis-color the two never-scanned chroma planes."""
     import struct
 
     import numpy as np
@@ -163,8 +164,105 @@ def test_multiscan_baseline_raises():
                + struct.pack(">H", len(new_payload) + 2)
                + new_payload
                + data[i + 2 + seg_len:])
-    with pytest.raises(ValueError, match="multi-scan"):
+    with pytest.raises(ValueError, match="no scan"):
         decode_jpeg(patched)
+
+
+def test_multiscan_baseline_non_interleaved_decodes():
+    """T.81 allows sequential files with one scan per component
+    (non-interleaved block-raster order). Build one from the encoder's
+    primitives — three separate SOS segments — and check it decodes
+    pixel-identical to the interleaved encoding of the same image."""
+    import struct
+
+    import numpy as np
+
+    from paddleocr_spark.kernels.jpeg import (
+        _BitWriter,
+        _encode_block,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (21, 27, 3), dtype=np.uint8)
+    inter = encode_jpeg(img, quant=1)  # 4:4:4 interleaved twin
+    # headers up to (not including) the SOS
+    i = inter.find(b"\xff\xda")
+    head = inter[:i]
+
+    # recompute the per-component quantized blocks exactly as the
+    # encoder does (4:4:4, quant=1)
+    b, g, r = (img[:, :, k].astype(np.float64) for k in range(3))
+    planes = [0.299 * r + 0.587 * g + 0.114 * b,
+              -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+              0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    from paddleocr_spark.kernels.jpeg import _DCT, ZIGZAG
+
+    h, w = img.shape[:2]
+    ny, nx = -(-h // 8), -(-w // 8)
+    out = bytearray(head)
+    for cid, p in enumerate(planes, start=1):
+        p = np.pad(p - 128.0, ((0, ny * 8 - h), (0, nx * 8 - w)),
+                   mode="edge")
+        blocks = (p.reshape(ny, 8, nx, 8).transpose(0, 2, 1, 3)
+                  .reshape(-1, 8, 8))
+        coefs = np.einsum("ik,nkl,jl->nij", _DCT, blocks, _DCT)
+        q = np.round(coefs).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+        wtr = _BitWriter()
+        pred = 0
+        for blk in q:
+            pred = _encode_block(wtr, blk, pred)
+        wtr.flush()
+        sos = bytes([1, cid, 0x00, 0, 63, 0])
+        out.extend(b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos)
+        out.extend(wtr.out)
+    out.extend(b"\xff\xd9")
+    assert np.array_equal(decode_jpeg(bytes(out)), decode_jpeg(inter))
+
+
+def _prog_pair(img, **kw):
+    base = decode_jpeg(encode_jpeg(img, **kw))
+    prog = decode_jpeg(encode_jpeg(img, progressive=True, **kw))
+    return base, prog
+
+
+def test_progressive_color_decodes_bit_equal_to_baseline():
+    """The progressive scan script (DC first Al=1, split-band AC first,
+    DC+AC refinement to Al=0) reconstructs the identical coefficients,
+    so pixels match the baseline twin exactly."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (37, 29, 3), dtype=np.uint8)
+    enc = encode_jpeg(img, quant=1, progressive=True)
+    assert b"\xff\xc2" in enc  # SOF2
+    assert enc.count(b"\xff\xda") == 10  # 2 DC + 4+4 split-band AC
+    base, prog = _prog_pair(img, quant=1)
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_subsampled_and_gray():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (33, 41, 3), dtype=np.uint8)
+    for sub in ("420", "422"):
+        base, prog = _prog_pair(img, quant=2, subsampling=sub)
+        assert np.array_equal(base, prog), sub
+    gray = rng.integers(0, 256, (19, 26), dtype=np.uint8)
+    base, prog = _prog_pair(gray, quant=1)
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_eob_runs_and_corrections():
+    """A mostly-flat image with sparse detail produces long EOB runs in
+    the AC-first scans and carried correction bits in the refinement
+    scans; quant=3 forces magnitude->1 coefficients that exercise the
+    newly-nonzero-in-refinement path."""
+    img = np.full((64, 80, 3), 100, np.uint8)
+    img[10:13, 10:13] = 250
+    img[50, 70] = 0
+    img[30:32, 40:60] = (30, 200, 90)
+    for quant in (1, 3):
+        base, prog = _prog_pair(img, quant=quant)
+        assert np.array_equal(base, prog), quant
 
 
 def test_grayscale_sampling_factors_decode_non_interleaved():

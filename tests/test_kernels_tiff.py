@@ -68,9 +68,9 @@ def test_rejects_compressed_and_garbage():
     with pytest.raises(ValueError):
         decode_tiff(b"\x89PNG")
     enc = bytearray(encode_tiff([np.zeros((4, 4), np.uint8)]))
-    # patch Compression tag value to 7 (JPEG-in-TIFF, unsupported)
+    # patch Compression tag value to 3 (CCITT G3 fax, unsupported)
     i = enc.find(struct.pack("<HHI", 259, 3, 1))
-    enc[i + 8] = 7
+    enc[i + 8] = 3
     with pytest.raises(ValueError, match="compression"):
         decode_tiff(bytes(enc))
 
@@ -339,8 +339,70 @@ def test_lzw_stream_errors():
         _lzw_decode(b"\x00\x40\x00")  # starts with a literal, not Clear
     with pytest.raises(ValueError, match="missing EOI"):
         # valid start (Clear = 256 as 9 bits = 0x80 0x00 high bit
-        # stream), then the stream just ends
+        # stream), then the stream ends with NOTHING decoded
         _lzw_decode(b"\x80\x00")
+    # but a stream that decoded data and merely lacks the trailing
+    # EOI is tolerated (libtiff behavior; some writers omit it)
+    full = _lzw_encode(b"abcabcabc")
+    # EOI is the final 9-12 bit code: chop the last two bytes
+    assert _lzw_decode(full[:-2]).startswith(b"abcabc")
     # table reset mid-stream: > 4094 entries forces a Clear emission
     long = bytes(np.random.default_rng(48).integers(0, 256, 30000))
     assert _lzw_decode(_lzw_encode(long)) == long
+
+
+def test_tiled_grid_all_codecs_exact():
+    """TIFF 6.0 §15 tile grid: edge tiles are encoder-padded and
+    decoder-cropped; every lossless codec round-trips bit-exact
+    through the tile path."""
+    rng = np.random.default_rng(51)
+    img = rng.integers(0, 256, (45, 70, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (18, 40), dtype=np.uint8)
+    for kw in (dict(tile=(16, 16)),
+               dict(compression=5, predictor=2, tile=(16, 32)),
+               dict(compression=8, predictor=2, tile=(32, 16)),
+               dict(compression=32773, tile=(16, 16))):
+        dec = decode_tiff(encode_tiff([img, gray], **kw))
+        assert np.array_equal(dec[0], img), kw
+        assert np.array_equal(dec[1][:, :, 0], gray), kw
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff([img], tile=(20, 16))
+
+
+def test_jpeg_in_tiff_new_style():
+    """Compression 7 (TIFF TechNote 2): abbreviated per-segment JPEG
+    streams merged against the shared JPEGTables tag — constant-color
+    pages survive quant=1 exactly, photometric is YCbCr (6)."""
+    flat = np.full((20, 28, 3), 77, np.uint8)
+    gray = np.full((18, 22), 140, np.uint8)
+    for kw in (dict(compression=7), dict(compression=7, tile=(16, 16))):
+        data = encode_tiff([flat, gray], **kw)
+        dec = decode_tiff(data)
+        assert np.array_equal(dec[0], flat), kw
+        assert np.array_equal(dec[1][:, :, 0], gray), kw
+    # the abbreviated segments really lack tables (JPEGTables merge
+    # is load-bearing): strip the 347 tag and the decode must fail
+    data = encode_tiff([flat], compression=7)
+    i = data.find(struct.pack("<HHI", 347, 7, 0)[:4])
+    assert i > 0
+    patched = bytearray(data)
+    patched[i:i + 2] = struct.pack("<H", 34700)  # unknown tag id
+    with pytest.raises(Exception):
+        decode_tiff(bytes(patched))
+    # lossy-but-close on real content
+    rng = np.random.default_rng(52)
+    img = rng.integers(0, 256, (33, 49, 3), dtype=np.uint8)
+    dec = decode_tiff(encode_tiff([img], compression=7,
+                                  tile=(16, 16)))[0]
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_jpeg_in_tiff_old_style():
+    """Compression 6 (deprecated): one full interchange stream at
+    JPEGInterchangeFormat/JPEGInterchangeFormatLength."""
+    flat = np.full((26, 34, 3), 190, np.uint8)
+    dec = decode_tiff(encode_tiff([flat, flat], compression=6))
+    assert np.array_equal(dec[0], flat)
+    assert np.array_equal(dec[1], flat)
+    with pytest.raises(ValueError, match="strip-less"):
+        encode_tiff([flat], compression=6, tile=(16, 16))
