@@ -27,16 +27,23 @@ Implemented:
   positioned through a translated/scaled CTM land at their true
   device coordinates
 
+- font handling: simple fonts decode byte-per-glyph latin-1; UTF-16BE
+  strings with a BOM decode per §7.9.2.2; composite (Type0/CID)
+  fonts resolve through the page's ``/Resources /Font`` dict to
+  their ``/ToUnicode`` CMap (§9.10.3 — codespacerange width, bfchar,
+  both bfrange destination forms), fixed-width codes mapped to
+  Unicode; a Type0 font without ToUnicode yields U+FFFD per code
+  (honest gaps, not latin-1 mojibake)
+- ``q/Q`` save/restore the full §8.4.1 graphics state this module
+  models: CTM plus the text state (font, size, leading)
+
 Each show op yields one run ``(text, x, y, size)`` where (x, y) is
 the device-space start of the text and ``size`` the current font size
 scaled by the text/CTM matrix. Limitations (explicit, documented):
-simple fonts with byte-per-glyph Latin encodings, plus UTF-16BE
-strings carrying a BOM (§7.9.2.2) — composite (Type0/CID) fonts with
-custom CMaps would need ToUnicode tables; glyph-width advances
-are not modeled (each run is positioned by its own operator, which is
-how generators emit them); inline images (``BI..EI`` carry raw binary
-the tokenizer cannot skip) raise explicitly; encrypted PDFs raise
-upstream in ``_scan_objects``.
+glyph-width advances are not modeled (each run is positioned by its
+own operator, which is how generators emit them); inline images
+(``BI..EI`` carry raw binary the tokenizer cannot skip) raise
+explicitly; encrypted PDFs raise an explicit ``/Encrypt`` error.
 
 ``encode_text_pdf`` is the writer twin (same pattern as
 ``encode_pdf``/``encode_tiff``/``encode_jpeg``): it emits
@@ -164,18 +171,25 @@ def _tokenize(stream: bytes):
             continue
         if c == 0x3C:  # < — hex string or << dict
             if i + 1 < n and stream[i + 1] == 0x3C:
-                # inline dicts appear only around marked content (BDC
-                # property lists) — skip to the matching >>, depth-
-                # aware so nested dicts don't truncate the skip
+                # inline dicts appear around marked content (BDC
+                # property lists) and in CMap headers — skip to the
+                # matching >>, depth-aware, delegating strings to the
+                # string parsers so a ')' or '>>' INSIDE a string
+                # value can't corrupt the depth count
                 depth = 1
                 j = i + 2
-                while depth and j < n - 1:
-                    if stream[j:j + 2] == b"<<":
+                while depth and j < n:
+                    cj = stream[j]
+                    if cj == 0x28:  # ( literal string
+                        _, j = _literal_string(stream, j)
+                    elif stream[j:j + 2] == b"<<":
                         depth += 1
                         j += 2
                     elif stream[j:j + 2] == b">>":
                         depth -= 1
                         j += 2
+                    elif cj == 0x3C:  # < hex string
+                        _, j = _hex_string(stream, j)
                     else:
                         j += 1
                 if depth:
@@ -268,7 +282,11 @@ def _page_streams(objects, page: int) -> bytes:
             raise ValueError("PDF /Contents object without stream")
         filters = _filter_names(chead)
         if filters == [b"FlateDecode"]:
-            cstream = zlib.decompress(cstream)
+            try:
+                cstream = zlib.decompress(cstream)
+            except zlib.error as ex:
+                raise ValueError(
+                    f"corrupt PDF content stream: {ex}") from ex
         elif filters:
             raise ValueError(
                 "unsupported PDF content-stream filter %r"
@@ -279,14 +297,115 @@ def _page_streams(objects, page: int) -> bytes:
     return b"\n".join(parts)
 
 
-def _runs_of_stream(stream: bytes) -> list[tuple[str, float, float,
-                                                 float]]:
+def _parse_tounicode(stream: bytes) -> tuple[int, dict[int, str]]:
+    """Parse a /ToUnicode CMap stream (§9.10.3 / Adobe CMap spec) into
+    (code byte-width, {code: unicode string}). Handles
+    begincodespacerange (width), beginbfchar (pairs) and beginbfrange
+    (lo hi dst — dst a hex string whose last UTF-16 code unit
+    increments, or an array of per-code hex strings). The CMap's
+    PostScript scaffolding (findresource, dict defs) tokenizes as
+    names/operators the walk ignores."""
+    toks = list(_tokenize(stream))
+    code_len = 2
+    cmap: dict[int, str] = {}
+    i = 0
+    n = len(toks)
+    while i < n:
+        kind, val = toks[i]
+        if kind != "op":
+            i += 1
+            continue
+        if val == b"begincodespacerange":
+            if i + 1 < n and toks[i + 1][0] == "str":
+                code_len = max(1, len(toks[i + 1][1]))
+            while i < n and toks[i] != ("op", b"endcodespacerange"):
+                i += 1
+        elif val == b"beginbfchar":
+            i += 1
+            while i + 1 < n and toks[i][0] == "str":
+                src, dst = toks[i][1], toks[i + 1][1]
+                cmap[int.from_bytes(src, "big")] = \
+                    dst.decode("utf-16-be", "replace")
+                i += 2
+        elif val == b"beginbfrange":
+            i += 1
+            while i + 2 < n and toks[i][0] == "str" \
+                    and toks[i + 1][0] == "str":
+                lo = int.from_bytes(toks[i][1], "big")
+                hi = int.from_bytes(toks[i + 1][1], "big")
+                dk, dv = toks[i + 2]
+                if dk == "arr":
+                    for off, (_, ev) in enumerate(dv):
+                        cmap[lo + off] = ev.decode("utf-16-be",
+                                                   "replace")
+                else:
+                    for c in range(lo, hi + 1):
+                        s = bytearray(dv)
+                        unit = (int.from_bytes(s[-2:], "big")
+                                + (c - lo)) & 0xFFFF
+                        s[-2:] = unit.to_bytes(2, "big")
+                        cmap[c] = bytes(s).decode("utf-16-be",
+                                                  "replace")
+                i += 3
+        i += 1
+    return code_len, cmap
+
+
+def _page_fonts(objects, page: int) -> dict[bytes, tuple[int, dict]]:
+    """Resolve the page's /Resources /Font dict to the composite
+    (Type0/CID) fonts needing code→Unicode mapping: {font name:
+    (code width, cmap)}. A Type0 font WITHOUT /ToUnicode maps to
+    (2, {}) — its codes surface as U+FFFD gaps rather than latin-1
+    mojibake. Simple (byte-per-glyph) fonts are absent from the dict;
+    their strings decode on the latin-1 path as before."""
+    head, _ = objects[page]
+    res = head
+    m = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", head)
+    if m:
+        res = objects[int(m.group(1))][0]
+    fm = re.search(rb"/Font\s+(\d+)\s+\d+\s+R", res)
+    if fm:
+        fdict = objects[int(fm.group(1))][0]
+    else:
+        fm2 = re.search(rb"/Font\s*<<(.*?)>>", res, re.DOTALL)
+        if not fm2:
+            return {}
+        fdict = fm2.group(1)
+    fonts: dict[bytes, tuple[int, dict]] = {}
+    for name, ref in re.findall(
+            rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", fdict):
+        fhead = objects.get(int(ref), (b"", None))[0]
+        if b"/Type0" not in fhead:
+            continue
+        tu = _ref(fhead, b"/ToUnicode")
+        if tu is None or tu not in objects:
+            fonts[name] = (2, {})
+            continue
+        thead, tstream = objects[tu]
+        if tstream is None:
+            fonts[name] = (2, {})
+            continue
+        if _filter_names(thead) == [b"FlateDecode"]:
+            try:
+                tstream = zlib.decompress(tstream)
+            except zlib.error as ex:
+                raise ValueError(
+                    f"corrupt PDF ToUnicode stream: {ex}") from ex
+        fonts[name] = _parse_tounicode(tstream)
+    return fonts
+
+
+def _runs_of_stream(stream: bytes,
+                    fonts: dict[bytes, tuple[int, dict]] | None = None,
+                    ) -> list[tuple[str, float, float, float]]:
+    fonts = fonts or {}
     runs = []
     ctm = _ID
     gs_stack: list[tuple] = []
     tm = tlm = _ID
     size = 0.0
     leading = 0.0
+    cur_font = b""
     in_text = False
     operands: list = []
 
@@ -296,7 +415,17 @@ def _runs_of_stream(stream: bytes) -> list[tuple[str, float, float,
         dev = _mat_mul(tm, ctm)
         # size scales by the vertical magnitude of text+device space
         scale = (dev[2] ** 2 + dev[3] ** 2) ** 0.5
-        if text_bytes[:2] == b"\xfe\xff":
+        comp = fonts.get(cur_font)
+        if comp is not None:
+            # composite (Type0/CID) font: fixed-width codes through
+            # the ToUnicode map; unmapped/truncated codes are U+FFFD
+            width, cmap = comp
+            text = "".join(
+                cmap.get(int.from_bytes(text_bytes[j:j + width],
+                                        "big"), "�")
+                if j + width <= len(text_bytes) else "�"
+                for j in range(0, len(text_bytes), width))
+        elif text_bytes[:2] == b"\xfe\xff":
             # UTF-16BE with BOM (§7.9.2.2) — the common generator
             # encoding for non-Latin text strings
             text = text_bytes[2:].decode("utf-16-be", "replace")
@@ -316,6 +445,8 @@ def _runs_of_stream(stream: bytes) -> list[tuple[str, float, float,
             elif op == b"ET":
                 in_text = False
             elif op == b"Tf" and len(operands) >= 2:
+                if operands[-2][0] == "name":
+                    cur_font = operands[-2][1]
                 size = operands[-1][1]
             elif op == b"TL" and operands:
                 leading = operands[-1][1]
@@ -352,10 +483,13 @@ def _runs_of_stream(stream: bytes) -> list[tuple[str, float, float,
             elif op == b"cm" and len(operands) >= 6:
                 ctm = _mat_mul(tuple(o[1] for o in operands[-6:]), ctm)
             elif op == b"q":
-                gs_stack.append(ctm)
+                # ISO 32000-1 §8.4.1: text state (font, size, leading)
+                # is part of graphics state, so q/Q must save/restore
+                # it too — else 'q .. Tf .. Q' leaks the font change
+                gs_stack.append((ctm, size, leading, cur_font))
             elif op == b"Q":
                 if gs_stack:
-                    ctm = gs_stack.pop()
+                    ctm, size, leading, cur_font = gs_stack.pop()
             # every other operator (path/color/XObject/marked-content)
             # has no effect on text extraction
         finally:
@@ -379,6 +513,10 @@ def extract_pdf_text(data: bytes) -> list[list[tuple[str, float,
     if not trailers:
         raise ValueError("no PDF trailer (cross-reference streams "
                          "unsupported)")
+    if any(b"/Encrypt" in t for t in trailers):
+        # without this explicit check an encrypted file would surface
+        # as a zlib/tokenizer error — a misleading diagnosis
+        raise ValueError("encrypted PDF unsupported")
     root = _ref(trailers[-1], b"/Root")
     if root is None:
         raise ValueError("PDF trailer without /Root")
@@ -387,7 +525,8 @@ def extract_pdf_text(data: bytes) -> list[list[tuple[str, float,
         raise ValueError("PDF catalog without /Pages")
     page_objs: list[int] = []
     _walk_pages(objects, pages_root, page_objs)
-    return [_runs_of_stream(_page_streams(objects, p))
+    return [_runs_of_stream(_page_streams(objects, p),
+                            _page_fonts(objects, p))
             for p in page_objs]
 
 
@@ -426,12 +565,31 @@ def _fmt(v: float) -> bytes:
         (b"%.4f" % v)
 
 
-def _run_ops(r: int, text: str, x: float, y: float,
-             size: float) -> bytes:
+def _needs_cid(text: str) -> bool:
+    try:
+        text.encode("latin-1")
+        return False
+    except UnicodeEncodeError:
+        return True
+
+
+def _run_ops(r: int, text: str, x: float, y: float, size: float,
+             cid_of: dict[str, int] | None = None) -> bytes:
     """One BT..ET text object, rotating the operator form by run
-    index so round-trip tests cover the whole state machine."""
-    form = r % 4
+    index so round-trip tests cover the whole state machine. Runs
+    whose text exceeds latin-1 go through the Type0 font /F2 as
+    hex strings of 2-byte codes (``cid_of`` assigns them)."""
     s, fx, fy = _fmt(size), _fmt(x), _fmt(y)
+    if cid_of and _needs_cid(text):
+        hx = "".join(f"{cid_of[ch]:04X}" for ch in text).encode()
+        if r % 2 == 0:  # Td + Tj hex show
+            return (b"BT /F2 " + s + b" Tf " + fx + b" " + fy
+                    + b" Td <" + hx + b"> Tj ET")
+        half = (max(1, len(text) // 2)) * 4
+        return (b"BT /F2 " + s + b" Tf 1 0 0 1 " + fx + b" " + fy
+                + b" Tm [<" + hx[:half] + b"> -120 <" + hx[half:]
+                + b">] TJ ET")
+    form = r % 4
     if form == 0:  # plain Td + Tj
         return (b"BT /F1 " + s + b" Tf " + fx + b" " + fy
                 + b" Td (" + _esc(text) + b") Tj ET")
@@ -463,6 +621,61 @@ def encode_text_pdf(pages: list[list[tuple[str, float, float,
     return _encode_text_pdf(pages, compress_content=False)
 
 
+def _tounicode_cmap(cid_of: dict[str, int]) -> bytes:
+    """Build a /ToUnicode CMap stream body: codespace, then maximal
+    consecutive (code, char) groups — singletons as bfchar entries,
+    longer groups alternating between the incremental-destination and
+    array-destination bfrange forms so both decode paths are
+    exercised."""
+    items = sorted((c, ch) for ch, c in cid_of.items())
+    groups: list[list[tuple[int, str]]] = []
+    for c, ch in items:
+        if groups and c == groups[-1][-1][0] + 1 \
+                and ord(ch) == ord(groups[-1][-1][1]) + 1:
+            groups[-1].append((c, ch))
+        else:
+            groups.append([(c, ch)])
+    singles = [g[0] for g in groups if len(g) == 1]
+    ranges = [g for g in groups if len(g) > 1]
+
+    def u16(ch: str) -> bytes:
+        return ch.encode("utf-16-be").hex().upper().encode()
+
+    lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) "
+        b"/Supplement 0 >> def",
+        b"/CMapName /Adobe-Identity-UCS def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<0000> <FFFF>",
+        b"endcodespacerange",
+    ]
+    if singles:
+        lines.append(b"%d beginbfchar" % len(singles))
+        lines += [b"<%04X> <" % c + u16(ch) + b">"
+                  for c, ch in singles]
+        lines.append(b"endbfchar")
+    if ranges:
+        lines.append(b"%d beginbfrange" % len(ranges))
+        for gi, g in enumerate(ranges):
+            lo, hi = g[0][0], g[-1][0]
+            if gi % 2 == 0:  # incremental destination
+                lines.append(b"<%04X> <%04X> <" % (lo, hi)
+                             + u16(g[0][1]) + b">")
+            else:  # array destination, one string per code
+                arr = b" ".join(b"<" + u16(ch) + b">" for _, ch in g)
+                lines.append(b"<%04X> <%04X> [" % (lo, hi) + arr
+                             + b"]")
+        lines.append(b"endbfrange")
+    lines += [b"endcmap",
+              b"CMapName currentdict /CMap defineresource pop",
+              b"end", b"end"]
+    return b"\n".join(lines)
+
+
 def _encode_text_pdf(pages, compress_content: bool) -> bytes:
     objs: list[bytes] = []
 
@@ -470,8 +683,9 @@ def _encode_text_pdf(pages, compress_content: bool) -> bytes:
         objs.append(body)
         return len(objs)
 
-    def stream_obj(payload: bytes) -> bytes:
-        if compress_content:
+    def stream_obj(payload: bytes, compress: bool | None = None)\
+            -> bytes:
+        if compress_content if compress is None else compress:
             payload = zlib.compress(payload)
             return (b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
                     % len(payload) + payload + b"\nendstream")
@@ -482,10 +696,32 @@ def _encode_text_pdf(pages, compress_content: bool) -> bytes:
     pages_placeholder = add(b"")  # filled once kid numbers are known
     font_num = add(b"<< /Type /Font /Subtype /Type1 "
                    b"/BaseFont /Helvetica >>")
+    # composite-font code assignment: every char of every run whose
+    # text exceeds latin-1 gets a sequential 2-byte CID (sorted by
+    # codepoint, so consecutive chars form bfrange groups)
+    cid_chars = sorted({ch for runs in pages for (t, *_) in runs
+                        if _needs_cid(t) for ch in t})
+    cid_of = {ch: i + 1 for i, ch in enumerate(cid_chars)}
+    font_frag = b"/F1 %d 0 R" % font_num
+    if cid_of:
+        # ToUnicode always Flate-compressed: the reader's CMap
+        # decompression path stays exercised even in uncompressed
+        # fixture files
+        tu_num = add(stream_obj(_tounicode_cmap(cid_of),
+                                compress=True))
+        desc_num = add(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont "
+            b"/Synth /CIDSystemInfo << /Registry (Adobe) "
+            b"/Ordering (Identity) /Supplement 0 >> >>")
+        f2_num = add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+            b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+            b"/ToUnicode %d 0 R >>" % (desc_num, tu_num))
+        font_frag += b" /F2 %d 0 R" % f2_num
     page_nums = []
     for p, runs in enumerate(pages):
         dx, dy = (5, 7) if p % 2 else (0, 0)
-        body = [_run_ops(r, text, x - dx, y - dy, size)
+        body = [_run_ops(r, text, x - dx, y - dy, size, cid_of)
                 for r, (text, x, y, size) in enumerate(runs)]
         if p % 2:
             body = [b"q 1 0 0 1 %d %d cm" % (dx, dy)] + body + [b"Q"]
@@ -501,7 +737,7 @@ def _encode_text_pdf(pages, compress_content: bool) -> bytes:
         page_nums.append(add(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             b"/Contents " + contents + b" /Resources << /Font << "
-            b"/F1 %d 0 R >> >> >>" % font_num))
+            + font_frag + b" >> >> >>"))
     kids = b" ".join(b"%d 0 R" % n for n in page_nums)
     objs[pages_placeholder - 1] = (
         b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>"

@@ -51,8 +51,13 @@ __all__ = ["TEXT_RUN_SPEC", "ensure_pdf_text_store", "pdf_text_runs",
 TITLE_MIN_PT = 12.0
 
 _VOCAB = ["alpha", "bravo(q)", "back\\slash", "delta", "echo"]
+# file 4's runs carry CJK words, routed by the writer through a
+# Type0/Identity-H composite font with a Flate-compressed /ToUnicode
+# CMap (2-byte codes; bfchar + both bfrange forms) — the born-digital
+# CJK shape the latin-1 path can't represent
+_CJK_VOCAB = ["汉字测试", "中文(括号)", "日本語テキスト"]
 # (file index) → file name; odd files get FlateDecode content streams
-_FILES = [f"text_{f:02d}.pdf" for f in range(4)]
+_FILES = [f"text_{f:02d}.pdf" for f in range(5)]
 
 
 def _n_pages(f: int) -> int:
@@ -64,7 +69,9 @@ def _n_runs(f: int, p: int) -> int:
 
 
 def _run(f: int, p: int, r: int) -> tuple[str, float, float, float]:
-    return (f"{_VOCAB[(f + p + r) % 5]} f{f}p{p}r{r}",
+    word = _CJK_VOCAB[(p + r) % 3] if f == 4 \
+        else _VOCAB[(f + p + r) % 5]
+    return (f"{word} f{f}p{p}r{r}",
             float(36 + 10 * r + 2 * p),
             float(720 - 16 * r - 4 * p),
             float(8 + 2 * ((f + r) % 3)))
@@ -83,7 +90,8 @@ def ensure_pdf_text_store(root: str) -> str:
     """Write the text-PDF files under ``root`` (idempotent, DONE
     marker). Driver-side and O(1): 4 tiny files — fixture synthesis,
     not data-plane work."""
-    store = os.path.join(root, "pdftextstore_v1")
+    # v2: + file 4 (Type0/CID composite font, CJK runs)
+    store = os.path.join(root, "pdftextstore_v2")
     marker = os.path.join(store, "_DONE")
     if os.path.exists(marker):
         return store
@@ -203,8 +211,11 @@ def pdf_text_runs_oracle_sql() -> str:
 
 
 def pdf_page_text_oracle_sql() -> str:
+    # trailing `text` key makes the oracle a TOTAL order like the
+    # Spark side's (ny, x, text) struct sort — correctness must not
+    # rest on the fixture never producing duplicate (y, x)
     return ("SELECT file, page, CAST(COUNT(*) AS BIGINT) AS n_runs, "
-            "string_agg(text, ' ' ORDER BY y DESC, x ASC) "
+            "string_agg(text, ' ' ORDER BY y DESC, x ASC, text ASC) "
             "AS page_text FROM (" + pdf_text_runs_oracle_sql() +
             ") GROUP BY file, page")
 

@@ -176,3 +176,78 @@ def test_utf16be_bom_strings():
     runs = _runs_of_stream(
         b"BT /F1 10 Tf 10 20 Td <" + hx + b"> Tj ET")
     assert runs == [("héllo 中", 10.0, 20.0, 10.0)]
+
+
+def test_type0_cid_font_roundtrip_mixed():
+    """CJK + ASCII strings route through the Type0/Identity-H font:
+    2-byte codes via the Flate-compressed ToUnicode CMap (bfchar and
+    BOTH bfrange destination forms), Td+Tj hex and Tm+TJ split-hex
+    operator forms."""
+    from paddleocr_spark.kernels.pdf_text import (
+        _encode_text_pdf,
+        extract_pdf_text,
+    )
+
+    pages = [
+        [("汉字测试 f0", 36.0, 720.0, 10.0),
+         ("中文(括号) mixed", 40.0, 700.0, 12.0)],
+        [("日本語テキスト", 38.0, 716.0, 14.0),
+         ("pure latin survives", 36.0, 700.0, 10.0)],
+    ]
+    for compress in (False, True):
+        got = extract_pdf_text(_encode_text_pdf(pages, compress))
+        assert got == [[tuple(r) for r in p] for p in pages], compress
+
+
+def test_q_restores_text_state():
+    """§8.4.1: text state (font, size, leading) is graphics state —
+    a Tf/TL inside q..Q must not leak past the Q."""
+    from paddleocr_spark.kernels.pdf_text import _runs_of_stream
+
+    stream = (b"BT /F1 10 Tf 14 TL 36 720 Td (outer) Tj ET "
+              b"q BT /F1 24 Tf 50 TL 36 600 Td (inner) Tj ET Q "
+              b"BT 36 500 Td (after) Tj ET")
+    runs = _runs_of_stream(stream)
+    assert [(r[0], r[3]) for r in runs] == [
+        ("outer", 10.0), ("inner", 24.0), ("after", 10.0)]
+
+
+def test_encrypted_pdf_explicit_error():
+    from paddleocr_spark.kernels.pdf_text import (
+        _encode_text_pdf,
+        extract_pdf_text,
+    )
+
+    data = _encode_text_pdf([[("x", 36.0, 720.0, 10.0)]], False)
+    patched = data.replace(b"/Root 1 0 R",
+                           b"/Root 1 0 R /Encrypt 9 0 R")
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_pdf_text(patched)
+
+
+def test_dict_skip_is_string_aware():
+    """A BDC property list whose string values contain ')' escapes or
+    '>>' must not corrupt the dict skip (tokenizer depth counting
+    delegates to the string parsers)."""
+    from paddleocr_spark.kernels.pdf_text import _runs_of_stream
+
+    stream = (b"/OC << /Name (tricky \\) paren >> inside) "
+              b"/Alt <3e3e> >> BDC "
+              b"BT /F1 10 Tf 36 720 Td (visible) Tj ET EMC")
+    runs = _runs_of_stream(stream)
+    assert [r[0] for r in runs] == ["visible"]
+
+
+def test_type0_without_tounicode_yields_gaps():
+    """A composite font with no /ToUnicode cannot be decoded — codes
+    surface as U+FFFD, never as latin-1 mojibake."""
+    from paddleocr_spark.kernels.pdf_text import (
+        _encode_text_pdf,
+        extract_pdf_text,
+    )
+
+    data = _encode_text_pdf([[("汉字", 36.0, 720.0, 10.0)]], False)
+    patched = data.replace(b"/ToUnicode", b"/ToUnicodf")
+    (page,) = extract_pdf_text(patched)
+    assert page[0][0] == "��"
+    assert page[0][1:] == (36.0, 720.0, 10.0)
