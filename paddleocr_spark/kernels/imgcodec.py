@@ -4,7 +4,9 @@ BGR uint8 HxWx3) without cv2:
 
 - PNG: chunk parse, zlib IDAT inflate, scanline unfilter (None/Sub/Up/
   Average/Paeth), bit depth 8, color types gray / RGB / gray+alpha /
-  RGBA, non-interlaced. Encoder included (filter 0) for round-trips.
+  RGBA, sequential or Adam7 interlaced (seven independently-filtered
+  passes scattered onto their grids). Encoder included (filter 0,
+  optional Adam7) for round-trips.
 - BMP: BITMAPINFOHEADER, 24/32-bit uncompressed, bottom-up or top-down.
 - PPM/PGM: binary P6/P5, maxval 255.
 - GIF 87a/89a: pure-Python variable-width LZW, global/local color
@@ -64,12 +66,28 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if bit_depth != 8:
         raise ValueError(f"unsupported PNG bit depth {bit_depth}")
-    if interlace:
-        raise ValueError("interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color_type}")
     raw = zlib.decompress(bytes(idat))
+    if interlace:
+        # Adam7 (spec §8.2): seven independently-filtered sub-images,
+        # scattered back onto the (y0::dy, x0::dx) grids
+        out = np.zeros((height, width, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(width - x0) // dx))
+            ph = max(0, -(-(height - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue  # empty pass contributes no bytes
+            stride = pw * channels
+            sub = unfilter_png_rows(raw[off:off + ph * (stride + 1)],
+                                    ph, stride, channels)
+            out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            off += ph * (stride + 1)
+        return out
     out = unfilter_png_rows(raw, height, width * channels, channels)
     return out.reshape(height, width, channels)
 
@@ -124,9 +142,15 @@ def unfilter_png_rows(raw: bytes, height: int, stride: int,
     return out
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """(H, W[, C]) uint8 → PNG bytes (filter 0 rows). For tests and
-    fixture generation."""
+# Adam7 pass grid: (x start, y start, x step, y step) per pass
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """(H, W[, C]) uint8 → PNG bytes (filter 0 rows; ``interlace``
+    writes the Adam7 pass sequence). For tests and fixture
+    generation."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -137,8 +161,19 @@ def encode_png(img: np.ndarray) -> bytes:
         return (struct.pack(">I", len(body)) + ctype + body
                 + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
+                       1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts += [b"\x00" + sub[y].tobytes()
+                      for y in range(sub.shape[0])]
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
     return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))

@@ -59,6 +59,8 @@ _FILES = [
     ("pages_11.tif", "tiff_oldjpeg", 2),
     # §15 tile grid with LZW + predictor — lossless tiles
     ("pages_12.tif", "tiff_tiled_lzw", 2),
+    # Adam7 interlaced PNG (spec §8.2) — lossless
+    ("pages_13.png", "png_adam7", 1),
 ]
 
 
@@ -92,9 +94,9 @@ def ensure_page_store(root: str) -> str:
     """Write the container files under ``root`` (idempotent; guarded by
     a DONE marker). Driver-side and O(1): 6 tiny files — this is
     fixture synthesis, not data-plane work."""
-    # v5: + progressive JPEG, tiled/old-style JPEG-in-TIFF, LZW tile
-    # grid (cache key bumped so existing stores rebuild)
-    store = os.path.join(root, "pagestore_v5")
+    # v6: + progressive JPEG, tiled/old-style JPEG-in-TIFF, LZW tile
+    # grid, Adam7 PNG (cache key bumped so existing stores rebuild)
+    store = os.path.join(root, "pagestore_v6")
     marker = os.path.join(store, "_DONE")
     if os.path.exists(marker):
         return store
@@ -132,6 +134,8 @@ def ensure_page_store(root: str) -> str:
                                tile=(16, 16))
         elif kind == "png":
             data = encode_png(imgs[0])
+        elif kind == "png_adam7":
+            data = encode_png(imgs[0], interlace=True)
         else:  # ppm — same framing helper the page-explode path emits
             from paddleocr_spark.sources.media_files import _ppm_bytes
 

@@ -312,3 +312,63 @@ def test_gif_background_uses_global_table():
     # bg_idx entry (the same palette here) — crucially NOT garbage
     assert (out[:, :2] == (255, 0, 0)).all()
     assert (out[:, 2:] == out[0, 3]).all()
+
+
+def test_adam7_interlaced_roundtrip():
+    """Adam7 (PNG spec §8.2): seven independently-filtered passes
+    scatter back onto their grids; edge sizes leave some passes
+    empty."""
+    rng = np.random.default_rng(71)
+    for shape in [(16, 16, 3), (7, 5, 3), (1, 1, 3), (9, 13),
+                  (8, 8, 4), (3, 17, 3), (5, 1, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        data = encode_png(img, interlace=True)
+        # 8 magic + 4 len + 4 type + 12 body bytes = interlace flag
+        assert data[28] == 1
+        dec = decode_png(data)
+        ref = img if img.ndim == 3 else img[:, :, None]
+        assert np.array_equal(dec, ref), shape
+
+
+def test_adam7_per_pass_filters():
+    """Hand-build an interlaced stream whose passes use different row
+    filters (0/2/1) — each pass's filtering must reset independently
+    (prev row starts at zero per pass)."""
+    import struct
+    import zlib
+
+    from paddleocr_spark.kernels.imgcodec import _ADAM7, _PNG_MAGIC
+
+    rng = np.random.default_rng(72)
+    img = rng.integers(0, 256, (10, 10, 3), dtype=np.uint8)
+    parts = []
+    for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        ftype = (0, 2, 1)[pi % 3]
+        prev = np.zeros(sub.shape[1] * 3, dtype=np.int32)
+        for y in range(sub.shape[0]):
+            row = sub[y].reshape(-1).astype(np.int32)
+            if ftype == 2:  # Up
+                enc = (row - prev) & 0xFF
+            elif ftype == 1:  # Sub (bpp=3)
+                enc = row.copy()
+                enc[3:] = (row[3:] - row[:-3]) & 0xFF
+            else:
+                enc = row
+            parts.append(bytes([ftype]) + bytes(enc.astype(np.uint8)))
+            prev = row
+    raw = b"".join(parts)
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I",
+                              zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    data = (_PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 10, 10, 8, 2,
+                                         0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(data), img)
