@@ -171,6 +171,35 @@ def resize_norm_img(img: np.ndarray, max_wh_ratio: float,
     return padded
 
 
+def resize_table_image(img: np.ndarray, max_len: int = 488
+                       ) -> tuple[np.ndarray, list[float]]:
+    """Table-recognition input resize — ``ResizeTableImage``
+    (``toddleocr/transforms/custom/table_ops.py:164-184``): scale so
+    the LONG side equals ``max_len`` (ratio = max_len / max(h, w),
+    sizes truncated like the reference's int()), returning the
+    resized image and the reference's shape record
+    [src_h, src_w, ratio, ratio]."""
+    h, w = img.shape[:2]
+    ratio = max_len / (max(h, w) * 1.0)
+    resize_h, resize_w = int(h * ratio), int(w * ratio)
+    out = bilinear_resize(img, resize_w, resize_h)
+    return out, [float(h), float(w), ratio, ratio]
+
+
+def padding_table_image(img: np.ndarray, size=(488, 488),
+                        shape: list[float] | None = None
+                        ) -> tuple[np.ndarray, list[float]]:
+    """``PaddingTableImage`` (``table_ops.py:187-200``): zero-pad the
+    resized table image into the top-left of a (pad_h, pad_w, 3)
+    float32 canvas and extend the shape record with [pad_h, pad_w]."""
+    pad_h, pad_w = size
+    out = np.zeros((pad_h, pad_w, 3), dtype=np.float32)
+    h, w = img.shape[:2]
+    out[:h, :w, :] = img
+    return out, (list(shape) if shape else []) + [float(pad_h),
+                                                  float(pad_w)]
+
+
 def perspective_transform(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     """3x3 homography H with H @ [x, y, 1]ᵀ ∝ [x', y', 1]ᵀ for the 4
     correspondences (cv2.getPerspectiveTransform analogue; 8x8 solve

@@ -318,3 +318,40 @@ def test_check_img_bytes_path_gray(tmp_path):
     assert is_link("https://h/x.png") and not is_link("rel/x.png")
     with pytest.raises(NotImplementedError):
         check_img("http://example.com/a.png")
+
+
+# ResizeTableImage / PaddingTableImage (table_ops.py:164-200)
+
+def test_resize_table_image_long_side_and_shape():
+    from paddleocr_spark.kernels.preprocess import resize_table_image
+
+    img = np.arange(100 * 40 * 3, dtype=np.uint8).reshape(100, 40, 3)
+    out, shape = resize_table_image(img, max_len=488)
+    # long side becomes exactly max_len; sizes int-truncated like the
+    # reference (40 * 4.88 = 195.2 -> 195)
+    assert out.shape == (488, 195, 3)
+    assert shape == [100.0, 40.0, 4.88, 4.88]
+    # already-square small image upscales too (ratio > 1)
+    out2, shape2 = resize_table_image(np.zeros((10, 10, 3), np.uint8),
+                                      max_len=488)
+    assert out2.shape == (488, 488, 3)
+    assert shape2[2] == 48.8
+
+
+def test_padding_table_image_canvas_and_shape():
+    from paddleocr_spark.kernels.preprocess import (
+        padding_table_image,
+        resize_table_image,
+    )
+
+    img = np.full((60, 30, 3), 200, np.uint8)
+    resized, shape = resize_table_image(img, max_len=488)
+    padded, full_shape = padding_table_image(resized, (488, 488),
+                                             shape)
+    assert padded.shape == (488, 488, 3)
+    assert padded.dtype == np.float32
+    h, w = resized.shape[:2]
+    assert np.array_equal(padded[:h, :w], resized.astype(np.float32))
+    assert (padded[h:] == 0).all() and (padded[:, w:] == 0).all()
+    assert full_shape == [60.0, 30.0, 488 / 60, 488 / 60, 488.0,
+                          488.0]
