@@ -28,8 +28,8 @@ from __future__ import annotations
 __all__ = [
     "NGRAM_N", "BENCH_MOD", "SAMPLE_RATES", "SAMPLE_DENOM", "LANG_BUDGET",
     "QUALITY_MIN",
-    "benchmark_contamination", "stratified_sample", "token_budget_mix",
-    "curated_corpus",
+    "benchmark_contamination", "build_gram_table", "stratified_sample",
+    "token_budget_mix", "curated_corpus",
 ]
 
 NGRAM_N = 8           # verbatim 8-gram overlap = standard decontam unit
@@ -63,30 +63,49 @@ def _ngrams(F, toks_col, n: int):
     return _shingles(F, toks_col, n)
 
 
-def benchmark_contamination(spark, sf_dir: str, n: int = NGRAM_N):
-    """Training docs contaminated by the held-out benchmark split
-    (doc_id % BENCH_MOD == 0): any shared verbatim n-gram flags the
-    doc. Returns (doc_id, n_shared_ngrams, n_benchmark_docs).
+def _gram_table_dir(sf_dir: str, n: int) -> str:
+    import hashlib
+    import os
 
-    The gram join key is the md5 of the gram (fixed width beats
-    shuffling long strings); the benchmark side is broadcast — bounded
-    by BENCH_CAP / BENCH_MOD docs HOWEVER large the corpus grows (a
-    real deployment swaps the modulus slice for the actual held-out
-    benchmark table; the bound is the property that matters).
+    from paddleocr_spark.cachedir import cache_root
 
-    The test corpora have no natural verbatim 8-gram leakage at the
-    larger scale factors, so (dedup-plant pattern) the corpus is
-    augmented with CONTAM_PLANT_N training docs that embed a benchmark
-    doc's text behind an unrelated prefix — mirrored verbatim in the
-    DuckDB oracle, making the green row non-vacuous at every sf. The
-    plants live at NEGATIVE doc_ids (-(src+1)), which no real document
-    can hold, so a plant can never merge gram sets with a real doc
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = int(os.path.getmtime(src))
+    except OSError:
+        mtime = 0
+    ident = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}:{CONTAM_PLANT_N}:"
+        f"{CONTAM_PREFIX}:{BENCH_MOD}:xxh64".encode()).hexdigest()[:12]
+    return cache_root("contam_grams", f"v1_{ident}_n{n}")
+
+
+def build_gram_table(spark, sf_dir: str, n: int = NGRAM_N) -> str:
+    """Build (or load) the persisted document n-gram table — distinct
+    (doc_id, gh) rows where gh = xxhash64 of the gram (a fixed-width
+    8-byte join key: cheaper to compute AND to shuffle than an md5
+    hex string). Same build-once shape as the near-dup edge table:
+    the normalize+explode+hash pass over the corpus runs ONCE and
+    decontamination (plus any other gram consumer) reads parquet. At
+    production scale the gram table is a standard corpus-prep
+    artifact shared by dedup and decontamination. Returns the table
+    directory.
+
+    The corpus is augmented with CONTAM_PLANT_N training docs that
+    embed a benchmark doc's text behind an unrelated prefix (the test
+    corpora have no natural verbatim 8-gram leakage at larger scale
+    factors) — mirrored verbatim in the DuckDB oracle. The plants
+    live at NEGATIVE doc_ids (-(src+1)), which no real document can
+    hold, so a plant can never merge gram sets with a real doc
     whatever the corpus size."""
+    import os
+
+    out = _gram_table_dir(sf_dir, n)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
     from pyspark.sql import functions as F
 
     docs = _docs(spark, sf_dir)
-    is_bench = (F.col("doc_id") % BENCH_MOD == 0) & \
-        (F.col("doc_id") < BENCH_CAP)
     leaks = (docs.where((F.col("doc_id") % BENCH_MOD == 0)
                         & (F.col("doc_id") < CONTAM_PLANT_N * BENCH_MOD))
              .select((-F.col("doc_id") - 1).alias("doc_id"),
@@ -97,7 +116,27 @@ def benchmark_contamination(spark, sf_dir: str, n: int = NGRAM_N):
     toks = docs.select("doc_id", dedup_norm(F, F.col("text")).alias("tk"))
     grams = toks.select(
         "doc_id", F.explode(_ngrams(F, F.col("tk"), n)).alias("g"))
-    grams = grams.select("doc_id", F.md5(F.col("g")).alias("gh"))
+    (grams.select("doc_id", F.xxhash64(F.col("g")).alias("gh"))
+     .write.mode("overwrite").parquet(out))
+    return out
+
+
+def benchmark_contamination(spark, sf_dir: str, n: int = NGRAM_N):
+    """Training docs contaminated by the held-out benchmark split
+    (doc_id % BENCH_MOD == 0): any shared verbatim n-gram flags the
+    doc. Returns (doc_id, n_shared_ngrams, n_benchmark_docs).
+
+    Serves from the persisted gram table (``build_gram_table``) —
+    the query itself is one broadcast join + one aggregate. The
+    benchmark side is broadcast: bounded by BENCH_CAP / BENCH_MOD
+    docs HOWEVER large the corpus grows (a real deployment swaps the
+    modulus slice for the actual held-out benchmark table; the bound
+    is the property that matters)."""
+    from pyspark.sql import functions as F
+
+    grams = spark.read.parquet(build_gram_table(spark, sf_dir, n))
+    is_bench = (F.col("doc_id") % BENCH_MOD == 0) & \
+        (F.col("doc_id") >= 0) & (F.col("doc_id") < BENCH_CAP)
     bench = (grams.where(is_bench)
              .select(F.col("doc_id").alias("bench_doc_id"), "gh"))
     train = grams.where(~is_bench)
