@@ -125,18 +125,21 @@ def _walk_pages(objects, node: int, out: list[int]) -> None:
 def _page_image(objects, page: int) -> np.ndarray:
     head, _ = objects[page]
     xm = re.search(rb"/XObject\s*<<(.*?)>>", head, re.DOTALL)
-    if not xm:
-        raise ValueError(
-            "PDF page without an image XObject (text/vector pages "
-            "need a rasterizer; only scanned image-based PDFs "
-            "supported)")
-    refs = re.findall(rb"/\w+\s+(\d+)\s+\d+\s+R", xm.group(1))
-    for r in refs:
-        ihead, istream = objects[int(r)]
-        if not re.search(rb"/Subtype\s*/Image\b", ihead):
-            continue
-        return _decode_image_xobject(ihead, istream)
-    raise ValueError("PDF page XObjects contain no /Image")
+    if xm:
+        refs = re.findall(rb"/\w+\s+(\d+)\s+\d+\s+R", xm.group(1))
+        for r in refs:
+            ihead, istream = objects[int(r)]
+            if not re.search(rb"/Subtype\s*/Image\b", ihead):
+                continue
+            return _decode_image_xobject(ihead, istream)
+    # no image XObject: a vector-content page (ruled tables, charts,
+    # form overlays) — rasterize its content stream at the
+    # reference's 2x fitz matrix (kernels/pdf_raster.py). Pages WITH
+    # an image XObject keep the lossless direct-decode path above
+    # (the dominant scanned shape).
+    from paddleocr_spark.kernels.pdf_raster import _rasterize_page
+
+    return _rasterize_page(objects, page)
 
 
 def _filter_names(head: bytes) -> list[bytes]:

@@ -1,0 +1,533 @@
+"""Pure-NumPy PDF vector-content rasterizer.
+
+The reference renders EVERY PDF page with fitz at a 2x matrix
+(``toddleocr/utils/utility.py:105-123``). This repo splits the format
+by shape: scanned image-XObject pages decode losslessly
+(``kernels/pdf.py``), born-digital text reads straight from content
+streams (``kernels/pdf_text.py``), and this module covers the third
+shape — pages whose content is vector GRAPHICS (ruled tables, charts,
+diagrams, form overlays) — by rasterizing the content stream's path
+and image operators the way fitz would:
+
+- path construction: ``m l c v y h re`` (cubic Béziers flattened to
+  line segments), points transformed by the CTM at construction time
+- painting: ``f F f* B B* b b*`` scanline polygon fill with BOTH
+  winding rules (nonzero and even-odd), ``S s`` strokes approximated
+  as per-segment quads of the CTM-scaled line width (joins/caps are
+  square — documented approximation), ``n`` ends a path invisibly
+- clipping: ``W / W*`` intersect the active raster clip mask with the
+  current path's coverage, honored by every later paint and image
+- graphics state: full ``q/Q`` stack, ``cm`` concatenation, ``w``
+  line width, colors ``g G rg RG k K`` (CMYK via the ISO 32000-1
+  §8.6.4.4 conversion) plus numeric ``sc/scn/SC/SCN`` by operand
+  count; ``gs`` soft-mask/alpha state is ignored (opaque rendering)
+- XObjects via ``Do``: /Image streams (decoded by ``kernels/pdf.py``)
+  drawn through the CTM's unit-square mapping with nearest-neighbor
+  sampling and clip respected; /Form streams recurse with composed
+  CTM + the form's own /Resources (depth-capped)
+- text operators are consumed and IGNORED: glyph rendering needs font
+  programs; born-digital text is extracted (not drawn) by
+  ``kernels/pdf_text.py`` — the page image a downstream OCR stage
+  sees simply lacks glyph ink, which is the honest split, not a wrong
+  approximation of it
+- ``BI`` inline images and ``sh`` shadings raise explicitly
+
+Device space follows the reference's fitz call: ``scale``x the
+MediaBox (default 2.0), y flipped so row 0 is the page top. Output is
+(H, W, 3) uint8 BGR like every other decoder in the repo.
+
+``encode_vector_pdf`` is the writer twin: structurally valid PDFs
+whose pages carry rectangle fills / polygon fills / strokes / clips /
+placed images with ANALYTIC pixel coverage (integer user coordinates
+land on exact device pixels at integer scales), so fixture means are
+derivable by hand and the DuckDB oracle never runs the rasterizer.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from paddleocr_spark.kernels.pdf import (
+    _decode_image_xobject,
+    _ref,
+    _scan_objects,
+    _walk_pages,
+    is_pdf,
+)
+from paddleocr_spark.kernels.pdf_text import _page_streams, _tokenize
+
+__all__ = ["rasterize_pdf_pages", "encode_vector_pdf"]
+
+_BEZIER_STEPS = 16
+_MAX_FORM_DEPTH = 8
+
+
+def _mat_mul(a, b):
+    a0, a1, a2, a3, a4, a5 = a
+    b0, b1, b2, b3, b4, b5 = b
+    return (a0 * b0 + a1 * b2, a0 * b1 + a1 * b3,
+            a2 * b0 + a3 * b2, a2 * b1 + a3 * b3,
+            a4 * b0 + a5 * b2 + b4, a4 * b1 + a5 * b3 + b5)
+
+
+def _apply(m, x, y):
+    return (m[0] * x + m[2] * y + m[4], m[1] * x + m[3] * y + m[5])
+
+
+def _fill_mask(subpaths, h: int, w: int, evenodd: bool) -> np.ndarray:
+    """Scanline coverage of closed subpaths (device coords, y down):
+    a pixel is inside when its CENTER (x+.5, y+.5) is, under the
+    requested winding rule. Vectorized per edge over all scanlines."""
+    mask = np.zeros((h, w), dtype=bool)
+    ys = np.arange(h) + 0.5
+    crossings: list[list[tuple[float, int]]] = [[] for _ in range(h)]
+    any_edge = False
+    for sp in subpaths:
+        if len(sp) < 3:
+            continue
+        pts = sp if sp[0] == sp[-1] else sp + [sp[0]]
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+            if y0 == y1:
+                continue
+            any_edge = True
+            direction = 1 if y1 > y0 else -1
+            lo, hi = (y0, y1) if y0 < y1 else (y1, y0)
+            # scanlines whose center falls in [lo, hi)
+            sel = np.nonzero((ys >= lo) & (ys < hi))[0]
+            if sel.size == 0:
+                continue
+            xs = x0 + (ys[sel] - y0) * (x1 - x0) / (y1 - y0)
+            for row, x in zip(sel, xs):
+                crossings[row].append((x, direction))
+    if not any_edge:
+        return mask
+    for row, cr in enumerate(crossings):
+        if not cr:
+            continue
+        cr.sort()
+        if evenodd:
+            for i in range(0, len(cr) - 1, 2):
+                a = max(0, int(np.ceil(cr[i][0] - 0.5)))
+                b = min(w, int(np.ceil(cr[i + 1][0] - 0.5)))
+                if b > a:
+                    mask[row, a:b] = True
+        else:
+            wind = 0
+            for (xa, d), (xb, _) in zip(cr, cr[1:]):
+                wind += d
+                if wind != 0:
+                    a = max(0, int(np.ceil(xa - 0.5)))
+                    b = min(w, int(np.ceil(xb - 0.5)))
+                    if b > a:
+                        mask[row, a:b] = True
+    return mask
+
+
+def _stroke_mask(subpaths, closed_flags, lw: float, h: int,
+                 w: int) -> np.ndarray:
+    """Stroke coverage: each segment becomes a quad of width ``lw``
+    centered on it (square caps/joins)."""
+    lw = max(lw, 1.0)
+    quads = []
+    for sp, closed in zip(subpaths, closed_flags):
+        pts = sp + [sp[0]] if closed and sp[0] != sp[-1] else sp
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+            dx, dy = x1 - x0, y1 - y0
+            n = (dx * dx + dy * dy) ** 0.5
+            if n == 0:
+                continue
+            ux, uy = dx / n, dy / n
+            px, py = -uy * lw / 2, ux * lw / 2
+            quads.append([(x0 + px, y0 + py), (x1 + px, y1 + py),
+                          (x1 - px, y1 - py), (x0 - px, y0 - py)])
+    out = np.zeros((h, w), dtype=bool)
+    for q in quads:
+        out |= _fill_mask([q], h, w, evenodd=False)
+    return out
+
+
+def _cmyk_to_rgb(c, m, y, k):
+    return (255.0 * (1 - min(1.0, c + k)),
+            255.0 * (1 - min(1.0, m + k)),
+            255.0 * (1 - min(1.0, y + k)))
+
+
+def _media_box(objects, page: int) -> tuple[float, float, float, float]:
+    """/MediaBox of the page, inherited from ancestor /Pages nodes
+    (walk up via /Parent); letter-size default."""
+    node = page
+    for _ in range(32):
+        head = objects[node][0]
+        m = re.search(
+            rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)"
+            rb"\s+([\d.+-]+)", head)
+        if m:
+            return tuple(float(m.group(i)) for i in range(1, 5))
+        parent = _ref(head, b"/Parent")
+        if parent is None:
+            break
+        node = parent
+    return (0.0, 0.0, 612.0, 792.0)
+
+
+def _xobjects_of(head: bytes) -> dict[bytes, int]:
+    xm = re.search(rb"/XObject\s*<<(.*?)>>", head, re.DOTALL)
+    if not xm:
+        return {}
+    return {name: int(num) for name, num in
+            re.findall(rb"/(\w+)\s+(\d+)\s+\d+\s+R", xm.group(1))}
+
+
+_SHOW_OPS = {b"Tj", b"TJ", b"'", b'"'}
+_TEXT_OPS = {b"BT", b"ET", b"Td", b"TD", b"Tm", b"T*", b"TL", b"Tf",
+             b"Tc", b"Tw", b"Tz", b"Ts", b"Tr"}
+
+
+def _render_stream(stream: bytes, canvas: np.ndarray, base_ctm,
+                   xobjects, objects, clip: np.ndarray, depth: int = 0):
+    """Execute one content stream onto ``canvas`` (H, W, 3 float RGB,
+    y-down device space already encoded in ``base_ctm``)."""
+    h, w = canvas.shape[:2]
+    ctm = base_ctm
+    fill = (0.0, 0.0, 0.0)
+    strokec = (0.0, 0.0, 0.0)
+    lw = 1.0
+    gs_stack: list[tuple] = []
+    subpaths: list[list] = []
+    closed_flags: list[bool] = []
+    cur: list = []
+    cur_closed = False
+    start = None
+    pending_clip = None  # winding rule of a W/W* awaiting its paint op
+    operands: list = []
+
+    def flush_path():
+        nonlocal cur, cur_closed
+        if cur:
+            subpaths.append(cur)
+            closed_flags.append(cur_closed)
+        cur, cur_closed = [], False
+
+    def paint(do_fill, do_stroke, evenodd):
+        nonlocal clip, subpaths, closed_flags, pending_clip
+        flush_path()
+        if subpaths:
+            if do_fill:
+                m = _fill_mask(subpaths, h, w, evenodd) & clip
+                canvas[m] = fill
+            if do_stroke:
+                # device line width: scale by the CTM's mean magnitude
+                s = ((ctm[0] ** 2 + ctm[1] ** 2) ** 0.5
+                     + (ctm[2] ** 2 + ctm[3] ** 2) ** 0.5) / 2
+                m = _stroke_mask(subpaths, closed_flags, lw * s,
+                                 h, w) & clip
+                canvas[m] = strokec
+            if pending_clip is not None:
+                clip = clip & _fill_mask(subpaths, h, w,
+                                         pending_clip == b"W*")
+        pending_clip = None
+        subpaths, closed_flags = [], []
+
+    def rgb_of(vals):
+        if len(vals) >= 4:
+            return _cmyk_to_rgb(*vals[-4:])
+        if len(vals) == 3:
+            return tuple(255.0 * v for v in vals)
+        if len(vals) == 1:
+            g = 255.0 * vals[0]
+            return (g, g, g)
+        return None
+
+    for kind, val in _tokenize(stream):
+        if kind != "op":
+            operands.append((kind, val))
+            continue
+        op = val
+        nums = [v for k, v in operands if k == "num"]
+        try:
+            if op == b"m" and len(nums) >= 2:
+                flush_path()
+                start = _apply(ctm, nums[-2], nums[-1])
+                cur = [start]
+            elif op == b"l" and len(nums) >= 2 and cur:
+                cur.append(_apply(ctm, nums[-2], nums[-1]))
+            elif op in (b"c", b"v", b"y") and cur:
+                x0, y0 = cur[-1]
+                if op == b"c" and len(nums) >= 6:
+                    p1 = _apply(ctm, nums[-6], nums[-5])
+                    p2 = _apply(ctm, nums[-4], nums[-3])
+                    p3 = _apply(ctm, nums[-2], nums[-1])
+                elif op == b"v" and len(nums) >= 4:
+                    p1 = (x0, y0)
+                    p2 = _apply(ctm, nums[-4], nums[-3])
+                    p3 = _apply(ctm, nums[-2], nums[-1])
+                elif op == b"y" and len(nums) >= 4:
+                    p1 = _apply(ctm, nums[-4], nums[-3])
+                    p3 = _apply(ctm, nums[-2], nums[-1])
+                    p2 = p3
+                else:
+                    operands = []
+                    continue
+                for i in range(1, _BEZIER_STEPS + 1):
+                    t = i / _BEZIER_STEPS
+                    mt = 1 - t
+                    cur.append((
+                        mt ** 3 * x0 + 3 * mt ** 2 * t * p1[0]
+                        + 3 * mt * t ** 2 * p2[0] + t ** 3 * p3[0],
+                        mt ** 3 * y0 + 3 * mt ** 2 * t * p1[1]
+                        + 3 * mt * t ** 2 * p2[1] + t ** 3 * p3[1]))
+            elif op == b"h" and cur:
+                cur.append(cur[0])
+                cur_closed = True
+            elif op == b"re" and len(nums) >= 4:
+                flush_path()
+                x, y, rw, rh = nums[-4:]
+                pts = [(x, y), (x + rw, y), (x + rw, y + rh),
+                       (x, y + rh), (x, y)]
+                subpaths.append([_apply(ctm, px, py) for px, py in pts])
+                closed_flags.append(True)
+            elif op in (b"f", b"F"):
+                paint(True, False, False)
+            elif op == b"f*":
+                paint(True, False, True)
+            elif op == b"S":
+                paint(False, True, False)
+            elif op == b"s":
+                cur_closed = True
+                paint(False, True, False)
+            elif op in (b"B", b"b"):
+                if op == b"b":
+                    cur_closed = True
+                paint(True, True, False)
+            elif op in (b"B*", b"b*"):
+                paint(True, True, True)
+            elif op == b"n":
+                paint(False, False, False)
+            elif op in (b"W", b"W*"):
+                pending_clip = op
+            elif op == b"g" and nums:
+                fill = rgb_of(nums[-1:])
+            elif op == b"G" and nums:
+                strokec = rgb_of(nums[-1:])
+            elif op == b"rg" and len(nums) >= 3:
+                fill = rgb_of(nums[-3:])
+            elif op == b"RG" and len(nums) >= 3:
+                strokec = rgb_of(nums[-3:])
+            elif op == b"k" and len(nums) >= 4:
+                fill = _cmyk_to_rgb(*nums[-4:])
+            elif op == b"K" and len(nums) >= 4:
+                strokec = _cmyk_to_rgb(*nums[-4:])
+            elif op in (b"sc", b"scn") and nums:
+                c = rgb_of(nums)
+                if c is not None:
+                    fill = c
+            elif op in (b"SC", b"SCN") and nums:
+                c = rgb_of(nums)
+                if c is not None:
+                    strokec = c
+            elif op == b"w" and nums:
+                lw = nums[-1]
+            elif op == b"cm" and len(nums) >= 6:
+                ctm = _mat_mul(tuple(nums[-6:]), ctm)
+            elif op == b"q":
+                gs_stack.append((ctm, fill, strokec, lw, clip))
+            elif op == b"Q":
+                if gs_stack:
+                    ctm, fill, strokec, lw, clip = gs_stack.pop()
+            elif op == b"Do" and operands:
+                name = operands[-1][1]
+                num = xobjects.get(name)
+                if num is None:
+                    raise ValueError(
+                        f"PDF Do references unknown XObject "
+                        f"{name!r}")
+                xhead, xstream = objects[num]
+                if re.search(rb"/Subtype\s*/Image\b", xhead):
+                    img = _decode_image_xobject(xhead, xstream)
+                    _draw_image(canvas, clip, ctm, img[:, :, ::-1])
+                elif re.search(rb"/Subtype\s*/Form\b", xhead):
+                    if depth >= _MAX_FORM_DEPTH:
+                        raise ValueError("PDF form XObjects nested "
+                                         "too deeply")
+                    import zlib as _z
+
+                    from paddleocr_spark.kernels.pdf import (
+                        _filter_names,
+                    )
+
+                    body = xstream or b""
+                    if _filter_names(xhead) == [b"FlateDecode"]:
+                        body = _z.decompress(body)
+                    fm = re.search(
+                        rb"/Matrix\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+"
+                        rb"([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+"
+                        rb"([\d.+-]+)", xhead)
+                    fctm = ctm
+                    if fm:
+                        fmat = tuple(float(fm.group(i))
+                                     for i in range(1, 7))
+                        fctm = _mat_mul(fmat, ctm)
+                    _render_stream(body, canvas, fctm,
+                                   _xobjects_of(xhead) or xobjects,
+                                   objects, clip, depth + 1)
+                else:
+                    raise ValueError("unsupported PDF XObject subtype")
+            elif op == b"BI":
+                raise ValueError("inline images (BI..EI) unsupported "
+                                 "in PDF content streams")
+            elif op == b"sh":
+                raise ValueError("PDF shading patterns unsupported")
+            elif op in _SHOW_OPS or op in _TEXT_OPS:
+                # text is extracted, not drawn (module docstring)
+                pass
+        finally:
+            operands = []
+
+
+def _draw_image(canvas, clip, ctm, img_rgb):
+    """Place an image XObject: image space maps the unit square
+    through the CTM (ISO 32000-1 §8.9.5). Nearest-neighbor inverse
+    sampling over the mapped bbox."""
+    h, w = canvas.shape[:2]
+    ih, iw = img_rgb.shape[:2]
+    corners = [_apply(ctm, x, y) for x, y in
+               ((0, 0), (1, 0), (0, 1), (1, 1))]
+    xs = [c[0] for c in corners]
+    ys = [c[1] for c in corners]
+    x0 = max(0, int(np.floor(min(xs))))
+    x1 = min(w, int(np.ceil(max(xs))))
+    y0 = max(0, int(np.floor(min(ys))))
+    y1 = min(h, int(np.ceil(max(ys))))
+    if x1 <= x0 or y1 <= y0:
+        return
+    a, b, c, d, e, f = ctm
+    det = a * d - b * c
+    if det == 0:
+        return
+    ia, ib, ic, id_ = d / det, -b / det, -c / det, a / det
+    ie = -(e * ia + f * ic)
+    if_ = -(e * ib + f * id_)
+    gy, gx = np.mgrid[y0:y1, x0:x1]
+    px = gx + 0.5
+    py = gy + 0.5
+    u = px * ia + py * ic + ie
+    v = px * ib + py * id_ + if_
+    inside = (u >= 0) & (u < 1) & (v >= 0) & (v < 1) \
+        & clip[y0:y1, x0:x1]
+    su = np.clip((u * iw).astype(np.int64), 0, iw - 1)
+    # image row 0 is at v = 1 (unit square top)
+    sv = np.clip(((1 - v) * ih).astype(np.int64), 0, ih - 1)
+    region = canvas[y0:y1, x0:x1]
+    region[inside] = img_rgb[sv[inside], su[inside]].astype(np.float64)
+
+
+def rasterize_pdf_pages(data: bytes, scale: float = 2.0
+                        ) -> list[np.ndarray]:
+    """PDF bytes → list of (H, W, 3) uint8 BGR page rasters at
+    ``scale``x the MediaBox (fitz's 2x default), page-tree order."""
+    if not is_pdf(data):
+        raise ValueError("not a PDF")
+    objects = _scan_objects(data)
+    trailers = re.findall(rb"trailer(.*?)(?:startxref|%%EOF)", data,
+                          re.DOTALL)
+    if not trailers:
+        raise ValueError("no PDF trailer (cross-reference streams "
+                         "unsupported)")
+    root = _ref(trailers[-1], b"/Root")
+    if root is None:
+        raise ValueError("PDF trailer without /Root")
+    pages_root = _ref(objects[root][0], b"/Pages")
+    if pages_root is None:
+        raise ValueError("PDF catalog without /Pages")
+    page_objs: list[int] = []
+    _walk_pages(objects, pages_root, page_objs)
+    if not page_objs:
+        raise ValueError("PDF with no pages")
+    return [_rasterize_page(objects, p, scale) for p in page_objs]
+
+
+def _rasterize_page(objects, page: int, scale: float = 2.0
+                    ) -> np.ndarray:
+    """One page object → (H, W, 3) uint8 BGR raster (also the
+    fallback ``kernels/pdf.py`` routes image-less pages through)."""
+    x0, y0, x1, y1 = _media_box(objects, page)
+    w = max(1, int(round((x1 - x0) * scale)))
+    h = max(1, int(round((y1 - y0) * scale)))
+    canvas = np.full((h, w, 3), 255.0)  # white, RGB float
+    # user space -> device: translate to MediaBox origin, scale,
+    # flip y so row 0 is the page TOP
+    base = (scale, 0.0, 0.0, -scale, -x0 * scale, h + y0 * scale)
+    clip = np.ones((h, w), dtype=bool)
+    stream = _page_streams(objects, page)
+    _render_stream(stream, canvas, base,
+                   _xobjects_of(objects[page][0]), objects, clip)
+    return np.clip(np.round(canvas[:, :, ::-1]), 0, 255).astype(
+        np.uint8)
+
+
+# --- writer (test-fixture twin) --------------------------------------
+
+
+def encode_vector_pdf(pages: list[bytes],
+                      media_boxes: list[tuple[int, int]],
+                      images: dict[str, np.ndarray] | None = None,
+                      compress: bool = False) -> bytes:
+    """Raw content streams + (w, h) MediaBoxes → a structurally valid
+    vector PDF. ``images`` maps XObject names used in the streams
+    (e.g. "Im0") to (H, W, 3) uint8 BGR arrays stored as FlateDecode
+    /DeviceRGB XObjects available to every page."""
+    import zlib
+
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    pages_ph = add(b"")
+    img_frag = b""
+    if images:
+        refs = []
+        for name, img in sorted(images.items()):
+            ih, iw = img.shape[:2]
+            payload = zlib.compress(img[:, :, ::-1].tobytes())
+            n = add(b"<< /Type /XObject /Subtype /Image /Width %d "
+                    b"/Height %d /BitsPerComponent 8 /Filter "
+                    b"/FlateDecode /ColorSpace /DeviceRGB /Length %d "
+                    b">>\nstream\n" % (iw, ih, len(payload))
+                    + payload + b"\nendstream")
+            refs.append(b"/%s %d 0 R" % (name.encode(), n))
+        img_frag = (b" /Resources << /XObject << " + b" ".join(refs)
+                    + b" >> >>")
+    page_nums = []
+    for content, (w, h) in zip(pages, media_boxes):
+        if compress:
+            payload = zlib.compress(content)
+            c = add(b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                    % len(payload) + payload + b"\nendstream")
+        else:
+            c = add(b"<< /Length %d >>\nstream\n" % len(content)
+                    + content + b"\nendstream")
+        page_nums.append(add(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+            b"/Contents %d 0 R%s >>" % (w, h, c, img_frag)))
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    objs[pages_ph - 1] = (b"<< /Type /Pages /Kids [" + kids
+                          + b"] /Count %d >>" % len(pages))
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % (i + 1) + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n"
+            b"%%%%EOF\n" % (len(objs) + 1, xref_off))
+    return bytes(out)

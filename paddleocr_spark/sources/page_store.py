@@ -61,6 +61,11 @@ _FILES = [
     ("pages_12.tif", "tiff_tiled_lzw", 2),
     # Adam7 interlaced PNG (spec §8.2) — lossless
     ("pages_13.png", "png_adam7", 1),
+    # vector-content PDF (no image XObject): background + inner-rect
+    # fills rasterized by kernels/pdf_raster.py at the reference's 2x
+    # matrix; integer user coords land on exact device pixels, so the
+    # mean is an exact rational derived below
+    ("pages_14.pdf", "pdf_vector", 2),
 ]
 
 
@@ -76,10 +81,29 @@ def _w(f: int, p: int) -> int:
     return 20 + f + 2 * p
 
 
+def _vector_geom(f: int, p: int):
+    """The vector page's analytic layout: MediaBox (w, h) user units,
+    a full-page fill of value v, and an inner rect of value
+    (v + 40) % 251 at integer coords (2, 3) sized (w//2, h//2)."""
+    h, w, v = _h(f, p), _w(f, p), _v(f, p)
+    return h, w, v, (v + 40) % 251, 2, 3, w // 2, h // 2
+
+
+def _spec_row(f: int, name: str, kind: str, p: int, n: int):
+    if kind == "pdf_vector":
+        # decoded at 2x: dims double; mean = exact area-weighted value
+        h, w, v, v2, rx, ry, rw, rh = _vector_geom(f, p)
+        npx = 4 * h * w
+        inner = 4 * rw * rh
+        mean = (v * (npx - inner) + v2 * inner) / npx
+        return (name, p, n > 1, 2 * h, 2 * w, mean)
+    return (name, p, n > 1, _h(f, p), _w(f, p), float(_v(f, p)))
+
+
 # the analytic expectation: one row per page of every store file
 PAGE_SPEC = [
-    (name, p, n > 1, _h(f, p), _w(f, p), _v(f, p))
-    for f, (name, _, n) in enumerate(_FILES)
+    _spec_row(f, name, kind, p, n)
+    for f, (name, kind, n) in enumerate(_FILES)
     for p in range(n)
 ]
 
@@ -94,9 +118,10 @@ def ensure_page_store(root: str) -> str:
     """Write the container files under ``root`` (idempotent; guarded by
     a DONE marker). Driver-side and O(1): 6 tiny files — this is
     fixture synthesis, not data-plane work."""
-    # v6: + progressive JPEG, tiled/old-style JPEG-in-TIFF, LZW tile
-    # grid, Adam7 PNG (cache key bumped so existing stores rebuild)
-    store = os.path.join(root, "pagestore_v6")
+    # v7: + progressive JPEG, tiled/old-style JPEG-in-TIFF, LZW tile
+    # grid, Adam7 PNG, vector-content PDF (cache key bumped so
+    # existing stores rebuild)
+    store = os.path.join(root, "pagestore_v7")
     marker = os.path.join(store, "_DONE")
     if os.path.exists(marker):
         return store
@@ -136,6 +161,21 @@ def ensure_page_store(root: str) -> str:
             data = encode_png(imgs[0])
         elif kind == "png_adam7":
             data = encode_png(imgs[0], interlace=True)
+        elif kind == "pdf_vector":
+            from paddleocr_spark.kernels.pdf_raster import (
+                encode_vector_pdf,
+            )
+
+            contents, boxes = [], []
+            for p in range(n):
+                h, w, v, v2, rx, ry, rw, rh = _vector_geom(f, p)
+                contents.append(
+                    b"%.10f %.10f %.10f rg 0 0 %d %d re f "
+                    b"%.10f %.10f %.10f rg %d %d %d %d re f"
+                    % ((v / 255.0,) * 3 + (w, h)
+                       + (v2 / 255.0,) * 3 + (rx, ry, rw, rh)))
+                boxes.append((w, h))
+            data = encode_vector_pdf(contents, boxes, compress=True)
         else:  # ppm — same framing helper the page-explode path emits
             from paddleocr_spark.sources.media_files import _ppm_bytes
 

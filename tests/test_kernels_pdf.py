@@ -47,14 +47,18 @@ def test_rejects_text_pdf_and_garbage():
     assert not is_pdf(b"plain text")
     with pytest.raises(ValueError):
         decode_pdf_pages(b"%PDF-1.4\nno objects here")
-    # a structurally valid PDF whose page has no image XObject
+    # a structurally valid PDF whose page has no image XObject routes
+    # through the vector rasterizer (kernels/pdf_raster.py): with no
+    # /Contents either, that is a blank default-letter page at the
+    # reference's 2x matrix
     body = (b"%PDF-1.4\n"
             b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
             b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
             b"3 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n"
             b"trailer\n<< /Size 4 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
-    with pytest.raises(ValueError, match="XObject"):
-        decode_pdf_pages(body)
+    (pg,) = decode_pdf_pages(body)
+    assert pg.shape == (1584, 1224, 3)  # 792x612 letter at 2x
+    assert (pg == 255).all()
 
 
 def test_jpeg_stream_bytes_do_not_confuse_the_scanner():
