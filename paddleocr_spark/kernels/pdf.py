@@ -10,20 +10,30 @@ the real PDF object graph for that shape:
 
 - object scan: ``N 0 obj`` … ``endobj`` with stream bodies skipped via
   their literal ``/Length`` (streams may contain any bytes, so the
-  parser never regexes across them)
-- trailer ``/Root`` → catalog ``/Pages`` → ``/Kids`` page-tree walk
+  parser never regexes across them); PDF 1.5+ **object streams**
+  (``/Type /ObjStm``) are unpacked after the raw pass — their N
+  "num offset" header pairs yield the compressed objects raw
+  numbering never saw
+- document root: the last ``trailer`` dict's ``/Root``, or — in
+  PDF 1.5+ files that replace the trailer with a **cross-reference
+  stream** — the last ``/Type /XRef`` stream dict's ``/Root``
+  (``_doc_root``); catalog ``/Pages`` → ``/Kids`` page-tree walk
   (nested ``/Pages`` nodes supported) — page ORDER comes from the
   tree, not from object numbering
 - per page: ``/Resources /XObject`` → the referenced ``/Subtype
   /Image`` stream; filters ``/DCTDecode`` (decoded by
   ``kernels/jpeg.py``) and ``/FlateDecode`` (stdlib zlib; raw
-  ``/DeviceRGB`` / ``/DeviceGray``, 8 bits per component)
+  ``/DeviceRGB`` / ``/DeviceGray``, 8 bits per component); pages
+  with no image XObject fall through to the vector rasterizer
+  (``kernels/pdf_raster.py``)
 
-Out of scope (explicit errors): text/vector content (needs a real
-rasterizer), encryption, object streams / cross-reference streams
-(PDF 1.5+ compressed xref), CCITT/JBIG2/JPX filters, indirect
-``/Length``. ``encode_pdf`` writes the same shape (valid xref table
-and all) so decoder tests are an interop check on the object graph.
+Out of scope (explicit errors): encryption, CCITT/JBIG2/JPX filters,
+indirect ``/Length``. ``encode_pdf`` writes the classic shape (valid
+xref table and all) and ``repack_pdf_objstm`` rewrites ANY classic
+file from this repo's writers into the 1.5+ shape (one ObjStm
+holding every non-stream object + a real cross-reference stream,
+trailer-less), so decoder tests are an interop check on both object
+graphs.
 """
 
 from __future__ import annotations
@@ -82,7 +92,37 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             pos = end_plain + 6
     if not objects:
         raise ValueError("no PDF objects found")
+    _unpack_object_streams(objects)
     return objects
+
+
+def _unpack_object_streams(objects) -> None:
+    """PDF 1.5 §7.5.7: a /Type /ObjStm stream packs non-stream
+    objects as N "num offset" header pairs + concatenated bodies from
+    /First. Unpack them into the object map; raw (latest-definition)
+    entries win over packed ones, matching the scanner's
+    incremental-update policy."""
+    for num in list(objects):
+        head, stream = objects[num]
+        if stream is None or not re.search(rb"/Type\s*/ObjStm\b", head):
+            continue
+        n = _int_val(head, b"/N")
+        first = _int_val(head, b"/First")
+        if n is None or first is None:
+            raise ValueError("ObjStm without /N or /First")
+        if _filter_names(head) == [b"FlateDecode"]:
+            stream = zlib.decompress(stream)
+        elif _filter_names(head):
+            raise ValueError("unsupported ObjStm filter")
+        pairs = stream[:first].split()
+        if len(pairs) < 2 * n:
+            raise ValueError("truncated ObjStm header")
+        nums = [int(x) for x in pairs[0:2 * n:2]]
+        offs = [int(x) for x in pairs[1:2 * n:2]]
+        for i, (onum, off) in enumerate(zip(nums, offs)):
+            end = first + offs[i + 1] if i + 1 < n else len(stream)
+            if onum not in objects:
+                objects[onum] = (stream[first + off:end], None)
 
 
 def _ref(head: bytes, key: bytes) -> int | None:
@@ -102,6 +142,34 @@ def _int_val(head: bytes, key: bytes) -> int | None:
         raise ValueError(f"indirect PDF value for {key.decode()} "
                          "unsupported")
     return int(m.group(1))
+
+
+def _doc_root(objects, data: bytes) -> int:
+    """The catalog object number: the LAST ``trailer`` dict's /Root
+    (in an incrementally-updated PDF only the final trailer is
+    consistent with the latest-definition object map), or — for
+    PDF 1.5+ trailer-less files — the last /Type /XRef stream dict's
+    /Root. Encrypted documents raise explicitly either way."""
+    trailers = re.findall(rb"trailer(.*?)(?:startxref|%%EOF)", data,
+                          re.DOTALL)
+    if trailers:
+        if any(b"/Encrypt" in t for t in trailers):
+            raise ValueError("encrypted PDF unsupported")
+        root = _ref(trailers[-1], b"/Root")
+        if root is None:
+            raise ValueError("PDF trailer without /Root")
+        return root
+    # PDF 1.5+: the trailer dict lives in the cross-reference stream
+    xref_heads = [h for h, s in objects.values()
+                  if s is not None and re.search(rb"/Type\s*/XRef\b", h)]
+    if not xref_heads:
+        raise ValueError("no PDF trailer or cross-reference stream")
+    if any(b"/Encrypt" in h for h in xref_heads):
+        raise ValueError("encrypted PDF unsupported")
+    root = _ref(xref_heads[-1], b"/Root")
+    if root is None:
+        raise ValueError("PDF cross-reference stream without /Root")
+    return root
 
 
 def _kids(head: bytes) -> list[int]:
@@ -217,18 +285,7 @@ def decode_pdf_pages(data: bytes) -> list[np.ndarray]:
     if not is_pdf(data):
         raise ValueError("not a PDF")
     objects = _scan_objects(data)
-    # use the LAST trailer: _scan_objects keeps the latest definition
-    # of every object, and in an incrementally-updated PDF only the
-    # final trailer's /Root is consistent with that view (the first
-    # trailer would walk a stale catalog over updated objects)
-    trailers = re.findall(rb"trailer(.*?)(?:startxref|%%EOF)", data,
-                          re.DOTALL)
-    if not trailers:
-        raise ValueError("no PDF trailer (cross-reference streams "
-                         "unsupported)")
-    root = _ref(trailers[-1], b"/Root")
-    if root is None:
-        raise ValueError("PDF trailer without /Root")
+    root = _doc_root(objects, data)
     pages_root = _ref(objects[root][0], b"/Pages")
     if pages_root is None:
         raise ValueError("PDF catalog without /Pages")
@@ -240,6 +297,77 @@ def decode_pdf_pages(data: bytes) -> list[np.ndarray]:
 
 
 # --- writer (test-fixture twin) --------------------------------------
+
+
+def repack_pdf_objstm(data: bytes) -> bytes:
+    """Rewrite a classic PDF (from any of this repo's writer twins)
+    into the PDF 1.5+ shape: every non-stream object packed into ONE
+    /Type /ObjStm, stream objects re-emitted raw, and a real
+    cross-reference stream (/W [1 2 2]: type-1 offsets for raw
+    objects, type-2 (objstm, index) for packed ones) carrying /Root —
+    no ``trailer`` keyword anywhere. Original object numbers are
+    preserved, so every indirect reference survives untouched."""
+    objects = _scan_objects(data)
+    root = _doc_root(objects, data)
+    max_num = max(objects)
+    objstm_num, xref_num = max_num + 1, max_num + 2
+
+    packed = sorted(n for n, (_, s) in objects.items() if s is None)
+    raw = sorted(n for n, (_, s) in objects.items() if s is not None)
+
+    bodies = [objects[n][0].strip() for n in packed]
+    offs = []
+    pos = 0
+    for b in bodies:
+        offs.append(pos)
+        pos += len(b) + 1
+    header = b" ".join(b"%d %d" % (n, o) for n, o in zip(packed, offs))
+    payload = zlib.compress(header + b"\n"
+                            + b"\n".join(bodies) + b"\n")
+    first = len(header) + 1
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    for n in raw:
+        head, stream = objects[n]
+        emit(n, head.strip() + b"\nstream\n" + stream + b"\nendstream")
+    emit(objstm_num,
+         b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
+         b"/Length %d >>\nstream\n" % (len(packed), first,
+                                       len(payload))
+         + payload + b"\nendstream")
+
+    # cross-reference stream: one [type, field2, field3] row per
+    # object number 0..xref_num (W = [1, 4, 2] — 4-byte offsets so
+    # multi-megabyte stores don't overflow the field)
+    size = xref_num + 1
+    xref_off = len(out)
+    idx_of = {n: i for i, n in enumerate(packed)}
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            rows += bytes([0]) + (0).to_bytes(4, "big") \
+                + (65535).to_bytes(2, "big")
+        elif num in idx_of:
+            rows += bytes([2]) + objstm_num.to_bytes(4, "big") \
+                + idx_of[num].to_bytes(2, "big")
+        else:  # raw object, the ObjStm, or the xref stream itself
+            off = xref_off if num == xref_num else offsets[num]
+            rows += bytes([1]) + off.to_bytes(4, "big") \
+                + (0).to_bytes(2, "big")
+    xpayload = zlib.compress(bytes(rows))
+    emit(xref_num,
+         b"<< /Type /XRef /Size %d /W [1 4 2] /Index [0 %d] "
+         b"/Root %d 0 R /Filter /FlateDecode /Length %d >>\nstream\n"
+         % (size, size, root, len(xpayload))
+         + xpayload + b"\nendstream")
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_off)
+    return bytes(out)
 
 
 def encode_pdf(pages: list[np.ndarray], image_filter: str = "DCTDecode",

@@ -51,6 +51,7 @@ import numpy as np
 
 from paddleocr_spark.kernels.pdf import (
     _decode_image_xobject,
+    _doc_root,
     _ref,
     _scan_objects,
     _walk_pages,
@@ -430,14 +431,7 @@ def rasterize_pdf_pages(data: bytes, scale: float = 2.0
     if not is_pdf(data):
         raise ValueError("not a PDF")
     objects = _scan_objects(data)
-    trailers = re.findall(rb"trailer(.*?)(?:startxref|%%EOF)", data,
-                          re.DOTALL)
-    if not trailers:
-        raise ValueError("no PDF trailer (cross-reference streams "
-                         "unsupported)")
-    root = _ref(trailers[-1], b"/Root")
-    if root is None:
-        raise ValueError("PDF trailer without /Root")
+    root = _doc_root(objects, data)
     pages_root = _ref(objects[root][0], b"/Pages")
     if pages_root is None:
         raise ValueError("PDF catalog without /Pages")

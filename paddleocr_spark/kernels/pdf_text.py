@@ -60,6 +60,7 @@ import re
 import zlib
 
 from paddleocr_spark.kernels.pdf import (
+    _doc_root,
     _filter_names,
     _ref,
     _scan_objects,
@@ -508,18 +509,10 @@ def extract_pdf_text(data: bytes) -> list[list[tuple[str, float,
     if not is_pdf(data):
         raise ValueError("not a PDF")
     objects = _scan_objects(data)
-    trailers = re.findall(rb"trailer(.*?)(?:startxref|%%EOF)", data,
-                          re.DOTALL)
-    if not trailers:
-        raise ValueError("no PDF trailer (cross-reference streams "
-                         "unsupported)")
-    if any(b"/Encrypt" in t for t in trailers):
-        # without this explicit check an encrypted file would surface
-        # as a zlib/tokenizer error — a misleading diagnosis
-        raise ValueError("encrypted PDF unsupported")
-    root = _ref(trailers[-1], b"/Root")
-    if root is None:
-        raise ValueError("PDF trailer without /Root")
+    # _doc_root handles classic trailers AND PDF 1.5+ xref streams,
+    # and raises explicitly on /Encrypt (an encrypted file would
+    # otherwise surface as a zlib/tokenizer error)
+    root = _doc_root(objects, data)
     pages_root = _ref(objects[root][0], b"/Pages")
     if pages_root is None:
         raise ValueError("PDF catalog without /Pages")

@@ -342,3 +342,67 @@ def test_flate_tiff_predictor_decodes():
         img, 2, diff.astype(np.uint8).tobytes())
     (page,) = decode_pdf_pages(data)
     assert np.array_equal(page, img)
+
+
+def test_objstm_xref_stream_roundtrip_all_writers():
+    """PDF 1.5+ shape: repack_pdf_objstm packs every non-stream object
+    into one /ObjStm and replaces the trailer with a cross-reference
+    stream; all three decoders (image pages, text runs, vector raster)
+    must read the packed file identically to the classic one."""
+    from paddleocr_spark.kernels.pdf import repack_pdf_objstm
+    from paddleocr_spark.kernels.pdf_raster import (
+        encode_vector_pdf,
+        rasterize_pdf_pages,
+    )
+    from paddleocr_spark.kernels.pdf_text import (
+        _encode_text_pdf,
+        extract_pdf_text,
+    )
+
+    imgs = [np.full((10, 12, 3), v, np.uint8) for v in (40, 90)]
+    for filt in ("FlateDecode", "DCTDecode"):
+        classic = encode_pdf(imgs, image_filter=filt, quant=1)
+        packed = repack_pdf_objstm(classic)
+        assert b"trailer" not in packed
+        assert b"/ObjStm" in packed and b"/XRef" in packed
+        a = decode_pdf_pages(classic)
+        b = decode_pdf_pages(packed)
+        assert all(np.array_equal(x, y) for x, y in zip(a, b)), filt
+
+    pages = [[("hello 汉字", 36.0, 720.0, 10.0),
+              ("plain", 40.0, 700.0, 12.0)],
+             [("second page", 36.0, 716.0, 14.0)]]
+    for compress in (False, True):
+        classic = _encode_text_pdf(pages, compress)
+        assert extract_pdf_text(repack_pdf_objstm(classic)) \
+            == extract_pdf_text(classic)
+
+    vec = encode_vector_pdf([b"0 0 0 rg 2 2 10 8 re f"], [(20, 16)])
+    assert np.array_equal(rasterize_pdf_pages(repack_pdf_objstm(vec))[0],
+                          rasterize_pdf_pages(vec)[0])
+
+
+def test_objstm_raw_definition_wins():
+    """Incremental-update policy: an object defined BOTH raw and in an
+    ObjStm keeps the raw (latest) definition."""
+    from paddleocr_spark.kernels.pdf import _scan_objects, repack_pdf_objstm
+
+    classic = encode_pdf([np.full((8, 8, 3), 70, np.uint8)],
+                         image_filter="FlateDecode")
+    packed = repack_pdf_objstm(classic)
+    # append a raw redefinition of the catalog (object 1)
+    appended = packed + (b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R "
+                         b"/Marker true >>\nendobj\n")
+    objs = _scan_objects(appended)
+    assert b"/Marker" in objs[1][0]
+
+
+def test_encrypted_xref_stream_pdf_raises():
+    from paddleocr_spark.kernels.pdf import repack_pdf_objstm
+
+    classic = encode_pdf([np.full((8, 8, 3), 70, np.uint8)],
+                         image_filter="FlateDecode")
+    packed = repack_pdf_objstm(classic)
+    patched = packed.replace(b"/Type /XRef", b"/Type /XRef /Encrypt 9 0 R")
+    with pytest.raises(ValueError, match="encrypted"):
+        decode_pdf_pages(patched)
