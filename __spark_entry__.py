@@ -662,6 +662,19 @@ def oracle_sql() -> dict[str, str]:
         ivf_idx = similarity.write_ivf_index_numpy(_oracle_sf)
     except Exception:
         ivf_idx = similarity.ivf_dir(_oracle_sf)
+    # bm25: idf literals computed ONCE in Python (bm25_idf_nano) from
+    # DuckDB-derived integer corpus stats and injected into the SQL —
+    # the Spark plan injects the same function's output for the same
+    # integers, so NEITHER engine evaluates ln (r3/r4 driver-red
+    # post-mortem: a 1-ulp libm divergence in round(ln(.)*1e9)).
+    try:
+        _bm_n, _bm_sdl, _bm_dfs = retrieval.bm25_corpus_stats(_oracle_sf)
+    except Exception:
+        _bm_n, _bm_sdl, _bm_dfs = 1, 1, {
+            t: 0 for ts in retrieval.BM25_QUERIES.values() for t in ts}
+    _bm_idf_sql = ", ".join(
+        f"('{t}', {retrieval.bm25_idf_nano(_bm_n, _bm_dfs[t])})"
+        for t in sorted(_bm_dfs))
     g = lambda name: f"read_parquet('{gdir}/{name}.parquet')"
     return {
         "extract_full": f"""
@@ -1273,17 +1286,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rank, vec_id, cosine FROM ranked
             WHERE rank <= {k}
         """,
-        # BM25 keyword search — exact-integer arithmetic except one ln
-        # of an exactly-shared rational (idf quantized to nano-units on
-        # its own, tf_norm the exact bigint rational num10/den10);
+        # BM25 keyword search — NO transcendental in either engine:
+        # idf_nano arrives as a Python-computed literal VALUES relation
+        # (see the oracle_sql() preamble), corpus stats as literal
+        # bigints, tf_norm as the exact bigint rational num10/den10;
         # formulas mirror operators/retrieval.py term for term
         "bm25_topk": f"""
             WITH docs AS (
               SELECT doc_id::bigint AS doc_id,
                      string_split({_NORM}, ' ') AS tk
               FROM documents),
-            stats AS (SELECT count(*)::bigint AS n_docs,
-                             sum(len(tk))::bigint AS sum_dl FROM docs),
             hits AS (SELECT doc_id, len(tk)::bigint AS dl,
                             unnest(tk) AS term
                      FROM docs),
@@ -1291,20 +1303,17 @@ def oracle_sql() -> dict[str, str]:
                    FROM hits
                    WHERE term IN ({_BM25_TERMS_SQL})
                    GROUP BY doc_id, term, dl),
-            tfdf AS (SELECT *,
-                            count(*) OVER (PARTITION BY term)::bigint AS df
-                     FROM tf),
+            idf(term, idf_nano) AS (VALUES {_bm_idf_sql}),
             q(query_id, term) AS (VALUES {_BM25_QUERIES_SQL}),
             scored AS (
               SELECT query_id, doc_id,
                      sum(CAST(round(
-                         CAST(round(ln((2 * n_docs + 2.0)
-                                       / (2 * df + 1.0)) * 1e9) AS BIGINT)
-                         * ((22 * tf * sum_dl)
-                            / (10 * tf * sum_dl + 3 * sum_dl
-                               + 9 * dl * n_docs))
+                         idf_nano
+                         * ((22 * tf * {_bm_sdl})
+                            / (10 * tf * {_bm_sdl} + {3 * _bm_sdl}
+                               + 9 * dl * {_bm_n}))
                          / 1e3) AS BIGINT)) AS score_micro
-              FROM tfdf JOIN q USING (term) CROSS JOIN stats
+              FROM tf JOIN idf USING (term) JOIN q USING (term)
               GROUP BY query_id, doc_id),
             ranked AS (SELECT *,
                               row_number() OVER (
