@@ -323,6 +323,83 @@ def _fill_rot_rect(pm: np.ndarray, cy: float, cx: float, h: float,
     pm[(np.abs(u) <= w / 2) & (np.abs(v) <= h / 2)] = val
 
 
+# ---------------------------------------------------------------------------
+# Poly-mode det fixtures (box_type="poly", toddleocr/postprocess/db.py:38-84):
+# curved-text probability maps decoded by kernels/db_poly. Separate from
+# the extraction corpus' quad maps — curved components are exactly what
+# quad mode approximates away, so they get their own oracle-checked
+# query (operators/det_poly.py) instead of riding the extraction path.
+
+POLY_MAP_H, POLY_MAP_W = 96, 128
+POLY_SHAPE_LIST = [192.0, 256.0, 0.5, 0.5]  # 2x map -> src, like SHAPE_LIST
+
+
+def poly_map_count(n_docs: int) -> int:
+    """Fixture count scaled to the sf's documents table (bounded: the
+    sequential golden path must stay cheap at correctness scale)."""
+    return max(12, min(120, n_docs // 5))
+
+
+def _fill_arc(pm: np.ndarray, cy: float, cx: float, r0: float, r1: float,
+              a0: float, a1: float, val: float) -> None:
+    """Fill a thick annulus sector (the curved-text blob shape):
+    radius in [r0, r1], upward-positive angle in [a0, a1]."""
+    yy, xx = np.mgrid[0:pm.shape[0], 0:pm.shape[1]].astype(np.float64)
+    r = np.hypot(yy - cy, xx - cx)
+    ang = np.arctan2(cy - yy, xx - cx)
+    pm[(r >= r0) & (r <= r1) & (ang >= a0) & (ang <= a1)] = val
+
+
+def poly_map_record(map_idx: int, seed: int = 42) -> np.ndarray:
+    """Deterministic curved-text DB prob map #``map_idx``: 1-3 blobs in
+    distinct quadrants — thick arcs (curved text lines), rotated and
+    axis-aligned bars — plus sub-box_thresh and sub-min_size decoys,
+    mirroring the quad fixtures' filter coverage (db.py:59-74)."""
+    rng = _key("polymap", map_idx, seed)
+    pm = (rng.random((POLY_MAP_H, POLY_MAP_W), dtype=np.float32)
+          * 0.15).astype(np.float32)
+    ch, cw = POLY_MAP_H // 2, POLY_MAP_W // 2
+    cells = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    n_blobs = int(rng.integers(1, 4))
+    for ci in rng.permutation(4)[:n_blobs]:
+        rcell, ccell = cells[int(ci)]
+        y0, x0 = rcell * ch, ccell * cw
+        roll = float(rng.random())
+        if roll < 0.12:
+            # binarizes (>0.3) but fails box_thresh 0.7
+            val = 0.4 + 0.2 * float(rng.random())
+        else:
+            val = 0.85 + 0.13 * float(rng.random())
+        shape_roll = float(rng.random())
+        if shape_roll < 0.5:
+            # thick arc: center below the cell so the sector opens up
+            cy = y0 + ch * (0.8 + 0.3 * float(rng.random()))
+            cx = x0 + cw * (0.35 + 0.3 * float(rng.random()))
+            r1 = min(ch, cw) * (0.55 + 0.2 * float(rng.random()))
+            r0 = max(4.0, r1 - (5.0 + 5.0 * float(rng.random())))
+            a0 = 0.35 + 0.4 * float(rng.random())
+            a1 = a0 + 1.2 + 1.0 * float(rng.random())
+            _fill_arc(pm, cy, cx, r0, r1, a0, a1, val)
+        elif shape_roll < 0.7:
+            sign = 1.0 if rng.random() < 0.5 else -1.0
+            ang = sign * np.deg2rad(float(rng.integers(12, 36)))
+            _fill_rot_rect(pm, y0 + ch * 0.5, x0 + cw * 0.5,
+                           8.0 + 4.0 * float(rng.random()),
+                           cw * 0.5, ang, val)
+        elif shape_roll < 0.9:
+            h = int(rng.integers(8, ch // 2))
+            w = int(rng.integers(16, cw - 8))
+            yy = y0 + int(rng.integers(2, ch - h - 2))
+            xx = x0 + int(rng.integers(2, cw - w - 2))
+            pm[yy:yy + h, xx:xx + w] = val
+        else:
+            # tiny blob: fails the min_size + 2 mini-box gate
+            yy = y0 + int(rng.integers(2, ch - 4))
+            xx = x0 + int(rng.integers(2, cw - 4))
+            pm[yy:yy + 2, xx:xx + 2] = 0.9
+    return pm
+
+
 def _gen_det_map(rng: np.random.Generator, cells: list[tuple[int, int]]):
     """Synthetic DB prob map with text components in the given grid
     cells, including boxes that fail box_thresh / min_size filters

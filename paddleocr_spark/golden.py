@@ -22,9 +22,10 @@ import os
 
 import numpy as np
 
-from .corpus import dequantize_map
+from .corpus import POLY_SHAPE_LIST, dequantize_map, poly_map_count, poly_map_record
 from .extract_core import decode_media_row, master_html_for_row
 from .kernels.db import db_postprocess
+from .kernels.db_poly import db_postprocess_poly
 from .kernels.eval_det_iou import evaluate_image
 from .kernels.reading_order import sorted_boxes
 from .reference_path import golden_corpus
@@ -44,6 +45,7 @@ GOLDEN_FILES = [
     "golden_can_metric.parquet",
     "golden_e2e_metric.parquet",
     "golden_ct_metric.parquet",
+    "golden_det_polygons.parquet",
 ]
 
 # fragment column order shared with the Spark UDF so oracle
@@ -259,6 +261,19 @@ def compute_goldens(n_docs: int, seed: int = 42, heavy_frac: float = 0.01):
         if html is not None:
             master.append({"media_ref": ref, "master_html": html})
 
+    # --- poly-mode DB decode (box_type="poly" + use_dilation) over the
+    # curved-text fixture maps — sequential twin of operators/det_poly
+    det_polys = []
+    for mid in range(poly_map_count(n_docs)):
+        pm = poly_map_record(mid, seed)
+        polys, poly_scores = db_postprocess_poly(pm, POLY_SHAPE_LIST)
+        for pi, (poly, sc) in enumerate(zip(polys, poly_scores)):
+            smicro = int(round(sc * 1e6))
+            for ki, (x, y) in enumerate(poly.tolist()):
+                det_polys.append({"map_id": mid, "poly_idx": pi,
+                                  "point_idx": ki, "x": int(x),
+                                  "y": int(y), "score_micro": smicro})
+
     return {
         "golden_spans": spans,
         "golden_fragments": frags,
@@ -271,6 +286,7 @@ def compute_goldens(n_docs: int, seed: int = 42, heavy_frac: float = 0.01):
         "golden_det_metric": det_metric,
         "golden_det_iou_metric": det_iou,
         "golden_table_structure_metric": table_metric,
+        "golden_det_polygons": det_polys,
     }
 
 
@@ -279,7 +295,7 @@ _INT32_COLS = {"order", "frag_idx", "box_idx"}
 # bump when golden SEMANTICS change (e.g. the e2e sorted-boxes
 # alignment fix) so cached goldens from older code recompute instead
 # of silently serving stale values
-GOLDEN_VERSION = 2
+GOLDEN_VERSION = 4
 
 _GOLDEN_COLS = {
     "golden_spans": ["doc_id", "order", "kind", "text", "media_ref",
@@ -299,6 +315,8 @@ _GOLDEN_COLS = {
     "golden_det_iou_metric": ["matched_total", "gt_total", "det_total",
                               "precision", "recall", "hmean"],
     "golden_table_structure_metric": ["correct_num", "all_num", "acc"],
+    "golden_det_polygons": ["map_id", "poly_idx", "point_idx", "x", "y",
+                            "score_micro"],
 }
 
 
