@@ -152,6 +152,12 @@ def _unstuff(data: bytes, i: int):
             break  # EOI or next marker
         ecs.append(b)
         p += 1
+    # a truncated stream can end on a lone final entropy byte with no
+    # trailing marker: include it so the bit reader sees every coded
+    # bit instead of failing later with a confusing Huffman error
+    if p == n - 1 and data[p] != 0xFF:
+        ecs.append(data[p])
+        p += 1
     return bytes(ecs), restarts, p
 
 

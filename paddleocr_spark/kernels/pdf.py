@@ -303,7 +303,7 @@ def repack_pdf_objstm(data: bytes) -> bytes:
     """Rewrite a classic PDF (from any of this repo's writer twins)
     into the PDF 1.5+ shape: every non-stream object packed into ONE
     /Type /ObjStm, stream objects re-emitted raw, and a real
-    cross-reference stream (/W [1 2 2]: type-1 offsets for raw
+    cross-reference stream (/W [1 4 2]: type-1 offsets for raw
     objects, type-2 (objstm, index) for packed ones) carrying /Root —
     no ``trailer`` keyword anywhere. Original object numbers are
     preserved, so every indirect reference survives untouched."""

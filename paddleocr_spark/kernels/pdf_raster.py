@@ -30,7 +30,13 @@ and image operators the way fitz would:
   ``kernels/pdf_text.py`` — the page image a downstream OCR stage
   sees simply lacks glyph ink, which is the honest split, not a wrong
   approximation of it
-- ``BI`` inline images and ``sh`` shadings raise explicitly
+- inline images (``BI``/``ID``/``EI``, §8.9.7): extracted from the
+  stream BEFORE tokenization (the sample bytes must never reach the
+  tokenizer), abbreviated and full dictionary keys, raw / ``Fl`` /
+  ``AHx`` data, 8-bit Gray/RGB, 1-bit gray, and ``/ImageMask``
+  stencils of the current fill color with ``/Decode`` inversion;
+  placed through the CTM exactly like image XObjects
+- ``sh`` shadings raise explicitly
 
 Device space follows the reference's fitz call: ``scale``x the
 MediaBox (default 2.0), y flipped so row 0 is the page top. Output is
@@ -186,10 +192,202 @@ _TEXT_OPS = {b"BT", b"ET", b"Td", b"TD", b"Tm", b"T*", b"TL", b"Tf",
              b"Tc", b"Tw", b"Tz", b"Ts", b"Tr"}
 
 
+# --- inline images (BI/ID/EI, ISO 32000-1 §8.9.7) --------------------
+
+_IL_WS = b"\x00\t\n\x0c\r "
+# abbreviated key -> canonical key (§8.9.7 table 93)
+_IL_KEYS = {b"W": b"W", b"Width": b"W", b"H": b"H", b"Height": b"H",
+            b"BPC": b"BPC", b"BitsPerComponent": b"BPC",
+            b"CS": b"CS", b"ColorSpace": b"CS",
+            b"F": b"F", b"Filter": b"F",
+            b"D": b"D", b"Decode": b"D",
+            b"IM": b"IM", b"ImageMask": b"IM",
+            b"DP": b"DP", b"DecodeParms": b"DP",
+            b"I": b"I", b"Interpolate": b"I"}
+
+
+def _parse_inline_dict(stream: bytes, i: int):
+    """Parse the ``BI`` .. ``ID`` entries starting at ``i`` (just past
+    'BI'). Returns (dict, data_start) with data_start one byte past
+    the single whitespace that follows ``ID``."""
+    d: dict = {}
+    n = len(stream)
+    while i < n:
+        while i < n and stream[i] in _IL_WS:
+            i += 1
+        if stream[i:i + 2] == b"ID":
+            return d, i + 3  # ID + one whitespace byte (§8.9.7)
+        if stream[i] != 0x2F:
+            raise ValueError("malformed inline image dictionary")
+        m = re.match(rb"/([A-Za-z0-9]+)", stream[i:])
+        key = _IL_KEYS.get(m.group(1), m.group(1))
+        i += m.end()
+        while i < n and stream[i] in _IL_WS:
+            i += 1
+        if stream[i] == 0x2F:
+            m2 = re.match(rb"/([A-Za-z0-9]+)", stream[i:])
+            d[key] = m2.group(1)
+            i += m2.end()
+        elif stream[i] == 0x5B:  # [ array
+            j = stream.index(b"]", i)
+            d[key] = stream[i + 1:j]
+            i = j + 1
+        else:
+            m2 = re.match(rb"[^\s/\[\]<>]+", stream[i:])
+            d[key] = m2.group(0)
+            i += m2.end()
+    raise ValueError("inline image dictionary without ID")
+
+
+def _inline_image_payload(stream: bytes, dstart: int, d: dict):
+    """Locate + de-filter the sample data. Returns (samples, end) with
+    ``end`` one byte past the closing ``EI``."""
+    import binascii
+    import zlib
+
+    filt = d.get(b"F", b"")
+    w = int(d.get(b"W", b"0"))
+    h = int(d.get(b"H", b"0"))
+    bpc = int(d.get(b"BPC", b"8"))
+    if d.get(b"IM") == b"true":
+        ncomp, bpc = 1, 1
+    else:
+        cs = d.get(b"CS", b"G")
+        if cs in (b"RGB", b"DeviceRGB"):
+            ncomp = 3
+        elif cs in (b"G", b"DeviceGray"):
+            ncomp = 1
+        else:
+            raise ValueError(
+                "unsupported inline image color space %r" % cs)
+    if filt in (b"", None):
+        length = h * ((w * ncomp * bpc + 7) // 8)
+        data = stream[dstart:dstart + length]
+        if len(data) < length:
+            raise ValueError("truncated inline image data")
+        end = dstart + length
+    elif filt in (b"Fl", b"FlateDecode"):
+        z = zlib.decompressobj()
+        data = z.decompress(stream[dstart:])
+        end = len(stream) - len(z.unused_data)
+    elif filt in (b"AHx", b"ASCIIHexDecode"):
+        j = stream.index(b">", dstart)
+        hx = re.sub(rb"\s", b"", stream[dstart:j])
+        if len(hx) % 2:
+            hx += b"0"
+        data = binascii.unhexlify(hx)
+        end = j + 1
+    else:
+        raise ValueError(
+            "unsupported inline image filter %r" % filt)
+    while end < len(stream) and stream[end] in _IL_WS:
+        end += 1
+    if stream[end:end + 2] != b"EI":
+        raise ValueError("inline image without EI terminator")
+    return data, end + 2
+
+
+def _decode_inline_image(d: dict, data: bytes):
+    """Samples -> ('rgb', (H, W, 3) uint8) or ('mask', (H, W) bool
+    paint-mask) for /ImageMask images (§8.9.6.2: sample 0 paints with
+    the Decode default [0 1]; /D [1 0] flips)."""
+    w = int(d[b"W"])
+    h = int(d[b"H"])
+    bpc = int(d.get(b"BPC", b"8"))
+    if d.get(b"IM") == b"true" or bpc == 1:
+        row = (w + 7) // 8
+        bits = np.unpackbits(
+            np.frombuffer(data[:row * h], np.uint8).reshape(h, row),
+            axis=1)[:, :w]
+        dec = re.split(rb"\s+", d.get(b"D", b"0 1").strip())
+        flipped = dec[0] == b"1"
+        if d.get(b"IM") == b"true":
+            paint = (bits == 1) if flipped else (bits == 0)
+            return "mask", paint
+        g = bits.astype(np.uint8) * 255  # Decode [0 1]: 0=black
+        if flipped:
+            g = 255 - g
+        return "rgb", np.repeat(g[:, :, None], 3, axis=2)
+    if bpc != 8:
+        raise ValueError("unsupported inline image depth %d" % bpc)
+    cs = d.get(b"CS", b"G")
+    if cs in (b"RGB", b"DeviceRGB"):
+        arr = np.frombuffer(data[:h * w * 3], np.uint8)
+        if arr.size < h * w * 3:
+            raise ValueError("truncated inline image samples")
+        return "rgb", arr.reshape(h, w, 3).copy()
+    arr = np.frombuffer(data[:h * w], np.uint8)
+    if arr.size < h * w:
+        raise ValueError("truncated inline image samples")
+    return "rgb", np.repeat(arr.reshape(h, w)[:, :, None], 3, axis=2)
+
+
+def _extract_inline_images(stream: bytes):
+    """Replace every ``BI .. ID <data> EI`` span with a numeric
+    placeholder + custom ``INL`` operator so the tokenizer never sees
+    raw sample bytes. Returns (rewritten_stream, [(kind, payload)])."""
+    if b"BI" not in stream:
+        return stream, []
+    out = bytearray()
+    imgs = []
+    i = 0
+    n = len(stream)
+    pat = re.compile(rb"(?:\A|(?<=[\s>\]]))BI(?=[\s/])")
+    while True:
+        m = pat.search(stream, i)
+        if not m:
+            out += stream[i:]
+            break
+        out += stream[i:m.start()]
+        d, dstart = _parse_inline_dict(stream, m.end())
+        data, end = _inline_image_payload(stream, dstart, d)
+        imgs.append(_decode_inline_image(d, data))
+        out += b" %d INL " % (len(imgs) - 1)
+        i = end
+    return bytes(out), imgs
+
+
+def _draw_image_mask(canvas, clip, ctm, paint, color):
+    """Place an /ImageMask inline image: like ``_draw_image`` but
+    stencilling the CURRENT FILL COLOR through the paint mask
+    (§8.9.6.2)."""
+    h, w = canvas.shape[:2]
+    ih, iw = paint.shape[:2]
+    corners = [_apply(ctm, x, y) for x, y in
+               ((0, 0), (1, 0), (0, 1), (1, 1))]
+    xs = [c[0] for c in corners]
+    ys = [c[1] for c in corners]
+    x0 = max(0, int(np.floor(min(xs))))
+    x1 = min(w, int(np.ceil(max(xs))))
+    y0 = max(0, int(np.floor(min(ys))))
+    y1 = min(h, int(np.ceil(max(ys))))
+    if x1 <= x0 or y1 <= y0:
+        return
+    a, b, c, d, e, f = ctm
+    det = a * d - b * c
+    if det == 0:
+        return
+    ia, ib, ic, id_ = d / det, -b / det, -c / det, a / det
+    ie = -(e * ia + f * ic)
+    if_ = -(e * ib + f * id_)
+    gy, gx = np.mgrid[y0:y1, x0:x1]
+    px = gx + 0.5
+    py = gy + 0.5
+    u = px * ia + py * ic + ie
+    v = px * ib + py * id_ + if_
+    inside = (u >= 0) & (u < 1) & (v >= 0) & (v < 1) \
+        & clip[y0:y1, x0:x1]
+    su = np.clip((u * iw).astype(np.int64), 0, iw - 1)
+    sv = np.clip(((1 - v) * ih).astype(np.int64), 0, ih - 1)
+    inside &= paint[sv, su]
+    canvas[y0:y1, x0:x1][inside] = color
+
+
 def _render_stream(stream: bytes, canvas: np.ndarray, base_ctm,
                    xobjects, objects, clip: np.ndarray, depth: int = 0):
     """Execute one content stream onto ``canvas`` (H, W, 3 float RGB,
     y-down device space already encoded in ``base_ctm``)."""
+    stream, inline_imgs = _extract_inline_images(stream)
     h, w = canvas.shape[:2]
     ctm = base_ctm
     fill = (0.0, 0.0, 0.0)
@@ -228,6 +426,11 @@ def _render_stream(stream: bytes, canvas: np.ndarray, base_ctm,
             if pending_clip is not None:
                 clip = clip & _fill_mask(subpaths, h, w,
                                          pending_clip == b"W*")
+        elif pending_clip is not None:
+            # ISO 32000-1 §8.5.4: the clip intersects with the CURRENT
+            # PATH; an empty path covers nothing, so 'W n' with no
+            # usable subpaths must clip everything out, not no-op
+            clip = np.zeros_like(clip)
         pending_clip = None
         subpaths, closed_flags = [], []
 
@@ -375,9 +578,15 @@ def _render_stream(stream: bytes, canvas: np.ndarray, base_ctm,
                                    objects, clip, depth + 1)
                 else:
                     raise ValueError("unsupported PDF XObject subtype")
-            elif op == b"BI":
-                raise ValueError("inline images (BI..EI) unsupported "
-                                 "in PDF content streams")
+            elif op == b"INL" and nums:
+                # placeholder left by _extract_inline_images for a
+                # BI/ID/EI span (§8.9.7); unit square through the CTM
+                # like any image
+                kind, payload = inline_imgs[int(nums[-1])]
+                if kind == "mask":
+                    _draw_image_mask(canvas, clip, ctm, payload, fill)
+                else:
+                    _draw_image(canvas, clip, ctm, payload)
             elif op == b"sh":
                 raise ValueError("PDF shading patterns unsupported")
             elif op in _SHOW_OPS or op in _TEXT_OPS:

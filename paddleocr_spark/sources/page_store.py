@@ -66,6 +66,12 @@ _FILES = [
     # matrix; integer user coords land on exact device pixels, so the
     # mean is an exact rational derived below
     ("pages_14.pdf", "pdf_vector", 2),
+    # vector PDF whose inner rect is painted by INLINE images
+    # (BI/ID/EI, ISO 32000-1 §8.9.7): page 0 raw /RGB samples, page 1
+    # Flate-compressed /G samples, page 2 a 1-bit /ImageMask stencil
+    # of the fill color — same analytic layout as pdf_vector, so the
+    # mean formula is shared
+    ("pages_15.pdf", "pdf_inline", 3),
 ]
 
 
@@ -90,7 +96,7 @@ def _vector_geom(f: int, p: int):
 
 
 def _spec_row(f: int, name: str, kind: str, p: int, n: int):
-    if kind == "pdf_vector":
+    if kind in ("pdf_vector", "pdf_inline"):
         # decoded at 2x: dims double; mean = exact area-weighted value
         h, w, v, v2, rx, ry, rw, rh = _vector_geom(f, p)
         npx = 4 * h * w
@@ -118,10 +124,11 @@ def ensure_page_store(root: str) -> str:
     """Write the container files under ``root`` (idempotent; guarded by
     a DONE marker). Driver-side and O(1): 6 tiny files — this is
     fixture synthesis, not data-plane work."""
-    # v7: + progressive JPEG, tiled/old-style JPEG-in-TIFF, LZW tile
-    # grid, Adam7 PNG, vector-content PDF (cache key bumped so
-    # existing stores rebuild)
-    store = os.path.join(root, "pagestore_v7")
+    # v8: + inline-image PDF (BI/ID/EI raw-RGB / Flate-gray /
+    # ImageMask pages); v7 added progressive JPEG, tiled/old-style
+    # JPEG-in-TIFF, LZW tile grid, Adam7 PNG, vector-content PDF
+    # (cache key bumped so existing stores rebuild)
+    store = os.path.join(root, "pagestore_v8")
     marker = os.path.join(store, "_DONE")
     if os.path.exists(marker):
         return store
@@ -174,6 +181,36 @@ def ensure_page_store(root: str) -> str:
                     b"%.10f %.10f %.10f rg %d %d %d %d re f"
                     % ((v / 255.0,) * 3 + (w, h)
                        + (v2 / 255.0,) * 3 + (rx, ry, rw, rh)))
+                boxes.append((w, h))
+            data = encode_vector_pdf(contents, boxes, compress=True)
+        elif kind == "pdf_inline":
+            import zlib as _z
+
+            import numpy as _np
+
+            from paddleocr_spark.kernels.pdf_raster import (
+                encode_vector_pdf,
+            )
+
+            contents, boxes = [], []
+            for p in range(n):
+                h, w, v, v2, rx, ry, rw, rh = _vector_geom(f, p)
+                bg = b"%.10f %.10f %.10f rg 0 0 %d %d re f " % (
+                    (v / 255.0,) * 3 + (w, h))
+                place = b"q %d 0 0 %d %d %d cm " % (rw, rh, rx, ry)
+                if p == 0:  # raw /RGB samples
+                    img = _np.full((4, 6, 3), v2, _np.uint8)
+                    bi = (b"BI /W 6 /H 4 /CS /RGB /BPC 8 ID "
+                          + img.tobytes() + b" EI")
+                elif p == 1:  # FlateDecode /G samples
+                    g = _np.full((3, 5), v2, _np.uint8)
+                    bi = (b"BI /W 5 /H 3 /CS /G /BPC 8 /F /Fl ID "
+                          + _z.compress(g.tobytes()) + b" EI")
+                else:  # 1-bit ImageMask stencil of the fill color
+                    bg += b"%.10f %.10f %.10f rg " % ((v2 / 255.0,) * 3)
+                    bi = (b"BI /IM true /W 8 /H 8 /BPC 1 /D [0 1] ID "
+                          + bytes(8) + b" EI")
+                contents.append(bg + place + bi + b" Q")
                 boxes.append((w, h))
             data = encode_vector_pdf(contents, boxes, compress=True)
         else:  # ppm — same framing helper the page-explode path emits

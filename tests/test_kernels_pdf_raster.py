@@ -89,11 +89,93 @@ def test_text_operators_are_ignored_not_fatal():
     assert (pg == 0).all(axis=2).sum() == 16
 
 
-def test_inline_image_and_shading_raise():
-    with pytest.raises(ValueError, match="BI"):
-        _one(b"BI /W 1 /H 1 ID x EI", (10, 10))
+def test_shading_raises():
     with pytest.raises(ValueError, match="shading"):
         _one(b"/Sh0 sh", (10, 10))
+
+
+class TestInlineImages:
+    """BI/ID/EI inline images (ISO 32000-1 §8.9.7)."""
+
+    def test_raw_rgb(self):
+        img = np.full((4, 5, 3), 200, np.uint8)
+        c = (b"0.5 0.5 0.5 rg 0 0 20 16 re f "
+             b"q 10 0 0 8 2 3 cm BI /W 5 /H 4 /CS /RGB /BPC 8 ID "
+             + img.tobytes() + b" EI Q")
+        pg = _one(c, (20, 16), scale=2.0)
+        # device 2x: rect x[4,24) y rows [10,26)
+        assert (pg[10:26, 4:24] == 200).all()
+        assert tuple(pg[0, 30]) == (128, 128, 128)
+
+    def test_flate_gray_and_full_keys(self):
+        import zlib
+
+        g = np.full((3, 4), 77, np.uint8)
+        c = (b"0 0 0 rg 0 0 20 16 re f q 8 0 0 6 4 5 cm "
+             b"BI /Width 4 /Height 3 /ColorSpace /DeviceGray "
+             b"/BitsPerComponent 8 /Filter /FlateDecode ID "
+             + zlib.compress(g.tobytes()) + b" EI Q")
+        pg = _one(c, (20, 16), scale=2.0)
+        assert (pg[10:22, 8:24] == 77).all()
+
+    def test_ascii_hex_orientation(self):
+        import binascii
+
+        c = (b"0 0 0 rg 0 0 20 16 re f q 4 0 0 4 0 0 cm "
+             b"BI /W 2 /H 2 /CS /G /BPC 8 /F /AHx ID "
+             + binascii.hexlify(bytes([10, 20, 30, 40])) + b"> EI Q")
+        pg = _one(c, (20, 16), scale=2.0)
+        # image row 0 is the unit square TOP (v=1)
+        assert pg[24, 0, 0] == 10 and pg[24, 7, 0] == 20
+        assert pg[31, 0, 0] == 30 and pg[31, 7, 0] == 40
+
+    def test_imagemask_stencils_fill_color(self):
+        c = (b"1 1 1 rg 0 0 20 16 re f 0.8 0 0 rg "
+             b"q 8 0 0 6 4 5 cm BI /IM true /W 8 /H 8 /BPC 1 ID "
+             + bytes(8) + b" EI Q")
+        pg = _one(c, (20, 16), scale=2.0)
+        assert tuple(pg[12, 10]) == (0, 0, 204)  # BGR of 0.8 red
+        assert tuple(pg[0, 0]) == (255, 255, 255)
+
+    def test_imagemask_decode_flip(self):
+        # /D [1 0]: sample 1 paints -> all-ones payload paints
+        c = (b"1 1 1 rg 0 0 20 16 re f 0 0 0 rg "
+             b"q 8 0 0 6 4 5 cm BI /IM true /W 8 /H 8 /BPC 1 "
+             b"/D [1 0] ID " + bytes([0xFF] * 8) + b" EI Q")
+        pg = _one(c, (20, 16), scale=2.0)
+        assert (pg[12, 10] == 0).all()
+        # default decode with all-ones payload paints NOTHING
+        c2 = (b"1 1 1 rg 0 0 20 16 re f 0 0 0 rg "
+              b"q 8 0 0 6 4 5 cm BI /IM true /W 8 /H 8 /BPC 1 ID "
+              + bytes([0xFF] * 8) + b" EI Q")
+        pg2 = _one(c2, (20, 16), scale=2.0)
+        assert (pg2 == 255).all()
+
+    def test_clip_applies(self):
+        img = np.full((2, 2, 3), 9, np.uint8)
+        c = (b"1 1 1 rg 0 0 20 16 re f 0 0 4 8 re W n "
+             b"q 16 0 0 8 0 0 cm BI /W 2 /H 2 /CS /RGB /BPC 8 ID "
+             + img.tobytes() + b" EI Q")
+        pg = _one(c, (20, 16), scale=2.0)
+        assert (pg[16:32, 0:8] == 9).all()       # inside clip
+        assert (pg[16:32, 8:32] == 255).all()    # clipped away
+
+    def test_unsupported_filter_raises(self):
+        with pytest.raises(ValueError, match="filter"):
+            _one(b"BI /W 1 /H 1 /CS /G /BPC 8 /F /DCT ID x EI",
+                 (10, 10))
+
+    def test_truncated_data_raises(self):
+        with pytest.raises(ValueError, match="truncated|EI"):
+            _one(b"BI /W 4 /H 4 /CS /RGB /BPC 8 ID xy", (10, 10))
+
+
+def test_degenerate_clip_masks_everything():
+    """'W n' with an EMPTY current path clips everything out
+    (§8.5.4) — later paints must not land."""
+    c = b"1 1 1 rg 0 0 10 10 re f W n 0 0 0 rg 0 0 10 10 re f"
+    pg = _one(c, (10, 10))
+    assert (pg == 255).all()
 
 
 def test_decode_pdf_pages_falls_back_to_rasterizer():
