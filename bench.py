@@ -543,9 +543,14 @@ def main() -> None:
         # tracked intermediate caches (kie/dedup eager persists) don't
         # accumulate across the suite
         release_persisted(spark)
-    # cache-lifecycle gate: after the final release nothing tracked
-    # may remain resident (a leaked persist would accumulate across a
-    # long-lived session exactly as the registry docstring warns)
+    # cache-lifecycle gate: the suite is done issuing queries, so the
+    # session-lifetime pins (KIE fragments) are torn down too — after
+    # the final release NOTHING may remain resident (a leaked persist
+    # would accumulate across a long-lived session exactly as the
+    # registry docstring warns)
+    from paddleocr_spark.operators._cache import release_pinned
+
+    release_pinned(spark)
     leaked = _storage_memory_used(spark)
 
     total = round(sum(timings.values()), 3)
@@ -558,6 +563,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "prep": prep,
+        # prep-inclusive total so round-over-round comparisons stay
+        # apples-to-apples with rounds that timed prep inside queries
+        # (the r4 cost reclassification): value == query time only,
+        # value_with_prep == value + all prep-table builds this run
+        "value_with_prep": round(total + sum(prep.values()), 3),
         "sf": sf,
         "n_docs": n_docs,
         "docs_per_sec": docs_per_sec,

@@ -22,7 +22,7 @@ from __future__ import annotations
 import weakref
 
 __all__ = ["eager_persist", "release_persisted", "release_one",
-           "pinned_persist"]
+           "pinned_persist", "release_pinned"]
 
 # session id -> (weakref to the session, list of persisted DataFrames).
 # The DataFrame references are STRONG: the query function's local goes
@@ -124,3 +124,25 @@ def pinned_persist(spark, key: str, builder):
     df.count()
     _PINNED[k] = (weakref.ref(spark), df)
     return df
+
+
+def release_pinned(spark=None) -> int:
+    """End-of-session teardown: unpersist every PINNED cache (of
+    ``spark``, or of all sessions) and drop the registry entries.
+    ``release_persisted`` deliberately leaves pins alone between
+    queries; a session that is DONE issuing queries (bench teardown,
+    long-lived service shutdown) calls this so the block manager ends
+    at zero resident bytes. Later pinned_persist calls simply
+    rebuild. Returns the number released."""
+    n = 0
+    for k in list(_PINNED):
+        ref, df = _PINNED[k]
+        if spark is not None and ref() is not spark:
+            continue
+        del _PINNED[k]
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    return n

@@ -480,6 +480,7 @@ def build_near_dup_edges(spark, sf_dir: str,
 
 
 def duplicate_clusters(spark, sf_dir: str, threshold: float = 0.7,
+                       checkpoint_dir=None,
                        max_iters: int = 20):
     """Connected components over the verified near-dup graph: every
     document in a duplicate cluster labelled with the cluster's
@@ -515,7 +516,8 @@ def duplicate_clusters(spark, sf_dir: str, threshold: float = 0.7,
              .parquet(build_near_dup_edges(spark, sf_dir, threshold))
              .select("doc_a", "doc_b"))
     labels = connected_components(edges, "doc_a", "doc_b",
-                                  max_iters=max_iters)
+                                  max_iters=max_iters,
+                                  checkpoint_dir=checkpoint_dir)
     size = F.count("*").over(Window.partitionBy("cluster_id")).cast("long")
     return (labels.select(F.col("node").alias("doc_id"),
                           F.col("label").alias("cluster_id"))

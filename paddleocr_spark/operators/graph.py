@@ -15,16 +15,17 @@ component's minimum node id:
   deep or adversarial graphs at 10^12 edges, where a diameter-bound
   loop is unacceptable.
 
-Loop-carried state (labels / the rewired edge set) is truncated with
-``localCheckpoint(eager=True)`` each round: a cache alone keeps the
+Loop-carried state (labels / the rewired edge set) is truncated every
+round via ``operators/_iter.checkpointer``: a cache alone keeps the
 EXECUTION flat but the logical plan still nests and multiplies every
 round (the join/union/groupBy tree references the previous round's
 tree several times — measured driver blowup from plan stringification
 after ~5 rounds), while the checkpoint replaces the plan with a leaf.
-At production scale the same role is played by a reliable checkpoint
-dir or a per-round intermediate table; static inputs (the symmetrized
-edge set) use the tracked eager cache. Per-round driver work is one
-count — loop control, not data collection.
+The default is ``localCheckpoint`` (right for local[*]); pass
+``checkpoint_dir=`` for the cluster-durable reliable ``checkpoint()``
+mode — output-identical, survives executor loss. Static inputs (the
+symmetrized edge set) use the tracked eager cache. Per-round driver
+work is one count — loop control, not data collection.
 """
 
 from __future__ import annotations
@@ -66,28 +67,29 @@ def _edge_nodes(F, edges, src: str, dst: str):
 
 
 def connected_components(edges, src: str = "doc_a", dst: str = "doc_b",
-                         max_iters: int = 50):
+                         max_iters: int = 50,
+                         checkpoint_dir: str | None = None):
     """(node, label) for every node incident to an edge; label = the
     minimum node id reachable from it. Rounds needed = diameter."""
-    df, _ = _propagation(edges, src, dst, max_iters)
+    df, _ = _propagation(edges, src, dst, max_iters, checkpoint_dir)
     return df
 
 
-def _propagation(edges, src, dst, max_iters):
+def _propagation(edges, src, dst, max_iters, checkpoint_dir=None):
     from pyspark.sql import functions as F
 
     from paddleocr_spark.operators._cache import eager_persist
+    from paddleocr_spark.operators._iter import checkpointer
 
+    ckpt = checkpointer(edges.sparkSession, checkpoint_dir)
     sym = eager_persist(_sym_edges(F, edges, src, dst))
-    labels = (_edge_nodes(F, edges, src, dst)
-              .select("node", F.col("node").alias("lbl"))
-              .localCheckpoint(eager=True))
+    labels = ckpt(_edge_nodes(F, edges, src, dst)
+                  .select("node", F.col("node").alias("lbl")))
     for rounds in range(1, max_iters + 1):
         prop = (sym.join(labels, sym.src == labels.node)
                 .select(F.col("dst").alias("node"), F.col("lbl")))
-        new_labels = (labels.unionByName(prop)
-                      .groupBy("node").agg(F.min("lbl").alias("lbl"))
-                      .localCheckpoint(eager=True))
+        new_labels = ckpt(labels.unionByName(prop)
+                          .groupBy("node").agg(F.min("lbl").alias("lbl")))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .where(F.col("n.lbl") != F.col("o.lbl"))
@@ -104,10 +106,11 @@ def _propagation(edges, src, dst, max_iters):
 
 
 def connected_components_star(edges, src: str = "doc_a",
-                              dst: str = "doc_b", max_iters: int = 64):
+                              dst: str = "doc_b", max_iters: int = 64,
+                              checkpoint_dir: str | None = None):
     """(node, label) via alternating large-star/small-star rounds —
     O(log n) rounds regardless of diameter."""
-    df, _ = _star(edges, src, dst, max_iters)
+    df, _ = _star(edges, src, dst, max_iters, checkpoint_dir)
     return df
 
 
@@ -136,11 +139,13 @@ def _small_star(F, e):
             .distinct())
 
 
-def _star(edges, src, dst, max_iters):
+def _star(edges, src, dst, max_iters, checkpoint_dir=None):
     from pyspark.sql import functions as F
 
     from paddleocr_spark.operators._cache import eager_persist
+    from paddleocr_spark.operators._iter import checkpointer
 
+    ckpt = checkpointer(edges.sparkSession, checkpoint_dir)
     e = eager_persist(_sym_edges(F, edges, src, dst))
     nodes = eager_persist(_edge_nodes(F, edges, src, dst))
     e_is_symmetric = True  # _sym_edges output already holds both dirs
@@ -151,8 +156,7 @@ def _star(edges, src, dst, max_iters):
         # the largest round's shuffle volume for nothing.
         both = e if e_is_symmetric else e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        e2 = (_small_star(F, _large_star(F, both))
-              .localCheckpoint(eager=True))
+        e2 = ckpt(_small_star(F, _large_star(F, both)))
         moved = (e2.exceptAll(e).limit(1).count()
                  + e.exceptAll(e2).limit(1).count())
         if not e_is_symmetric:

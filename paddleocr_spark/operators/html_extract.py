@@ -192,7 +192,8 @@ def build_link_graph_table(spark, sf_dir: str) -> str:
 
 
 def html_pagerank(spark, sf_dir: str, iters: int = PR_ITERS,
-                  checkpoint: bool = True):
+                  checkpoint: bool = True,
+                  checkpoint_dir: str | None = None):
     """Deterministic fixed-point PageRank over the extracted link
     graph — the canonical web-scale iterative DataFrame job.
 
@@ -202,15 +203,21 @@ def html_pagerank(spark, sf_dir: str, iters: int = PR_ITERS,
     sums are order-independent, so the result is bit-exact across
     partitionings, engines, and the DuckDB oracle's unrolled-CTE
     twin — no float-summation-order caveats. Each round is one join +
-    one map-side-combinable sum; a localCheckpoint every third round
-    keeps the logical plan depth bounded (the operators/graph.py
-    lesson) while paying the eager-materialization barrier 4x instead
-    of 10x — measured 12.2 s -> 4.5 s cold / 4.8 -> 3.7 warm at
-    sf0.01, hash-identical output. Every node has outdegree >= 1 by
-    construction, so no dangling-mass term."""
+    one map-side-combinable sum; a checkpoint every third round keeps
+    the logical plan depth bounded (the operators/graph.py lesson)
+    while paying the eager-materialization barrier 4x instead of 10x —
+    measured 12.2 s -> 4.5 s cold / 4.8 -> 3.7 warm at sf0.01,
+    hash-identical output. The default localCheckpoint is right for
+    local[*]; pass ``checkpoint_dir=`` for the cluster-durable
+    reliable mode (operators/_iter.py — survives executor loss,
+    output-identical). Every node has outdegree >= 1 by construction,
+    so no dangling-mass term."""
     from pyspark.sql import functions as F
 
     from paddleocr_spark.operators._cache import eager_persist
+    from paddleocr_spark.operators._iter import checkpointer
+
+    ckpt = checkpointer(spark, checkpoint_dir)
 
     # the link graph is a PERSISTED corpus-prep table (built once per
     # corpus by build_link_graph_table, reused across sessions — the
@@ -238,7 +245,7 @@ def html_pagerank(spark, sf_dir: str, iters: int = PR_ITERS,
         "doc_id", "_n",
         F.expr(f"{PR_SCALE} div _n").alias("rank_fp"))
     if checkpoint:
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ckpt(ranks)
 
     for it in range(iters):
         contrib = (ranks
@@ -255,6 +262,6 @@ def html_pagerank(spark, sf_dir: str, iters: int = PR_ITERS,
                          "(85 * coalesce(inflow, 0L)) div 100"))
                      .alias("rank_fp")))
         if checkpoint and ((it + 1) % 3 == 0 or it == iters - 1):
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ckpt(ranks)
 
     return ranks.select("doc_id", "rank_fp")

@@ -221,3 +221,25 @@ def test_pinned_persist_rebuilds_for_different_session_object(spark):
     assert df3.storageLevel.useMemory
     df3.unpersist()
     _cache._PINNED.pop(k, None)
+
+
+def test_release_pinned_zeroes_resident_storage(spark):
+    """End-of-session teardown (bench's leaked_storage_bytes gate):
+    release_pinned unpersists every pin of the session and later calls
+    rebuild from scratch."""
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return spark.range(7)
+
+    df = _cache.pinned_persist(spark, "t-teardown", builder)
+    assert df.storageLevel.useMemory
+    n = _cache.release_pinned(spark)
+    assert n >= 1
+    assert not any(k[0] == id(spark) and k[1] == "t-teardown"
+                   for k in _cache._PINNED)
+    assert not df.storageLevel.useMemory  # actually unpersisted
+    df2 = _cache.pinned_persist(spark, "t-teardown", builder)
+    assert len(calls) == 2  # rebuilt, not served stale
+    _cache.release_pinned(spark)
