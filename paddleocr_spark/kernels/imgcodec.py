@@ -3,10 +3,11 @@
 BGR uint8 HxWx3) without cv2:
 
 - PNG: chunk parse, zlib IDAT inflate, scanline unfilter (None/Sub/Up/
-  Average/Paeth), bit depth 8, color types gray / RGB / gray+alpha /
-  RGBA, sequential or Adam7 interlaced (seven independently-filtered
-  passes scattered onto their grids). Encoder included (filter 0,
-  optional Adam7) for round-trips.
+  Average/Paeth), color types gray / RGB / gray+alpha / RGBA (depth 8)
+  and indexed-color via PLTE (type 3, depths 1/2/4/8), sequential or
+  Adam7 interlaced (seven independently-filtered passes scattered onto
+  their grids). Encoder included (filter 0, optional Adam7, optional
+  palette) for round-trips.
 - BMP: BITMAPINFOHEADER, 24/32-bit uncompressed, bottom-up or top-down.
 - PPM/PGM: binary P6/P5, maxval 255.
 - GIF 87a/89a: pure-Python variable-width LZW, global/local color
@@ -45,13 +46,17 @@ def _paeth(a, b, c):
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → (H, W, C) uint8, C per color type (1/2/3/4)."""
+    """PNG bytes → (H, W, C) uint8, C per color type. Indexed-color
+    (type 3, spec §4.1.2/§11.2.3) resolves through PLTE at bit depths
+    1/2/4/8 and returns RGB; tRNS alpha is ignored, matching
+    cv2.imdecode IMREAD_COLOR. Other types require depth 8."""
     if not data.startswith(_PNG_MAGIC):
         raise ValueError("not a PNG")
     pos = len(_PNG_MAGIC)
     width = height = None
     bit_depth = color_type = interlace = None
     idat = bytearray()
+    plte = None
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         ctype = data[pos + 4:pos + 8]
@@ -60,17 +65,52 @@ def decode_png(data: bytes) -> np.ndarray:
         if ctype == b"IHDR":
             width, height, bit_depth, color_type, _, _, interlace = \
                 struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
             break
-    if bit_depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {bit_depth}")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if channels is None:
-        raise ValueError(f"unsupported PNG color type {color_type}")
+    if color_type == 3:
+        if bit_depth not in (1, 2, 4, 8):
+            raise ValueError(
+                f"unsupported palette PNG bit depth {bit_depth}")
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG without a valid PLTE chunk")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+
+        def decode_pass(sub: bytes, ph: int, pw: int) -> np.ndarray:
+            stride = (pw * bit_depth + 7) // 8
+            rows = unfilter_png_rows(sub, ph, stride, 1)
+            if bit_depth == 8:
+                idx = rows[:, :pw]
+            else:
+                bits = np.unpackbits(rows, axis=1)
+                w8 = (1 << np.arange(bit_depth - 1, -1, -1)) \
+                    .astype(np.uint8)
+                idx = (bits[:, :stride * 8]
+                       .reshape(ph, -1, bit_depth) * w8) \
+                    .sum(axis=2).astype(np.uint8)[:, :pw]
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("palette PNG index out of range")
+            return pal[idx]
+
+        pass_stride = lambda pw: (pw * bit_depth + 7) // 8
+        channels = 3
+    else:
+        if bit_depth != 8:
+            raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+        if channels is None:
+            raise ValueError(f"unsupported PNG color type {color_type}")
+
+        def decode_pass(sub: bytes, ph: int, pw: int) -> np.ndarray:
+            return unfilter_png_rows(sub, ph, pw * channels, channels) \
+                .reshape(ph, pw, channels)
+
+        pass_stride = lambda pw: pw * channels
     raw = zlib.decompress(bytes(idat))
     if interlace:
         # Adam7 (spec §8.2): seven independently-filtered sub-images,
@@ -82,14 +122,12 @@ def decode_png(data: bytes) -> np.ndarray:
             ph = max(0, -(-(height - y0) // dy))
             if pw == 0 or ph == 0:
                 continue  # empty pass contributes no bytes
-            stride = pw * channels
-            sub = unfilter_png_rows(raw[off:off + ph * (stride + 1)],
-                                    ph, stride, channels)
-            out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            stride = pass_stride(pw)
+            out[y0::dy, x0::dx] = decode_pass(
+                raw[off:off + ph * (stride + 1)], ph, pw)
             off += ph * (stride + 1)
         return out
-    out = unfilter_png_rows(raw, height, width * channels, channels)
-    return out.reshape(height, width, channels)
+    return decode_pass(raw, height, width)
 
 
 def unfilter_png_rows(raw: bytes, height: int, stride: int,
@@ -147,21 +185,38 @@ _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
 
-def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+def encode_png(img: np.ndarray, interlace: bool = False,
+               palette: np.ndarray | None = None,
+               bit_depth: int = 8) -> bytes:
     """(H, W[, C]) uint8 → PNG bytes (filter 0 rows; ``interlace``
-    writes the Adam7 pass sequence). For tests and fixture
+    writes the Adam7 pass sequence). With ``palette`` ((N, 3) uint8
+    RGB), ``img`` is an (H, W) index map written as indexed-color
+    (type 3) at ``bit_depth`` 1/2/4/8. For tests and fixture
     generation."""
     img = np.asarray(img, dtype=np.uint8)
-    if img.ndim == 2:
+    if palette is None and img.ndim == 2:
         img = img[:, :, None]
-    h, w, c = img.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if palette is not None:
+        h, w = img.shape[:2]
+        color_type = 3
+    else:
+        h, w, c = img.shape
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+        bit_depth = 8
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (struct.pack(">I", len(body)) + ctype + body
                 + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
+    def pack_row(row: np.ndarray) -> bytes:
+        if palette is None or bit_depth == 8:
+            return row.tobytes()
+        # sub-byte indices, big-endian within each byte (spec §7.2)
+        bits = ((row[:, None] >> np.arange(bit_depth - 1, -1, -1))
+                & 1).astype(np.uint8).reshape(-1)
+        return np.packbits(bits).tobytes()
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0,
                        1 if interlace else 0)
     if interlace:
         parts = []
@@ -169,13 +224,16 @@ def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
             sub = img[y0::dy, x0::dx]
             if sub.shape[0] == 0 or sub.shape[1] == 0:
                 continue
-            parts += [b"\x00" + sub[y].tobytes()
+            parts += [b"\x00" + pack_row(sub[y])
                       for y in range(sub.shape[0])]
         raw = b"".join(parts)
     else:
-        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
-    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(raw))
+        raw = b"".join(b"\x00" + pack_row(img[y]) for y in range(h))
+    out = _PNG_MAGIC + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE",
+                     np.asarray(palette, np.uint8).tobytes())
+    return (out + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))
 
 
@@ -263,7 +321,7 @@ def decode_image(data: bytes) -> np.ndarray:
     IMREAD_COLOR: gray expands to 3 channels, alpha is dropped."""
     fmt = sniff_format(data)
     if fmt == "png":
-        img = decode_png(data)  # gray/GA/RGB/RGBA
+        img = decode_png(data)  # gray/GA/RGB/RGBA/palette(RGB)
         c = img.shape[2]
         if c == 2:  # gray+alpha → gray
             img = img[:, :, :1]

@@ -22,7 +22,8 @@ from __future__ import annotations
 import weakref
 
 __all__ = ["eager_persist", "release_persisted", "release_one",
-           "pinned_persist", "release_pinned"]
+           "pinned_persist", "release_pinned", "track_checkpoint",
+           "release_checkpoints"]
 
 # session id -> (weakref to the session, list of persisted DataFrames).
 # The DataFrame references are STRONG: the query function's local goes
@@ -145,4 +146,46 @@ def release_pinned(spark=None) -> int:
             n += 1
         except Exception:
             pass  # session already stopped
+    return n
+
+
+# localCheckpoint blocks: lineage-truncation state of ITERATIVE jobs
+# (operators/_iter.py). Unlike eager_persist caches these must NOT be
+# released while the query's returned DataFrame may still be consumed
+# — unpersisting a localCheckpointed RDD discards data with no
+# recompute path (the lineage was truncated). So they get their own
+# registry, released only by callers that KNOW the results are fully
+# materialized (bench.py between queries; a service after sinking a
+# result). Intermediate rounds unpersist themselves inside the loops;
+# this catches the FINAL round's blocks, which otherwise sit in the
+# block manager until the context cleaner's GC sweep.
+_CHECKPOINTED: dict[int, tuple] = {}
+
+
+def track_checkpoint(df):
+    """Register a localCheckpointed DataFrame for deferred release."""
+    spark = df.sparkSession
+    key = id(spark)
+    ent = _CHECKPOINTED.get(key)
+    if ent is None or ent[0]() is not spark:
+        ent = (weakref.ref(spark), [])
+        _CHECKPOINTED[key] = ent
+    ent[1].append(df)
+    return df
+
+
+def release_checkpoints(spark=None) -> int:
+    """Unpersist every tracked localCheckpoint block (of ``spark``, or
+    all sessions). ONLY safe once the owning queries' results are
+    fully materialized — see the registry comment."""
+    n = 0
+    keys = [id(spark)] if spark is not None else list(_CHECKPOINTED)
+    for key in keys:
+        _, dfs = _CHECKPOINTED.pop(key, (None, []))
+        for df in dfs:
+            try:
+                df.unpersist()
+                n += 1
+            except Exception:
+                pass  # session already stopped
     return n

@@ -31,8 +31,11 @@ def checkpointer(spark, checkpoint_dir: str | None):
     ``checkpoint_dir`` is given it is installed as the context's
     checkpoint dir (idempotent) and reliable ``checkpoint()`` is used;
     otherwise ``localCheckpoint()``."""
+    from paddleocr_spark.operators._cache import track_checkpoint
+
     if checkpoint_dir is None:
-        return lambda df: df.localCheckpoint(eager=True)
+        return lambda df: track_checkpoint(
+            df.localCheckpoint(eager=True))
     sc = spark.sparkContext
     current = sc.getCheckpointDir()
     if not current or checkpoint_dir not in current:

@@ -72,6 +72,10 @@ _FILES = [
     # of the fill color — same analytic layout as pdf_vector, so the
     # mean formula is shared
     ("pages_15.pdf", "pdf_inline", 3),
+    # indexed-color PNG (type 3, PLTE, 1-bit): a v/v2 checkerboard —
+    # the palette path of kernels/imgcodec.decode_png on the
+    # oracle-checked explode path
+    ("pages_16.png", "png_palette", 1),
 ]
 
 
@@ -96,6 +100,14 @@ def _vector_geom(f: int, p: int):
 
 
 def _spec_row(f: int, name: str, kind: str, p: int, n: int):
+    if kind == "png_palette":
+        # checkerboard of v (even parity cells) and v2 = (v+40)%251
+        h, w, v = _h(f, p), _w(f, p), _v(f, p)
+        v2 = (v + 40) % 251
+        n_even = sum((w + 1) // 2 if r % 2 == 0 else w // 2
+                     for r in range(h))
+        mean = (v * n_even + v2 * (h * w - n_even)) / (h * w)
+        return (name, p, n > 1, h, w, mean)
     if kind in ("pdf_vector", "pdf_inline"):
         # decoded at 2x: dims double; mean = exact area-weighted value
         h, w, v, v2, rx, ry, rw, rh = _vector_geom(f, p)
@@ -124,11 +136,12 @@ def ensure_page_store(root: str) -> str:
     """Write the container files under ``root`` (idempotent; guarded by
     a DONE marker). Driver-side and O(1): 6 tiny files — this is
     fixture synthesis, not data-plane work."""
-    # v8: + inline-image PDF (BI/ID/EI raw-RGB / Flate-gray /
-    # ImageMask pages); v7 added progressive JPEG, tiled/old-style
-    # JPEG-in-TIFF, LZW tile grid, Adam7 PNG, vector-content PDF
-    # (cache key bumped so existing stores rebuild)
-    store = os.path.join(root, "pagestore_v8")
+    # v9: + indexed-color (palette) PNG; v8 added inline-image PDF
+    # (BI/ID/EI raw-RGB / Flate-gray / ImageMask pages); v7 added
+    # progressive JPEG, tiled/old-style JPEG-in-TIFF, LZW tile grid,
+    # Adam7 PNG, vector-content PDF (cache key bumped so existing
+    # stores rebuild)
+    store = os.path.join(root, "pagestore_v9")
     marker = os.path.join(store, "_DONE")
     if os.path.exists(marker):
         return store
@@ -166,6 +179,15 @@ def ensure_page_store(root: str) -> str:
                                tile=(16, 16))
         elif kind == "png":
             data = encode_png(imgs[0])
+        elif kind == "png_palette":
+            import numpy as _np
+
+            h, w, v = _h(f, 0), _w(f, 0), _v(f, 0)
+            v2 = (v + 40) % 251
+            idx = ((_np.add.outer(_np.arange(h), _np.arange(w)) % 2)
+                   .astype(_np.uint8))
+            pal = _np.array([[v] * 3, [v2] * 3], _np.uint8)
+            data = encode_png(idx, palette=pal, bit_depth=1)
         elif kind == "png_adam7":
             data = encode_png(imgs[0], interlace=True)
         elif kind == "pdf_vector":

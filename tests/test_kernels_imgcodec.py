@@ -372,3 +372,84 @@ def test_adam7_per_pass_filters():
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))
     assert np.array_equal(decode_png(data), img)
+
+
+class TestPalettePNG:
+    """Indexed-color PNG (type 3, spec §4.1.2): PLTE lookup at depths
+    1/2/4/8, sequential and Adam7, IMREAD_COLOR tRNS-drop."""
+
+    def _pal(self, n):
+        rng = np.random.default_rng(5)
+        return rng.integers(0, 256, (n, 3), dtype=np.uint8)
+
+    def test_roundtrip_8bit(self):
+        from paddleocr_spark.kernels.imgcodec import (
+            decode_png,
+            encode_png,
+        )
+        pal = self._pal(256)
+        rng = np.random.default_rng(1)
+        idx = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+        out = decode_png(encode_png(idx, palette=pal))
+        assert (out == pal[idx]).all()
+
+    @pytest.mark.parametrize("depth", [1, 2, 4])
+    def test_roundtrip_subbyte_depths(self, depth):
+        from paddleocr_spark.kernels.imgcodec import (
+            decode_png,
+            encode_png,
+        )
+        n = 1 << depth
+        pal = self._pal(n)
+        rng = np.random.default_rng(depth)
+        # odd width exercises the partial final byte per row
+        idx = rng.integers(0, n, (9, 11), dtype=np.uint8)
+        out = decode_png(encode_png(idx, palette=pal, bit_depth=depth))
+        assert (out == pal[idx]).all()
+
+    def test_adam7_palette(self):
+        from paddleocr_spark.kernels.imgcodec import (
+            decode_png,
+            encode_png,
+        )
+        pal = self._pal(16)
+        rng = np.random.default_rng(9)
+        idx = rng.integers(0, 16, (10, 14), dtype=np.uint8)
+        out = decode_png(encode_png(idx, palette=pal, bit_depth=4,
+                                    interlace=True))
+        assert (out == pal[idx]).all()
+
+    def test_decode_image_bgr_semantics(self):
+        from paddleocr_spark.kernels.imgcodec import (
+            decode_image,
+            encode_png,
+        )
+        pal = np.array([[255, 0, 0], [0, 0, 255]], np.uint8)  # RGB
+        idx = np.array([[0, 1]], np.uint8)
+        bgr = decode_image(encode_png(idx, palette=pal, bit_depth=1))
+        assert tuple(bgr[0, 0]) == (0, 0, 255)  # red in BGR
+        assert tuple(bgr[0, 1]) == (255, 0, 0)  # blue in BGR
+
+    def test_missing_plte_raises(self):
+        from paddleocr_spark.kernels.imgcodec import (
+            decode_png,
+            encode_png,
+        )
+        data = encode_png(np.zeros((2, 2), np.uint8),
+                          palette=self._pal(4), bit_depth=2)
+        # strip the PLTE chunk
+        import re as _re
+        broken = _re.sub(rb".{4}PLTE.{12}..", b"", data, count=1,
+                         flags=_re.DOTALL)
+        with pytest.raises(ValueError, match="PLTE"):
+            decode_png(broken)
+
+    def test_out_of_range_index_raises(self):
+        from paddleocr_spark.kernels.imgcodec import (
+            decode_png,
+            encode_png,
+        )
+        data = encode_png(np.full((2, 2), 5, np.uint8),
+                          palette=self._pal(4))  # idx 5, 4-entry PLTE
+        with pytest.raises(ValueError, match="index out of range"):
+            decode_png(data)
