@@ -44,7 +44,7 @@ def _purge_dead() -> None:
         del _PINNED[key]
 
 
-def eager_persist(df):
+def eager_persist(df, materialize: bool = True):
     """persist() + count() + register for later release. Returns df.
 
     The count() is the eager-materialization barrier that serializes
@@ -52,6 +52,11 @@ def eager_persist(df):
     Spark's cache manager). Registration happens BEFORE the count so a
     failing materialization (corrupt split, executor OOM) leaves the
     partially-cached df tracked and releasable, not orphaned.
+
+    ``materialize=False`` skips the count: correct ONLY when the
+    caller's first consumer runs SEQUENTIALLY (it fills the cache as a
+    side effect) — saves one whole job of scheduler overhead, which on
+    small inputs is the dominant cost of a multi-branch query.
     """
     _purge_dead()
     spark = df.sparkSession
@@ -62,7 +67,8 @@ def eager_persist(df):
         _REGISTRY[key] = ent
     df = df.persist()
     ent[1].append(df)
-    df.count()
+    if materialize:
+        df.count()
     return df
 
 

@@ -225,8 +225,11 @@ def html_pagerank(spark, sf_dir: str, iters: int = PR_ITERS,
     # top keeps the 10 join rounds off the parquet scan. Measured at
     # sf0.1: 17 s with the parse inline per round -> ~4 s with a
     # session cache -> ~1.5 s serving from the prebuilt table.
+    # materialize=False: outdeg's count below is edges' first
+    # (sequential) consumer and fills both caches in one job
     edges = eager_persist(
-        spark.read.parquet(build_link_graph_table(spark, sf_dir)))
+        spark.read.parquet(build_link_graph_table(spark, sf_dir)),
+        materialize=False)
     nodes = (spark.read.parquet(f"{sf_dir}/documents.parquet")
              .select(F.col("doc_id").cast("long").alias("doc_id")))
     n_row = nodes.agg(F.count("*").alias("_n"))
@@ -241,11 +244,13 @@ def html_pagerank(spark, sf_dir: str, iters: int = PR_ITERS,
     # cast(long), which routes through a double and can round across
     # an integer boundary once N or the ranks grow
     base = F.expr(f"{15 * PR_SCALE // 100} div _n")
+    # the initial ranks are a zero-depth projection of the cached
+    # nodes — checkpointing them would buy no plan truncation and
+    # cost a whole job; the first in-loop checkpoint (round 3) is the
+    # earliest one that pays for itself
     ranks = nodes.select(
         "doc_id", "_n",
         F.expr(f"{PR_SCALE} div _n").alias("rank_fp"))
-    if checkpoint:
-        ranks = ckpt(ranks)
 
     for it in range(iters):
         contrib = (ranks

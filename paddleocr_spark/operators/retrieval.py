@@ -161,9 +161,12 @@ def bm25_topk(spark, sf_dir: str):
         .alias("term"))
     from paddleocr_spark.operators._cache import eager_persist
 
+    # materialize=False: the stat job right below is the first
+    # (sequential) consumer and fills the cache while computing the
+    # stats — one job instead of an extra count() pass
     grouped = eager_persist(
         hits.groupBy("doc_id", "term", "dl")
-        .agg(F.count("*").cast("long").alias("tf")))
+        .agg(F.count("*").cast("long").alias("tf")), materialize=False)
 
     # driver-side corpus stats off the CACHED grouped relation: one
     # tiny agg job (≤ |terms|+1 rows collected), no second corpus
