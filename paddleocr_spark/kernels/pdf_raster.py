@@ -36,7 +36,11 @@ and image operators the way fitz would:
   ``AHx`` data, 8-bit Gray/RGB, 1-bit gray, and ``/ImageMask``
   stencils of the current fill color with ``/Decode`` inversion;
   placed through the CTM exactly like image XObjects
-- ``sh`` shadings raise explicitly
+- ``sh`` shadings (§8.7.4.5): AXIAL (type 2) and RADIAL (type 3)
+  gradients across the current clip, pixel centers inverse-mapped to
+  user space, /Extend honored (clamp or leave unpainted), colors from
+  /Function types 2 (exponential interpolation) and 3 (stitching),
+  DeviceRGB/DeviceGray; other shading/function types raise
 
 Device space follows the reference's fitz call: ``scale``x the
 MediaBox (default 2.0), y flipped so row 0 is the page top. Output is
@@ -190,6 +194,213 @@ def _xobjects_of(head: bytes) -> dict[bytes, int]:
 _SHOW_OPS = {b"Tj", b"TJ", b"'", b'"'}
 _TEXT_OPS = {b"BT", b"ET", b"Td", b"TD", b"Tm", b"T*", b"TL", b"Tf",
              b"Tc", b"Tw", b"Tz", b"Ts", b"Tr"}
+
+
+# --- shading patterns (sh, ISO 32000-1 §8.7.4.5) ---------------------
+
+_DICT_WS = b"\x00\t\n\x0c\r "
+
+
+def _parse_pdf_value(b: bytes, i: int):
+    """Minimal recursive PDF object parser for shading/function dicts:
+    numbers, names, booleans, arrays, nested dicts, indirect refs.
+    Returns (value, next_index)."""
+    n = len(b)
+    while i < n and b[i] in _DICT_WS:
+        i += 1
+    if b[i:i + 2] == b"<<":
+        d = {}
+        i += 2
+        while True:
+            while i < n and b[i] in _DICT_WS:
+                i += 1
+            if b[i:i + 2] == b">>":
+                return d, i + 2
+            if b[i] != 0x2F:
+                raise ValueError("malformed PDF dictionary")
+            m = re.match(rb"/([A-Za-z0-9.#_-]+)", b[i:])
+            key = m.group(1)
+            i += m.end()
+            val, i = _parse_pdf_value(b, i)
+            d[key] = val
+    if b[i] == 0x5B:  # [ array
+        arr = []
+        i += 1
+        while True:
+            while i < n and b[i] in _DICT_WS:
+                i += 1
+            if b[i] == 0x5D:
+                return arr, i + 1
+            val, i = _parse_pdf_value(b, i)
+            arr.append(val)
+    if b[i] == 0x2F:  # /Name
+        m = re.match(rb"/([A-Za-z0-9.#_-]+)", b[i:])
+        return ("name", m.group(1)), i + m.end()
+    if b[i:i + 4] == b"true":
+        return True, i + 4
+    if b[i:i + 5] == b"false":
+        return False, i + 5
+    m = re.match(rb"([+-]?\d+)\s+(\d+)\s+R(?![A-Za-z])", b[i:])
+    if m:
+        return ("ref", int(m.group(1))), i + m.end()
+    m = re.match(rb"[+-]?(?:\d+\.?\d*|\.\d+)", b[i:])
+    if m:
+        return float(m.group(0)), i + m.end()
+    raise ValueError("unsupported PDF value in shading dictionary")
+
+
+def _resolve_dict(val, objects):
+    """A dict value or a ('ref', n) to an object whose head is a
+    dict -> parsed dict."""
+    if isinstance(val, tuple) and val[0] == "ref":
+        head = objects[val[1]][0]
+        parsed, _ = _parse_pdf_value(head, head.index(b"<<"))
+        return parsed
+    if isinstance(val, dict):
+        return val
+    raise ValueError("expected PDF dictionary")
+
+
+def _eval_function(fn: dict, objects, t: np.ndarray) -> np.ndarray:
+    """Evaluate a PDF function (§7.10) at sample array ``t`` ->
+    (len(t), n_out) float components in [0, 1]. Types 2 (exponential
+    interpolation) and 3 (stitching of subfunctions) supported."""
+    ftype = int(fn.get(b"FunctionType", -1))
+    dom = [float(x) for x in fn.get(b"Domain", [0.0, 1.0])]
+    x = np.clip(t, dom[0], dom[1])
+    if ftype == 2:
+        c0 = np.asarray([float(v) for v in fn.get(b"C0", [0.0])])
+        c1 = np.asarray([float(v) for v in fn.get(b"C1", [1.0])])
+        nexp = float(fn.get(b"N", 1.0))
+        return c0[None, :] + (x[:, None] ** nexp) * (c1 - c0)[None, :]
+    if ftype == 3:
+        subs = [_resolve_dict(f, objects) for f in fn[b"Functions"]]
+        bounds = [float(b_) for b_ in fn.get(b"Bounds", [])]
+        enc = [float(e) for e in
+               fn.get(b"Encode", [v for _ in subs for v in (0.0, 1.0)])]
+        edges = [dom[0]] + bounds + [dom[1]]
+        out = None
+        for k, sub in enumerate(subs):
+            lo, hi = edges[k], edges[k + 1]
+            # §7.10.4: half-open subdomains, last one closed
+            sel = (x >= lo) & ((x < hi) if k < len(subs) - 1
+                               else (x <= hi))
+            if not sel.any():
+                continue
+            span = (hi - lo) or 1.0
+            xk = enc[2 * k] + (x[sel] - lo) / span \
+                * (enc[2 * k + 1] - enc[2 * k])
+            vals = _eval_function(sub, objects, xk)
+            if out is None:
+                out = np.zeros((len(x), vals.shape[1]))
+            out[sel] = vals
+        if out is None:
+            raise ValueError("stitching function with empty domain")
+        return out
+    raise ValueError(f"unsupported PDF function type {ftype}")
+
+
+def _shading_components(sh: dict) -> int:
+    cs = sh.get(b"ColorSpace")
+    name = cs[1] if isinstance(cs, tuple) else None
+    if name == b"DeviceRGB":
+        return 3
+    if name == b"DeviceGray":
+        return 1
+    raise ValueError("unsupported shading color space %r" % (name,))
+
+
+def _draw_shading(canvas, clip, ctm, sh: dict, objects) -> None:
+    """Paint an axial (type 2) or radial (type 3) shading across the
+    current clip (§8.7.4.5.3-4): pixel centers are mapped back to user
+    space through the inverse CTM, the parametric coordinate s is
+    solved per pixel, /Extend clamps or leaves unpainted, and the
+    /Function turns t into color."""
+    h, w = canvas.shape[:2]
+    stype = int(sh.get(b"ShadingType", -1))
+    if stype not in (2, 3):
+        raise ValueError(
+            f"unsupported shading type {stype} (axial/radial only)")
+    coords = [float(c) for c in sh.get(b"Coords", [])]
+    dom = [float(x) for x in sh.get(b"Domain", [0.0, 1.0])]
+    ext = sh.get(b"Extend", [False, False])
+    ncomp = _shading_components(sh)
+    fn = _resolve_dict(sh[b"Function"], objects)
+
+    a, b, c, d, e, f = ctm
+    det = a * d - b * c
+    if det == 0:
+        return
+    ia, ib, ic, id_ = d / det, -b / det, -c / det, a / det
+    ie = -(e * ia + f * ic)
+    if_ = -(e * ib + f * id_)
+    gy, gx = np.mgrid[0:h, 0:w]
+    px = gx + 0.5
+    py = gy + 0.5
+    ux = px * ia + py * ic + ie
+    uy = px * ib + py * id_ + if_
+
+    if stype == 2:
+        x0, y0, x1, y1 = coords
+        dx, dy = x1 - x0, y1 - y0
+        den = dx * dx + dy * dy
+        if den == 0:
+            return
+        s = ((ux - x0) * dx + (uy - y0) * dy) / den
+        defined = np.ones_like(s, dtype=bool)
+    elif stype == 3:
+        x0, y0, r0, x1, y1, r1 = coords
+        cdx, cdy, dr = x1 - x0, y1 - y0, r1 - r0
+        fx = ux - x0
+        fy = uy - y0
+        A = cdx * cdx + cdy * cdy - dr * dr
+        B = fx * cdx + fy * cdy + r0 * dr
+        C = fx * fx + fy * fy - r0 * r0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if abs(A) < 1e-12:
+                s = C / (2.0 * B)
+                defined = np.abs(B) > 1e-12
+            else:
+                disc = B * B - A * C
+                defined = disc >= 0
+                sq = np.sqrt(np.where(defined, disc, 0.0))
+                s_hi = (B + sq) / A
+                s_lo = (B - sq) / A
+                # §8.7.4.5.4: the LARGER s with r(s) >= 0 wins
+                r_hi = r0 + s_hi * dr
+                s = np.where(r_hi >= 0, s_hi, s_lo)
+                defined &= (r0 + s * dr) >= 0
+    else:
+        raise ValueError(
+            f"unsupported shading type {stype} (axial/radial only)")
+
+    below = s < 0
+    above = s > 1
+    if ext and ext[0]:
+        s = np.where(below, 0.0, s)
+    else:
+        defined = defined & ~below
+    if ext and len(ext) > 1 and ext[1]:
+        s = np.where(above, 1.0, s)
+    else:
+        defined = defined & ~above
+    paint = defined & clip
+    if not paint.any():
+        return
+    t = dom[0] + s[paint] * (dom[1] - dom[0])
+    comps = _eval_function(fn, objects, t)
+    if comps.shape[1] != ncomp:
+        raise ValueError("shading function arity != color space")
+    rgb = (np.repeat(comps, 3, axis=1) if ncomp == 1 else comps) * 255.0
+    canvas[paint] = rgb
+
+
+def _shadings_of(head: bytes) -> dict[bytes, int]:
+    sm = re.search(rb"/Shading\s*<<(.*?)>>", head, re.DOTALL)
+    if not sm:
+        return {}
+    return {name: int(num) for name, num in
+            re.findall(rb"/(\w+)\s+(\d+)\s+\d+\s+R", sm.group(1))}
 
 
 # --- inline images (BI/ID/EI, ISO 32000-1 §8.9.7) --------------------
@@ -384,10 +595,12 @@ def _draw_image_mask(canvas, clip, ctm, paint, color):
 
 
 def _render_stream(stream: bytes, canvas: np.ndarray, base_ctm,
-                   xobjects, objects, clip: np.ndarray, depth: int = 0):
+                   xobjects, objects, clip: np.ndarray, depth: int = 0,
+                   shadings=None):
     """Execute one content stream onto ``canvas`` (H, W, 3 float RGB,
     y-down device space already encoded in ``base_ctm``)."""
     stream, inline_imgs = _extract_inline_images(stream)
+    shadings = shadings or {}
     h, w = canvas.shape[:2]
     ctm = base_ctm
     fill = (0.0, 0.0, 0.0)
@@ -575,7 +788,8 @@ def _render_stream(stream: bytes, canvas: np.ndarray, base_ctm,
                         fctm = _mat_mul(fmat, ctm)
                     _render_stream(body, canvas, fctm,
                                    _xobjects_of(xhead) or xobjects,
-                                   objects, clip, depth + 1)
+                                   objects, clip, depth + 1,
+                                   _shadings_of(xhead) or shadings)
                 else:
                     raise ValueError("unsupported PDF XObject subtype")
             elif op == b"INL" and nums:
@@ -587,8 +801,17 @@ def _render_stream(stream: bytes, canvas: np.ndarray, base_ctm,
                     _draw_image_mask(canvas, clip, ctm, payload, fill)
                 else:
                     _draw_image(canvas, clip, ctm, payload)
+            elif op == b"sh" and operands:
+                name = operands[-1][1]
+                num = shadings.get(name)
+                if num is None:
+                    raise ValueError(
+                        f"PDF sh references unknown shading {name!r}")
+                shead = objects[num][0]
+                shd, _ = _parse_pdf_value(shead, shead.index(b"<<"))
+                _draw_shading(canvas, clip, ctm, shd, objects)
             elif op == b"sh":
-                raise ValueError("PDF shading patterns unsupported")
+                raise ValueError("sh without a shading name operand")
             elif op in _SHOW_OPS or op in _TEXT_OPS:
                 # text is extracted, not drawn (module docstring)
                 pass
@@ -665,7 +888,8 @@ def _rasterize_page(objects, page: int, scale: float = 2.0
     clip = np.ones((h, w), dtype=bool)
     stream = _page_streams(objects, page)
     _render_stream(stream, canvas, base,
-                   _xobjects_of(objects[page][0]), objects, clip)
+                   _xobjects_of(objects[page][0]), objects, clip,
+                   shadings=_shadings_of(objects[page][0]))
     return np.clip(np.round(canvas[:, :, ::-1]), 0, 255).astype(
         np.uint8)
 
@@ -676,11 +900,13 @@ def _rasterize_page(objects, page: int, scale: float = 2.0
 def encode_vector_pdf(pages: list[bytes],
                       media_boxes: list[tuple[int, int]],
                       images: dict[str, np.ndarray] | None = None,
-                      compress: bool = False) -> bytes:
+                      compress: bool = False,
+                      shadings: dict[str, bytes] | None = None) -> bytes:
     """Raw content streams + (w, h) MediaBoxes → a structurally valid
     vector PDF. ``images`` maps XObject names used in the streams
     (e.g. "Im0") to (H, W, 3) uint8 BGR arrays stored as FlateDecode
-    /DeviceRGB XObjects available to every page."""
+    /DeviceRGB XObjects available to every page; ``shadings`` maps
+    shading names (e.g. "Sh0") to raw shading dictionary bytes."""
     import zlib
 
     objs: list[bytes] = []
@@ -691,7 +917,7 @@ def encode_vector_pdf(pages: list[bytes],
 
     add(b"<< /Type /Catalog /Pages 2 0 R >>")
     pages_ph = add(b"")
-    img_frag = b""
+    res_parts = []
     if images:
         refs = []
         for name, img in sorted(images.items()):
@@ -703,8 +929,15 @@ def encode_vector_pdf(pages: list[bytes],
                     b">>\nstream\n" % (iw, ih, len(payload))
                     + payload + b"\nendstream")
             refs.append(b"/%s %d 0 R" % (name.encode(), n))
-        img_frag = (b" /Resources << /XObject << " + b" ".join(refs)
-                    + b" >> >>")
+        res_parts.append(b"/XObject << " + b" ".join(refs) + b" >>")
+    if shadings:
+        refs = []
+        for name, body in sorted(shadings.items()):
+            n = add(body)
+            refs.append(b"/%s %d 0 R" % (name.encode(), n))
+        res_parts.append(b"/Shading << " + b" ".join(refs) + b" >>")
+    img_frag = (b" /Resources << " + b" ".join(res_parts) + b" >>"
+                if res_parts else b"")
     page_nums = []
     for content, (w, h) in zip(pages, media_boxes):
         if compress:

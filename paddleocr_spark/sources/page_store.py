@@ -76,6 +76,12 @@ _FILES = [
     # the palette path of kernels/imgcodec.decode_png on the
     # oracle-checked explode path
     ("pages_16.png", "png_palette", 1),
+    # vector PDF whose single page is an axial v -> v2 shading ramp
+    # ("sh", ISO 32000-1 §8.7.4.5.3) — exercises the gradient path of
+    # kernels/pdf_raster.py; the expected mean replicates the exact
+    # float64 expression the spec defines (linear interpolation at
+    # pixel centers, rounded), never the rasterizer code
+    ("pages_17.pdf", "pdf_shading", 1),
 ]
 
 
@@ -100,6 +106,24 @@ def _vector_geom(f: int, p: int):
 
 
 def _spec_row(f: int, name: str, kind: str, p: int, n: int):
+    if kind == "pdf_shading":
+        import numpy as _np
+
+        h, w, v = _h(f, p), _w(f, p), _v(f, p)
+        v2 = (v + 40) % 251
+        # device width 2w at the reference's 2x matrix; gray ramp
+        # C(t) = v/255 + t*(v2 - v)/255 sampled at pixel centers
+        # the C0/C1 literals round-trip through a 10-decimal string
+        # in the PDF dict — replicate that exact value, and replicate
+        # the rasterizer's float64 op ORDER (inverse-CTM pixel-center
+        # map, axial projection, exponential interpolation) so the
+        # expectation is bit-exact, not merely close
+        c0 = float("%.10f" % (v / 255.0))
+        c1 = float("%.10f" % (v2 / 255.0))
+        ux = (_np.arange(2 * w) + 0.5) * 0.5      # inverse 2x CTM
+        ss = (ux * float(w)) / float(w * w)        # axial projection
+        px = _np.round((c0 + (ss ** 1.0) * (c1 - c0)) * 255.0)
+        return (name, p, n > 1, 2 * h, 2 * w, float(px.mean()))
     if kind == "png_palette":
         # checkerboard of v (even parity cells) and v2 = (v+40)%251
         h, w, v = _h(f, p), _w(f, p), _v(f, p)
@@ -136,12 +160,13 @@ def ensure_page_store(root: str) -> str:
     """Write the container files under ``root`` (idempotent; guarded by
     a DONE marker). Driver-side and O(1): 6 tiny files — this is
     fixture synthesis, not data-plane work."""
-    # v9: + indexed-color (palette) PNG; v8 added inline-image PDF
+    # v10: + axial-shading PDF; v9 added indexed-color (palette) PNG;
+    # v8 added inline-image PDF
     # (BI/ID/EI raw-RGB / Flate-gray / ImageMask pages); v7 added
     # progressive JPEG, tiled/old-style JPEG-in-TIFF, LZW tile grid,
     # Adam7 PNG, vector-content PDF (cache key bumped so existing
     # stores rebuild)
-    store = os.path.join(root, "pagestore_v9")
+    store = os.path.join(root, "pagestore_v10")
     marker = os.path.join(store, "_DONE")
     if os.path.exists(marker):
         return store
@@ -179,6 +204,23 @@ def ensure_page_store(root: str) -> str:
                                tile=(16, 16))
         elif kind == "png":
             data = encode_png(imgs[0])
+        elif kind == "pdf_shading":
+            from paddleocr_spark.kernels.pdf_raster import (
+                encode_vector_pdf,
+            )
+
+            h, w, v = _h(f, 0), _w(f, 0), _v(f, 0)
+            v2 = (v + 40) % 251
+            sh_dict = (b"<< /ShadingType 2 /ColorSpace /DeviceGray "
+                       b"/Coords [0 0 %d 0] /Domain [0 1] "
+                       b"/Extend [true true] /Function "
+                       b"<< /FunctionType 2 /Domain [0 1] "
+                       b"/C0 [%.10f] /C1 [%.10f] /N 1 >> >>"
+                       % (w, v / 255.0, v2 / 255.0))
+            content = b"q 0 0 %d %d re W n /Sh0 sh Q" % (w, h)
+            data = encode_vector_pdf([content], [(w, h)],
+                                     shadings={"Sh0": sh_dict},
+                                     compress=True)
         elif kind == "png_palette":
             import numpy as _np
 

@@ -89,9 +89,76 @@ def test_text_operators_are_ignored_not_fatal():
     assert (pg == 0).all(axis=2).sum() == 16
 
 
-def test_shading_raises():
-    with pytest.raises(ValueError, match="shading"):
-        _one(b"/Sh0 sh", (10, 10))
+class TestShadings:
+    """sh shadings (ISO 32000-1 §8.7.4.5): axial / radial gradients,
+    function types 2 and 3, /Extend semantics."""
+
+    AX = (b"<< /ShadingType 2 /ColorSpace /DeviceRGB /Coords [0 0 40 0] "
+          b"/Domain [0 1] /Extend [true true] /Function "
+          b"<< /FunctionType 2 /Domain [0 1] /C0 [0 0 0] /C1 [1 1 1] "
+          b"/N 1 >> >>")
+
+    def test_axial_bit_exact_ramp(self):
+        c = b"q 0 0 40 20 re W n /Sh0 sh Q"
+        pg = rasterize_pdf_pages(encode_vector_pdf(
+            [c], [(40, 20)], shadings={"Sh0": self.AX}), scale=1.0)[0]
+        row = pg[10, :, 0].astype(int)
+        exp = np.round((np.arange(40) + 0.5) / 40 * 255).astype(int)
+        assert (row == exp).all()
+
+    def test_extend_false_leaves_unpainted(self):
+        sh = self.AX.replace(b"/Coords [0 0 40 0]",
+                             b"/Coords [10 0 30 0]")                     .replace(b"/Extend [true true]",
+                             b"/Extend [false false]")
+        c = b"1 0 0 rg 0 0 40 20 re f /Sh0 sh"
+        pg = rasterize_pdf_pages(encode_vector_pdf(
+            [c], [(40, 20)], shadings={"Sh0": sh}), scale=1.0)[0]
+        # outside [10, 30): the red background shows through
+        assert tuple(pg[10, 5]) == (0, 0, 255)
+        assert tuple(pg[10, 35]) == (0, 0, 255)
+        assert (pg[10, 20] == pg[10, 20, 0]).all()  # gray ramp inside
+
+    def test_radial_center_and_outside(self):
+        sh = (b"<< /ShadingType 3 /ColorSpace /DeviceRGB "
+              b"/Coords [20 10 0 20 10 10] /Function "
+              b"<< /FunctionType 2 /C0 [1 0 0] /C1 [0 0 1] /N 1 >> >>")
+        c = b"1 1 1 rg 0 0 40 20 re f /Sh1 sh"
+        pg = rasterize_pdf_pages(encode_vector_pdf(
+            [c], [(40, 20)], shadings={"Sh1": sh}), scale=1.0)[0]
+        assert pg[9, 20, 2] > 220 and pg[9, 20, 0] < 40   # red center
+        assert tuple(pg[0, 0]) == (255, 255, 255)         # no extend
+        assert pg[10, 28, 0] > 100                        # bluish ring
+
+    def test_stitching_function_tent(self):
+        sh = (b"<< /ShadingType 2 /ColorSpace /DeviceGray "
+              b"/Coords [0 0 40 0] /Extend [true true] /Function "
+              b"<< /FunctionType 3 /Domain [0 1] /Functions ["
+              b" << /FunctionType 2 /C0 [0] /C1 [1] /N 1 >>"
+              b" << /FunctionType 2 /C0 [1] /C1 [0] /N 1 >> ] "
+              b"/Bounds [0.5] /Encode [0 1 0 1] >> >>")
+        pg = rasterize_pdf_pages(encode_vector_pdf(
+            [b"/Sh0 sh"], [(40, 20)], shadings={"Sh0": sh}),
+            scale=1.0)[0]
+        row = pg[5, :, 0].astype(int)
+        assert row[0] < 10 and row[39] < 10 and row[20] > 240
+        assert (row[:20] == sorted(row[:20])).all()  # monotone up
+
+    def test_shading_respects_clip(self):
+        c = b"1 1 1 rg 0 0 40 20 re f 0 0 10 20 re W n /Sh0 sh"
+        pg = rasterize_pdf_pages(encode_vector_pdf(
+            [c], [(40, 20)], shadings={"Sh0": self.AX}), scale=1.0)[0]
+        assert (pg[:, 10:] == 255).all()
+        assert (pg[:, :10, 0] < 70).all()  # dark end of the ramp
+
+    def test_unsupported_shading_type_raises(self):
+        sh = b"<< /ShadingType 7 /ColorSpace /DeviceRGB >>"
+        with pytest.raises(ValueError, match="shading type"):
+            rasterize_pdf_pages(encode_vector_pdf(
+                [b"/Sh0 sh"], [(10, 10)], shadings={"Sh0": sh}))
+
+    def test_unknown_shading_name_raises(self):
+        with pytest.raises(ValueError, match="unknown shading"):
+            _one(b"/Nope sh", (10, 10))
 
 
 class TestInlineImages:
