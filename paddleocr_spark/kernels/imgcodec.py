@@ -3,12 +3,14 @@
 BGR uint8 HxWx3) without cv2:
 
 - PNG: chunk parse, zlib IDAT inflate, scanline unfilter (None/Sub/Up/
-  Average/Paeth), color types gray / RGB / gray+alpha / RGBA (depth 8)
-  and indexed-color via PLTE (type 3, depths 1/2/4/8), sequential or
-  Adam7 interlaced (seven independently-filtered passes scattered onto
-  their grids). Encoder included (filter 0, optional Adam7, optional
-  palette) for round-trips.
-- BMP: BITMAPINFOHEADER, 24/32-bit uncompressed, bottom-up or top-down.
+  Average/Paeth), color types gray / RGB / gray+alpha / RGBA (depths 8
+  and 16 — 16-bit reduces via the high byte, the IMREAD_COLOR
+  behavior) and indexed-color via PLTE (type 3, depths 1/2/4/8),
+  sequential or Adam7 interlaced (seven independently-filtered passes
+  scattered onto their grids). Encoder included (filter 0, optional
+  Adam7, optional palette) for round-trips.
+- BMP: BITMAPINFOHEADER, 24/32-bit uncompressed plus 1/4/8-bit palette
+  via the BGRA color table, bottom-up or top-down.
 - PPM/PGM: binary P6/P5, maxval 255.
 - GIF 87a/89a: pure-Python variable-width LZW, global/local color
   tables, interlace, GCE transparency; first frame, as the reference's
@@ -100,17 +102,23 @@ def decode_png(data: bytes) -> np.ndarray:
         pass_stride = lambda pw: (pw * bit_depth + 7) // 8
         channels = 3
     else:
-        if bit_depth != 8:
+        if bit_depth not in (8, 16):
             raise ValueError(f"unsupported PNG bit depth {bit_depth}")
         channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
         if channels is None:
             raise ValueError(f"unsupported PNG color type {color_type}")
+        sw = bit_depth // 8  # sample width in bytes
 
         def decode_pass(sub: bytes, ph: int, pw: int) -> np.ndarray:
-            return unfilter_png_rows(sub, ph, pw * channels, channels) \
-                .reshape(ph, pw, channels)
+            rows = unfilter_png_rows(sub, ph, pw * channels * sw,
+                                     channels * sw)
+            if sw == 2:
+                # 16-bit samples are big-endian; IMREAD_COLOR reduces
+                # to 8 bits by taking the high byte
+                rows = rows[:, 0::2]
+            return rows.reshape(ph, pw, channels)
 
-        pass_stride = lambda pw: pw * channels
+        pass_stride = lambda pw: pw * channels * sw
     raw = zlib.decompress(bytes(idat))
     if interlace:
         # Adam7 (spec §8.2): seven independently-filtered sub-images,
@@ -241,8 +249,10 @@ def encode_png(img: np.ndarray, interlace: bool = False,
 # BMP
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    """24/32-bit uncompressed BMP → (H, W, 3) uint8 BGR (BMP's native
-    channel order is already BGR)."""
+    """Uncompressed BMP → (H, W, 3) uint8 BGR (BMP's native channel
+    order is already BGR): 24/32-bit truecolor, plus 1/4/8-bit
+    palette images via the BGRA color table that follows the
+    BITMAPINFOHEADER."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     (pixel_off,) = struct.unpack("<I", data[10:14])
@@ -252,10 +262,33 @@ def decode_bmp(data: bytes) -> np.ndarray:
     width, height = struct.unpack("<ii", data[18:26])
     (bpp,) = struct.unpack("<H", data[28:30])
     (compression,) = struct.unpack("<I", data[30:34])
-    if compression != 0 or bpp not in (24, 32):
+    if compression != 0 or bpp not in (1, 4, 8, 24, 32):
         raise ValueError(f"unsupported BMP bpp={bpp} compression={compression}")
     flip = height > 0
     height = abs(height)
+    if bpp <= 8:
+        (clr_used,) = struct.unpack("<I", data[46:50])
+        n_colors = clr_used or (1 << bpp)
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(data, dtype=np.uint8, count=n_colors * 4,
+                            offset=pal_off).reshape(n_colors, 4)[:, :3]
+        row_size = ((width * bpp + 31) // 32) * 4
+        out = np.empty((height, width, 3), dtype=np.uint8)
+        for y in range(height):
+            off = pixel_off + y * row_size
+            row = np.frombuffer(data, dtype=np.uint8,
+                                count=row_size, offset=off)
+            if bpp == 8:
+                idx = row[:width]
+            else:
+                bits = np.unpackbits(row)
+                w8 = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint8)
+                idx = (bits.reshape(-1, bpp) * w8).sum(
+                    axis=1).astype(np.uint8)[:width]
+            if int(idx.max(initial=0)) >= n_colors:
+                raise ValueError("BMP palette index out of range")
+            out[height - 1 - y if flip else y] = pal[idx]
+        return out
     nch = bpp // 8
     row_size = (width * nch + 3) & ~3
     out = np.empty((height, width, 3), dtype=np.uint8)

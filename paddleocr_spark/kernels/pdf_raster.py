@@ -33,7 +33,8 @@ and image operators the way fitz would:
 - inline images (``BI``/``ID``/``EI``, §8.9.7): extracted from the
   stream BEFORE tokenization (the sample bytes must never reach the
   tokenizer), abbreviated and full dictionary keys, raw / ``Fl`` /
-  ``AHx`` data, 8-bit Gray/RGB, 1-bit gray, and ``/ImageMask``
+  ``AHx`` data, 8-bit Gray/RGB/CMYK (§8.6.4.4 conversion), 1-bit
+  gray, and ``/ImageMask``
   stencils of the current fill color with ``/Decode`` inversion;
   placed through the CTM exactly like image XObjects
 - ``sh`` shadings (§8.7.4.5): AXIAL (type 2) and RADIAL (type 3)
@@ -468,6 +469,8 @@ def _inline_image_payload(stream: bytes, dstart: int, d: dict):
             ncomp = 3
         elif cs in (b"G", b"DeviceGray"):
             ncomp = 1
+        elif cs in (b"CMYK", b"DeviceCMYK"):
+            ncomp = 4
         else:
             raise ValueError(
                 "unsupported inline image color space %r" % cs)
@@ -527,6 +530,14 @@ def _decode_inline_image(d: dict, data: bytes):
         if arr.size < h * w * 3:
             raise ValueError("truncated inline image samples")
         return "rgb", arr.reshape(h, w, 3).copy()
+    if cs in (b"CMYK", b"DeviceCMYK"):
+        arr = np.frombuffer(data[:h * w * 4], np.uint8)
+        if arr.size < h * w * 4:
+            raise ValueError("truncated inline image samples")
+        cmyk = arr.reshape(h, w, 4).astype(np.float64) / 255.0
+        ck = np.minimum(1.0, cmyk[:, :, :3] + cmyk[:, :, 3:4])
+        # §8.6.4.4 per channel, same formula as the k/K operators
+        return "rgb", np.round((1.0 - ck) * 255.0).astype(np.uint8)
     arr = np.frombuffer(data[:h * w], np.uint8)
     if arr.size < h * w:
         raise ValueError("truncated inline image samples")

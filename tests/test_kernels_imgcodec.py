@@ -453,3 +453,81 @@ class TestPalettePNG:
                           palette=self._pal(4))  # idx 5, 4-entry PLTE
         with pytest.raises(ValueError, match="index out of range"):
             decode_png(data)
+
+
+class TestPaletteBMP:
+    """1/4/8-bit palette BMPs via the BGRA color table."""
+
+    def _bmp(self, idx, pal_bgr, bpp):
+        h, w = idx.shape
+        n = len(pal_bgr)
+        row_size = ((w * bpp + 31) // 32) * 4
+        rows = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up
+            if bpp == 8:
+                rb = bytes(idx[y].tolist())
+            else:
+                bits = []
+                for v in idx[y]:
+                    bits += [(int(v) >> k) & 1
+                             for k in range(bpp - 1, -1, -1)]
+                bits += [0] * (-len(bits) % 8)
+                rb = np.packbits(np.array(bits, np.uint8)).tobytes()
+            rows += rb + b"\x00" * (row_size - len(rb))
+        pal = b"".join(bytes([b, g, r, 0]) for b, g, r in pal_bgr)
+        pixel_off = 14 + 40 + len(pal)
+        hdr = (b"BM" + struct.pack("<IHHI", pixel_off + len(rows),
+                                   0, 0, pixel_off)
+               + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0,
+                             len(rows), 0, 0, n, 0))
+        return hdr + pal + bytes(rows)
+
+    @pytest.mark.parametrize("bpp", [1, 4, 8])
+    def test_roundtrip(self, bpp):
+        rng = np.random.default_rng(bpp)
+        n = 1 << bpp
+        pal = [tuple(int(x) for x in rng.integers(0, 256, 3))
+               for _ in range(n)]
+        idx = rng.integers(0, n, (7, 11), dtype=np.uint8)
+        img = decode_bmp(self._bmp(idx, pal, bpp))
+        exp = np.array(pal, np.uint8)[idx]
+        assert (img == exp).all()
+
+    def test_out_of_range_index_raises(self):
+        idx = np.full((2, 2), 3, np.uint8)
+        with pytest.raises(ValueError, match="palette index"):
+            decode_bmp(self._bmp(idx, [(0, 0, 0)], 8))
+
+
+class TestPNG16:
+    """16-bit PNGs reduce to 8 bits via the high byte (IMREAD_COLOR)."""
+
+    def _png16(self, arr16, color_type):
+        ch = {0: 1, 2: 3}[color_type]
+        h, w = arr16.shape[:2]
+        raw = b"".join(
+            b"\x00" + arr16[y].astype(">u2").tobytes() for y in range(h))
+
+        def chunk(ctype, body):
+            return (struct.pack(">I", len(body)) + ctype + body
+                    + struct.pack(">I",
+                                  zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    def test_gray16_high_byte(self):
+        a = np.array([[0x1234, 0xFFEE], [0x0001, 0xAB00]], np.uint16)
+        out = decode_png(self._png16(a[:, :, None].reshape(2, 2),
+                                     color_type=0))
+        assert out.shape == (2, 2, 1)
+        assert out[0, 0, 0] == 0x12 and out[0, 1, 0] == 0xFF
+        assert out[1, 0, 0] == 0x00 and out[1, 1, 0] == 0xAB
+
+    def test_rgb16(self):
+        rng = np.random.default_rng(3)
+        a = rng.integers(0, 65536, (5, 4, 3), dtype=np.uint16)
+        out = decode_png(self._png16(a, color_type=2))
+        assert (out == (a >> 8).astype(np.uint8)).all()

@@ -227,6 +227,14 @@ class TestInlineImages:
         assert (pg[16:32, 0:8] == 9).all()       # inside clip
         assert (pg[16:32, 8:32] == 255).all()    # clipped away
 
+    def test_cmyk_inline(self):
+        # pure cyan CMYK samples -> (0, 255, 255) RGB -> BGR
+        px = bytes([255, 0, 0, 0] * 4)
+        c = (b"0 0 0 rg 0 0 20 16 re f q 8 0 0 8 0 0 cm "
+             b"BI /W 2 /H 2 /CS /CMYK /BPC 8 ID " + px + b" EI Q")
+        pg = _one(c, (20, 16), scale=2.0)
+        assert tuple(pg[24, 4]) == (255, 255, 0)
+
     def test_unsupported_filter_raises(self):
         with pytest.raises(ValueError, match="filter"):
             _one(b"BI /W 1 /H 1 /CS /G /BPC 8 /F /DCT ID x EI",
