@@ -236,3 +236,88 @@ class TestPostprocessPoly:
             len(db_postprocess_poly(poly_map_record(m), POLY_SHAPE_LIST)[0])
             for m in range(0, n, 7))
         assert total > 0
+
+
+class TestPolyProperties:
+    """Property tests over random fixtures — invariants the poly
+    kernels must hold on ANY input, not just goldens."""
+
+    def test_offset_contains_input_vertices(self):
+        # outward offset region must contain every input vertex
+        from paddleocr_spark.kernels.db_poly import _trace_component  # noqa: F401
+        rng = np.random.default_rng(11)
+        for trial in range(20):
+            n = int(rng.integers(4, 9))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+            rad = rng.uniform(8, 20, n)
+            poly = np.stack([40 + rad * np.cos(ang),
+                             40 + rad * np.sin(ang)], 1)
+            d = float(rng.uniform(1.0, 6.0))
+            off = offset_polygon_round(poly, d)
+            if off is None:
+                continue  # legitimately multi-polygon/degenerate
+            # even-odd point-in-polygon for each input vertex
+            for (px, py) in poly:
+                inside = False
+                m = len(off)
+                for i in range(m):
+                    x0, y0 = off[i]
+                    x1, y1 = off[(i + 1) % m]
+                    if (y0 > py) != (y1 > py):
+                        xi = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+                        if px < xi:
+                            inside = not inside
+                assert inside, (trial, (px, py))
+
+    def test_approx_dp_subset_and_tolerance(self):
+        rng = np.random.default_rng(5)
+        for trial in range(15):
+            n = int(rng.integers(8, 40))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+            rad = rng.uniform(10, 30, n)
+            poly = np.stack([50 + rad * np.cos(ang),
+                             50 + rad * np.sin(ang)], 1)
+            eps = float(rng.uniform(0.2, 3.0))
+            out = approx_poly_dp(poly, eps)
+            # vertex subset
+            src = {tuple(p) for p in poly.tolist()}
+            assert all(tuple(p) in src for p in out.tolist())
+            # every dropped vertex within eps of the kept closed chain
+            import math as _m
+            kept = out.tolist()
+            for p in poly.tolist():
+                if tuple(p) in {tuple(q) for q in kept}:
+                    continue
+                dmin = min(
+                    _seg_dist(p, kept[i], kept[(i + 1) % len(kept)])
+                    for i in range(len(kept)))
+                assert dmin <= eps + 1e-9
+
+    def test_dilate_superset_and_shape(self):
+        rng = np.random.default_rng(3)
+        for _ in range(10):
+            b = rng.random((20, 30)) > 0.8
+            d = dilate_2x2(b)
+            assert (d | b == d).all()  # monotone: superset of input
+            assert d.sum() >= b.sum()
+
+    def test_contour_roundtrip_fill(self):
+        # filling the traced contour must reproduce a convex component
+        m = np.zeros((30, 30), bool)
+        m[5:20, 8:25] = True
+        (c,) = find_contours(m)
+        from paddleocr_spark.kernels.db_poly import polygon_mask_mean_eo
+        # mean of the mask over its own contour polygon == 1.0
+        assert polygon_mask_mean_eo(m.astype(np.float64), c) == 1.0
+
+
+def _seg_dist(p, a, b):
+    import math as _m
+    ax, ay = a
+    bx, by = b
+    ex, ey = bx - ax, by - ay
+    ln2 = ex * ex + ey * ey
+    if ln2 == 0:
+        return _m.hypot(p[0] - ax, p[1] - ay)
+    t = max(0.0, min(1.0, ((p[0] - ax) * ex + (p[1] - ay) * ey) / ln2))
+    return _m.hypot(p[0] - (ax + t * ex), p[1] - (ay + t * ey))
