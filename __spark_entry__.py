@@ -29,6 +29,7 @@ from paddleocr_spark.operators import (
     curation,
     dedup,
     det_poly,
+    multimodal,
     html_extract,
     partitioning,
     kie,
@@ -284,10 +285,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds covers everything. Round 5 front-loads (a) the 18 queries
     # whose only driver rows are from r03 (rotated out of r04's
     # window), (b) bm25_topk (literal-idf rewrite) and the queries
-    # whose implementation changed or is new this round, then fills
-    # with r04-green entries. The 19 entries past position 50 were all
-    # driver-green in r04 with code untouched in r05, and remain
-    # covered by the in-repo parity suite
+    # whose implementation changed or is new this round (det_polygons,
+    # image_phash, phash_near_dups, paged_store_pages, html_pagerank,
+    # duplicate_clusters), then fills with r04-green entries. The 21
+    # entries past position 50 were all driver-green in r04 with code
+    # untouched in r05, and remain covered by the in-repo parity suite
     # (tests/test_oracle_parity.py) at every sf.
     return {
         # --- driver rows only in r03; re-checked this round (0-17) ---
@@ -313,6 +315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": retrieval.bm25_topk,
         # --- new / implementation changed in r05 ---
         "det_polygons": det_poly.det_polygons,
+        "image_phash": multimodal.image_phash,
+        "phash_near_dups": multimodal.phash_near_dups,
         "paged_store_pages": page_store.paged_store_pages,
         "html_pagerank": html_extract.html_pagerank,
         "duplicate_clusters": dedup.duplicate_clusters,
@@ -347,11 +351,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": curation.benchmark_contamination,
         # --- HTML/DOM extraction ---
         "html_main_content": html_extract.html_main_content,
-        "html_links": html_extract.html_links,
-        # --- text analysis ---
-        "clean_boilerplate": text.clean_documents,
         # --- position 50+: driver-green in r04, code untouched in
         # r05, parity-suite covered ---
+        "html_links": html_extract.html_links,
+        "clean_boilerplate": text.clean_documents,
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
         "pdf_text_runs": pdf_text_store.pdf_text_runs,
@@ -699,6 +702,30 @@ def oracle_sql() -> dict[str, str]:
         "det_polygons": f"""
             SELECT map_id, poly_idx, point_idx, x, y, score_micro
             FROM {g('golden_det_polygons')}
+        """,
+        # perceptual image hashes: sequential golden twin
+        "image_phash": f"""
+            SELECT media_ref, variant, phash
+            FROM {g('golden_image_phash')}
+        """,
+        # hamming <= 3 pairs: the ORACLE is the brute-force O(N^2)
+        # hamming join over the golden hashes, while Spark generates
+        # candidates with 4x16-bit block LSH — the compare therefore
+        # proves the LSH join is COMPLETE for the threshold
+        # (pigeonhole: <=3 differing bits leave >=1 of 4 blocks equal)
+        "phash_near_dups": f"""
+            WITH p AS (SELECT media_ref, variant, phash
+                       FROM {g('golden_image_phash')})
+            SELECT a.media_ref AS ref_a, a.variant AS var_a,
+                   b.media_ref AS ref_b, b.variant AS var_b,
+                   bit_count(xor(a.phash, b.phash))::bigint AS hamming
+            FROM p a JOIN p b
+              ON (a.media_ref < b.media_ref)
+                 OR (a.media_ref = b.media_ref
+                     AND a.variant < b.variant)
+            WHERE bit_count(xor(a.phash, b.phash))
+                  <= {multimodal.PHASH_MAX_HAMMING}
+            ORDER BY ref_a, var_a, ref_b, var_b
         """,
         "corpus_rec_metric": f"SELECT * FROM {g('golden_rec_metric')}",
         "corpus_det_metric": f"SELECT * FROM {g('golden_det_metric')}",

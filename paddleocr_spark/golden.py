@@ -46,6 +46,7 @@ GOLDEN_FILES = [
     "golden_e2e_metric.parquet",
     "golden_ct_metric.parquet",
     "golden_det_polygons.parquet",
+    "golden_image_phash.parquet",
 ]
 
 # fragment column order shared with the Spark UDF so oracle
@@ -261,6 +262,21 @@ def compute_goldens(n_docs: int, seed: int = 42, heavy_frac: float = 0.01):
         if html is not None:
             master.append({"media_ref": ref, "master_html": html})
 
+    # --- perceptual image hashes (original + the sr_metric-style
+    # 4-bit requantized degradation) — sequential twin of
+    # operators/multimodal.image_phash
+    from .kernels.phash import phash64
+
+    phash_rows = []
+    for ref in sorted(media):
+        m = media[ref]
+        pm = dequantize_map(m["det_map"], int(m["det_h"]),
+                            int(m["det_w"]))
+        degraded = (np.round(pm * 15.0) / 15.0).astype(np.float32)
+        for variant, img in ((0, pm), (1, degraded)):
+            phash_rows.append({"media_ref": ref, "variant": variant,
+                               "phash": phash64(img)})
+
     # --- poly-mode DB decode (box_type="poly" + use_dilation) over the
     # curved-text fixture maps — sequential twin of operators/det_poly
     det_polys = []
@@ -287,6 +303,7 @@ def compute_goldens(n_docs: int, seed: int = 42, heavy_frac: float = 0.01):
         "golden_det_iou_metric": det_iou,
         "golden_table_structure_metric": table_metric,
         "golden_det_polygons": det_polys,
+        "golden_image_phash": phash_rows,
     }
 
 
@@ -295,7 +312,7 @@ _INT32_COLS = {"order", "frag_idx", "box_idx"}
 # bump when golden SEMANTICS change (e.g. the e2e sorted-boxes
 # alignment fix) so cached goldens from older code recompute instead
 # of silently serving stale values
-GOLDEN_VERSION = 4
+GOLDEN_VERSION = 5
 
 _GOLDEN_COLS = {
     "golden_spans": ["doc_id", "order", "kind", "text", "media_ref",
@@ -317,6 +334,7 @@ _GOLDEN_COLS = {
     "golden_table_structure_metric": ["correct_num", "all_num", "acc"],
     "golden_det_polygons": ["map_id", "poly_idx", "point_idx", "x", "y",
                             "score_micro"],
+    "golden_image_phash": ["media_ref", "variant", "phash"],
 }
 
 
