@@ -9,7 +9,9 @@ multi-page raster container that needs no entropy codec:
 - header ``II*\\0`` / ``MM\\0*`` (both byte orders), IFD chain (one
   IFD per page, next-IFD offset links them — the "page explode" is a
   genuine pointer walk, not a fake framing header)
-- tags: ImageWidth/Length, BitsPerSample (8), Compression (1 = none,
+- tags: ImageWidth/Length, BitsPerSample (8; 1 for G4), Compression
+  (1 = none, 4 = CCITT Group 4 / T.6 via kernels/fax.py (bilevel
+  WhiteIsZero strips, FillOrder 1/2),
   5 = LZW with the spec's early code-width change, 6 = old-style JPEG
   via JPEGInterchangeFormat, 7 = new-style JPEG per segment with the
   shared JPEGTables tag merged in, 8 = Deflate/zlib per strip,
@@ -235,14 +237,20 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
 
         w, h = tags[256][0], tags[257][0]
         comp = tags.get(259, [1])[0]
-        if comp not in (1, 5, 6, 7, 8, 32773):
+        if comp not in (1, 4, 5, 6, 7, 8, 32773):
             raise ValueError(
                 f"unsupported TIFF compression {comp} "
-                "(uncompressed, LZW, JPEG, Deflate, or PackBits only)")
+                "(uncompressed, CCITT G4, LZW, JPEG, Deflate, or "
+                "PackBits only)")
         photo = tags.get(262, [1])[0]
         spp = tags.get(277, [1])[0]
-        bps = tags.get(258, [8] * spp)
-        if any(b != 8 for b in bps):
+        bps = tags.get(258, ([1] if comp == 4 else [8]) * spp)
+        if comp == 4:
+            # T.6 fax: bilevel, WhiteIsZero (the standard fax shape)
+            if spp != 1 or any(b != 1 for b in bps) or photo != 0:
+                raise ValueError(
+                    "G4 TIFF must be 1-bit single-sample WhiteIsZero")
+        elif any(b != 8 for b in bps):
             raise ValueError("only 8-bit TIFF samples supported")
         if photo not in (0, 1, 2, 6) or spp not in (1, 3):
             raise ValueError("only gray/RGB/YCbCr TIFF supported")
@@ -305,7 +313,28 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
                     axis=1, dtype=np.uint32).astype(np.uint8)
             return a
 
-        if comp == 6:
+        if comp == 4:
+            from paddleocr_spark.kernels.fax import g4_decode
+
+            rps = tags.get(278, [h])[0]
+            fill_order = tags.get(266, [1])[0]
+            parts = []
+            remaining = h
+            for o, c in zip(tags[273], tags[279]):
+                seg = data[o:o + c]
+                if fill_order == 2:  # LSB-first bytes: reverse bits
+                    arr = np.unpackbits(
+                        np.frombuffer(seg, np.uint8).reshape(-1, 1),
+                        axis=1)[:, ::-1]
+                    seg = np.packbits(arr).tobytes()
+                r = min(rps, remaining)
+                parts.append(g4_decode(seg, w, r))
+                remaining -= r
+            mask = np.concatenate(parts, axis=0) if parts else                 np.zeros((0, w), bool)
+            # black -> 255 here; the WhiteIsZero inversion below
+            # flips to the canonical black=0 / white=255
+            img = (mask[:h] * np.uint8(255))[:, :, None]
+        elif comp == 6:
             # old-style JPEG (deprecated TIFF 6.0 §22): one full
             # interchange stream at JPEGInterchangeFormat
             if 513 not in tags:
@@ -392,11 +421,13 @@ def encode_tiff(pages: list[np.ndarray], compression: int = 1,
     ``tile=(tw, th)`` writes a §15 tile grid (multiples of 16) instead
     of one strip per page; ``quant`` feeds the JPEG compressions —
     writer twin for every decoder branch."""
-    if compression not in (1, 5, 6, 7, 8, 32773) \
+    if compression not in (1, 4, 5, 6, 7, 8, 32773) \
             or predictor not in (1, 2):
         raise ValueError((compression, predictor))
-    if compression in (6, 7, 32773) and predictor != 1:
+    if compression in (4, 6, 7, 32773) and predictor != 1:
         raise ValueError("predictor only applies to byte codecs")
+    if compression == 4 and tile is not None:
+        raise ValueError("G4 writer emits strips only")
     if tile is not None:
         tw, th = tile
         if tw % 16 or th % 16:
@@ -441,14 +472,22 @@ def encode_tiff(pages: list[np.ndarray], compression: int = 1,
         if a.ndim == 2:
             a = a[:, :, None]
         h, w, spp = a.shape
-        photo = (1 if spp == 1 else
+        if compression == 4 and spp != 1:
+            raise ValueError("G4 pages must be single-channel")
+        photo = (0 if compression == 4 else
+                 1 if spp == 1 else
                  6 if compression in (6, 7) else 2)
 
         # --- segment payloads ------------------------------------
         seg_bodies: list[bytes] = []
         jpegtables = None
         interchange = None  # (offset-slot value, length) for comp 6
-        if compression == 6:
+        if compression == 4:
+            from paddleocr_spark.kernels.fax import g4_encode
+
+            # WhiteIsZero: dark pixels (< 128) are the black runs
+            seg_bodies.append(g4_encode(a[:, :, 0] < 128))
+        elif compression == 6:
             interchange = _jpeg_bytes(a)
         elif tile is not None:
             tiles_x, tiles_y = -(-w // tw), -(-h // th)
@@ -494,7 +533,7 @@ def encode_tiff(pages: list[np.ndarray], compression: int = 1,
         entries = [
             (256, 4, 1, [w]),
             (257, 4, 1, [h]),
-            (258, 3, spp, [8] * spp),
+            (258, 3, spp, [1 if compression == 4 else 8] * spp),
             (259, 3, 1, [compression]),
             (262, 3, 1, [photo]),
             (277, 3, 1, [spp]),

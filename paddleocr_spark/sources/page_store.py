@@ -82,6 +82,10 @@ _FILES = [
     # float64 expression the spec defines (linear interpolation at
     # pixel centers, rounded), never the rasterizer code
     ("pages_17.pdf", "pdf_shading", 1),
+    # CCITT Group 4 (T.6) fax TIFF — the archival bilevel-scan shape:
+    # white page with one black rect at the vector-geom coords, so
+    # the mean is exact (255 * white_px / npx)
+    ("pages_18.tif", "tiff_g4", 2),
 ]
 
 
@@ -106,6 +110,10 @@ def _vector_geom(f: int, p: int):
 
 
 def _spec_row(f: int, name: str, kind: str, p: int, n: int):
+    if kind == "tiff_g4":
+        h, w, v, v2, rx, ry, rw, rh = _vector_geom(f, p)
+        mean = 255.0 * (h * w - rw * rh) / (h * w)
+        return (name, p, n > 1, h, w, mean)
     if kind == "pdf_shading":
         import numpy as _np
 
@@ -160,13 +168,14 @@ def ensure_page_store(root: str) -> str:
     """Write the container files under ``root`` (idempotent; guarded by
     a DONE marker). Driver-side and O(1): 6 tiny files — this is
     fixture synthesis, not data-plane work."""
-    # v10: + axial-shading PDF; v9 added indexed-color (palette) PNG;
+    # v11: + CCITT G4 (T.6) fax TIFF; v10 added axial-shading PDF;
+    # v9 added indexed-color (palette) PNG;
     # v8 added inline-image PDF
     # (BI/ID/EI raw-RGB / Flate-gray / ImageMask pages); v7 added
     # progressive JPEG, tiled/old-style JPEG-in-TIFF, LZW tile grid,
     # Adam7 PNG, vector-content PDF (cache key bumped so existing
     # stores rebuild)
-    store = os.path.join(root, "pagestore_v10")
+    store = os.path.join(root, "pagestore_v11")
     marker = os.path.join(store, "_DONE")
     if os.path.exists(marker):
         return store
@@ -204,6 +213,16 @@ def ensure_page_store(root: str) -> str:
                                tile=(16, 16))
         elif kind == "png":
             data = encode_png(imgs[0])
+        elif kind == "tiff_g4":
+            import numpy as _np
+
+            bil = []
+            for p in range(n):
+                h, w, v, v2, rx, ry, rw, rh = _vector_geom(f, p)
+                page = _np.full((h, w), 255, _np.uint8)
+                page[ry:ry + rh, rx:rx + rw] = 0
+                bil.append(page)
+            data = encode_tiff(bil, compression=4)
         elif kind == "pdf_shading":
             from paddleocr_spark.kernels.pdf_raster import (
                 encode_vector_pdf,
@@ -334,10 +353,14 @@ def paged_store_pages(spark, sf_dir: str):
 def pages_oracle_sql() -> str:
     """Constant VALUES oracle from the analytic page formulas (the
     codecs never run here)."""
+    # the mean goes through a STRING cast: DuckDB parses a bare
+    # numeric literal as DECIMAL first, and DECIMAL->DOUBLE can land
+    # one ulp off the Python double (measured); VARCHAR->DOUBLE is
+    # correctly-rounded strtod, which round-trips repr() exactly
     rows = ",\n  ".join(
         f"('{name}', CAST({p} AS BIGINT), {str(multi).upper()}, "
         f"CAST({h} AS BIGINT), CAST({w} AS BIGINT), "
-        f"CAST({v} AS DOUBLE))"
+        f"CAST('{v!r}' AS DOUBLE))"
         for name, p, multi, h, w, v in PAGE_SPEC)
     return ("SELECT * FROM (VALUES\n  " + rows +
             ") AS t(file, page, is_multipage, height, width, mean_px)")
