@@ -258,6 +258,29 @@ def _decode_image_xobject(head: bytes, stream: bytes) -> np.ndarray:
         from paddleocr_spark.kernels.jpeg import decode_jpeg
 
         return decode_jpeg(stream)  # BGR already
+    if filters == [b"CCITTFaxDecode"]:
+        # scanned-fax image XObject (ISO 32000-1 §7.4.6): G4 only
+        # (/K < 0; the G3 rows of /K >= 0 raise explicitly)
+        from paddleocr_spark.kernels.fax import g4_decode
+
+        w = _int_val(head, b"/Width")
+        h = _int_val(head, b"/Height")
+        km = re.search(rb"/K\s+(-?\d+)", head)
+        k = int(km.group(1)) if km else 0
+        if k >= 0:
+            raise ValueError(
+                "CCITTFaxDecode /K >= 0 (Group 3) unsupported")
+        cm = re.search(rb"/Columns\s+(\d+)", head)
+        cols = int(cm.group(1)) if cm else 1728
+        black = g4_decode(stream, cols, h)[:h, :w]
+        # /BlackIs1 false (default): black pixels come out as 0 bits
+        black_is1 = bool(re.search(rb"/BlackIs1\s+true\b", head))
+        sample = black if black_is1 else ~black
+        # 1-bit DeviceGray /Decode (default [0 1]; [1 0] inverts)
+        if re.search(rb"/Decode\s*\[\s*1\s+0\s*\]", head):
+            sample = ~sample
+        g = np.where(sample, 255, 0).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
     if filters == [b"FlateDecode"]:
         w = _int_val(head, b"/Width")
         h = _int_val(head, b"/Height")
@@ -399,6 +422,7 @@ def encode_pdf(pages: list[np.ndarray], image_filter: str = "DCTDecode",
         content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
         add(b"<< /Length %d >>\nstream\n" % len(content) + content
             + b"\nendstream")
+        bpc = 8
         if image_filter == "DCTDecode":
             from paddleocr_spark.kernels.jpeg import encode_jpeg
 
@@ -407,11 +431,19 @@ def encode_pdf(pages: list[np.ndarray], image_filter: str = "DCTDecode",
         elif image_filter == "FlateDecode":
             payload = zlib.compress(img[:, :, ::-1].tobytes())
             extra = b"/Filter /FlateDecode /ColorSpace /DeviceRGB"
+        elif image_filter == "CCITTFaxDecode":
+            from paddleocr_spark.kernels.fax import g4_encode
+
+            payload = g4_encode(img[:, :, 0] < 128)
+            extra = (b"/Filter /CCITTFaxDecode /ColorSpace "
+                     b"/DeviceGray /DecodeParms << /K -1 "
+                     b"/Columns %d /Rows %d >>" % (w, h))
+            bpc = 1
         else:
             raise ValueError(image_filter)
         add(b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
-            b"/BitsPerComponent 8 %s /Length %d >>\nstream\n"
-            % (w, h, extra, len(payload)) + payload + b"\nendstream")
+            b"/BitsPerComponent %d %s /Length %d >>\nstream\n"
+            % (w, h, bpc, extra, len(payload)) + payload + b"\nendstream")
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = []

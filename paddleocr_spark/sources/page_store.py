@@ -86,6 +86,9 @@ _FILES = [
     # white page with one black rect at the vector-geom coords, so
     # the mean is exact (255 * white_px / npx)
     ("pages_18.tif", "tiff_g4", 2),
+    # the same bilevel shape as a scanned-fax PDF: G4-compressed
+    # /CCITTFaxDecode image XObjects (ISO 32000-1 §7.4.6)
+    ("pages_19.pdf", "pdf_g4", 2),
 ]
 
 
@@ -110,7 +113,7 @@ def _vector_geom(f: int, p: int):
 
 
 def _spec_row(f: int, name: str, kind: str, p: int, n: int):
-    if kind == "tiff_g4":
+    if kind in ("tiff_g4", "pdf_g4"):
         h, w, v, v2, rx, ry, rw, rh = _vector_geom(f, p)
         mean = 255.0 * (h * w - rw * rh) / (h * w)
         return (name, p, n > 1, h, w, mean)
@@ -168,14 +171,15 @@ def ensure_page_store(root: str) -> str:
     """Write the container files under ``root`` (idempotent; guarded by
     a DONE marker). Driver-side and O(1): 6 tiny files — this is
     fixture synthesis, not data-plane work."""
-    # v11: + CCITT G4 (T.6) fax TIFF; v10 added axial-shading PDF;
+    # v12: + G4 fax PDFs (/CCITTFaxDecode XObjects); v11 added CCITT
+    # G4 (T.6) fax TIFF; v10 added axial-shading PDF;
     # v9 added indexed-color (palette) PNG;
     # v8 added inline-image PDF
     # (BI/ID/EI raw-RGB / Flate-gray / ImageMask pages); v7 added
     # progressive JPEG, tiled/old-style JPEG-in-TIFF, LZW tile grid,
     # Adam7 PNG, vector-content PDF (cache key bumped so existing
     # stores rebuild)
-    store = os.path.join(root, "pagestore_v11")
+    store = os.path.join(root, "pagestore_v12")
     marker = os.path.join(store, "_DONE")
     if os.path.exists(marker):
         return store
@@ -213,7 +217,7 @@ def ensure_page_store(root: str) -> str:
                                tile=(16, 16))
         elif kind == "png":
             data = encode_png(imgs[0])
-        elif kind == "tiff_g4":
+        elif kind in ("tiff_g4", "pdf_g4"):
             import numpy as _np
 
             bil = []
@@ -222,7 +226,13 @@ def ensure_page_store(root: str) -> str:
                 page = _np.full((h, w), 255, _np.uint8)
                 page[ry:ry + rh, rx:rx + rw] = 0
                 bil.append(page)
-            data = encode_tiff(bil, compression=4)
+            if kind == "pdf_g4":
+                data = encode_pdf(
+                    [_np.repeat(b[:, :, None], 3, axis=2)
+                     for b in bil],
+                    image_filter="CCITTFaxDecode")
+            else:
+                data = encode_tiff(bil, compression=4)
         elif kind == "pdf_shading":
             from paddleocr_spark.kernels.pdf_raster import (
                 encode_vector_pdf,

@@ -117,3 +117,50 @@ class TestTiffG4:
     def test_rgb_pages_rejected(self):
         with pytest.raises(ValueError, match="single-channel"):
             encode_tiff([np.zeros((4, 4, 3), np.uint8)], compression=4)
+
+
+class TestPdfCcitt:
+    """/CCITTFaxDecode image XObjects (ISO 32000-1 §7.4.6)."""
+
+    def _page(self):
+        p = np.full((30, 40, 3), 255, np.uint8)
+        p[5:15, 10:30] = 0
+        return p
+
+    def test_roundtrip(self):
+        from paddleocr_spark.kernels.pdf import (
+            decode_pdf_pages,
+            encode_pdf,
+        )
+        page = self._page()
+        (out,) = decode_pdf_pages(
+            encode_pdf([page], image_filter="CCITTFaxDecode"))
+        assert (out == page).all()
+
+    def test_blackis1_and_decode_flip(self):
+        from paddleocr_spark.kernels.pdf import (
+            decode_pdf_pages,
+            encode_pdf,
+        )
+        page = self._page()
+        data = encode_pdf([page], image_filter="CCITTFaxDecode")
+        # flip BlackIs1 on: samples invert, rendering inverts
+        flipped = data.replace(b"/K -1", b"/K -1 /BlackIs1 true")
+        (out,) = decode_pdf_pages(flipped)
+        assert (out == 255 - page).all()
+        # /Decode [1 0] inverts back
+        both = flipped.replace(b"/ColorSpace /DeviceGray",
+                               b"/ColorSpace /DeviceGray /Decode [1 0]")
+        (out2,) = decode_pdf_pages(both)
+        assert (out2 == page).all()
+
+    def test_g3_raises(self):
+        from paddleocr_spark.kernels.pdf import (
+            decode_pdf_pages,
+            encode_pdf,
+        )
+        data = encode_pdf([self._page()],
+                          image_filter="CCITTFaxDecode")
+        g3 = data.replace(b"/K -1", b"/K 0")
+        with pytest.raises(ValueError, match="Group 3"):
+            decode_pdf_pages(g3)
